@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Local testing runs ``local[N]`` (one JVM); the configs below are chosen so
+the same code scales to a real cluster: AQE for runtime re-planning (skew
+joins, partition coalescing), Arrow for any pandas-UDF path, UTC session
+timezone so timestamp semantics match external oracles (DuckDB timestamps
+are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "flight-delay-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster ``master``/memory come from spark-submit; everything
+    set here is safe in both modes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for pandas UDF / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DuckDB (the correctness oracle) treats timestamps as UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The synthetic parquet stores TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read as int64 nanos and convert in
+        # sources.readers (exact integer div — no precision loss).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "48g")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
