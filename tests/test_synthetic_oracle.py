@@ -1,0 +1,48 @@
+"""In-repo replica of the driver's oracle-differential gate, run at sf0.001
+so the suite stays fast. Every registered query with an oracle must match
+DuckDB on row count, column names, and order-insensitive value hash."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans import synthetic
+from analysis_of_flight_delay_data_by_mapreduce_spark.schema import SYNTHETIC_TABLES
+
+from conftest import SF_DIR
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.check_oracle import table_hash  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in SYNTHETIC_TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(synthetic.ORACLES))
+def test_oracle_match(spark, duck, name):
+    sdf = synthetic.QUERIES[name](spark, SF_DIR)
+    sn, sh = table_hash([tuple(r) for r in sdf.collect()], list(sdf.columns))
+    res = duck.execute(synthetic.ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    on, oh = table_hash(res.fetchall(), ocols)
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert (sn, sh) == (on, oh)
+
+
+@pytest.mark.parametrize("name", sorted(synthetic.QUERIES))
+def test_query_runs(spark, name):
+    df = synthetic.QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
