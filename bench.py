@@ -1,0 +1,65 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_delay": sec, ...}, "sf": 0.1}
+
+Protocol (BASELINE.md): per query, 1 warm-up then median of N timed runs
+(default 3; override BENCH_RUNS). Timing includes plan + execution; results
+are consumed with a count-style action (no driver collect of full results —
+we measure engine throughput, not toPandas serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans import synthetic
+from analysis_of_flight_delay_data_by_mapreduce_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name, fn in synthetic.QUERIES.items():
+        samples = []
+        for i in range(runs + 1):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            if i > 0:  # drop warm-up
+                samples.append(dt)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"# {name}: {timings[name]:.3f}s (n={n})", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum of per-query median wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
