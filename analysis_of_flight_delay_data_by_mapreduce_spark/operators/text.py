@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines (extension tier).
+
+All pure Catalyst column expressions over the ``documents`` table — per-row,
+embarrassingly parallel, no shuffle at all (narrow transformations), no
+Python UDFs. At 100 TB these run at scan speed with full whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import word_tokens
+
+__all__ = [
+    "token_count_ws",
+    "token_count_bpe",
+    "quality_features",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+]
+
+#: BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols.
+#: Kept to a regex dialect shared by Java (Spark) and RE2-ish engines so the
+#: same pattern is usable in oracle SQL.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic (this is a heuristic
+#: operator, not a model); extend per deployment.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count (the classic wc -w)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(word_tokens(c)).cast("long")
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: alphanumeric runs + individual symbols — a
+    cheap, deterministic proxy for LLM tokenizer counts."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation /
+    digit / stopword ratios. Columns appended, all double/long."""
+    c = F.col(text_col)
+    toks = word_tokens(c)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(c).cast("long")
+    stop_lit = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, F.lower(t))))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()]", ""))
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return (
+        df.withColumn("n_chars_f", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                n_tok > 0,
+                (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0, n_digit.cast("double") / n_chars.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Scalar quality score in [0, 1]: length sweet spot + stopword presence
+    − punctuation/digit noise. A heuristic filter knob (C4/Gopher-style
+    rules), deterministic per row."""
+    feats = quality_features(df, text_col)
+    length_term = F.least(F.col("n_tokens").cast("double") / 64.0, F.lit(1.0))
+    score = (
+        0.4 * length_term
+        + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10.0 + F.col("digit_ratio") * 5.0, F.lit(1.0)))
+    )
+    return feats.withColumn(out, F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-count language ID: the language whose stopword list matches
+    the most tokens wins (ties broken by language code order; no match →
+    'und'). One pass of array intersections per row, no shuffle."""
+    c = F.col(text_col)
+    toks = F.transform(word_tokens(c), lambda t: F.lower(t))
+    best_lang, best_score = None, None
+    for lang in sorted(LANG_STOPWORDS):
+        lit = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), score
+        else:
+            better = score > best_score
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+    pred = F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Canonical document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text. Stable across engines (md5 is standard), the
+    join key for cross-pipeline exact dedup."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm))

@@ -206,3 +206,420 @@ def q4_repeat_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_dup_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("d", F.col("ts").cast("date"))
     return duplicate_within(ev, ["user_id", "event_type"], "d")
+
+
+# ===========================================================================
+# Extension tier (SURVEY §7.1 step 5): the LLM-training-data-pipeline
+# operators, each designed for the 100 TB posture (no O(n²), no driver
+# state, no Python UDFs outside the multimodal decode stubs).
+# ===========================================================================
+
+from ..operators import text as text_ops  # noqa: E402
+from ..operators.dedup import (  # noqa: E402
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dup,
+)
+from ..operators.multimodal import attach_payload, decode_images  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    cosine_topk,
+    cosine_topk_lsh,
+    random_hyperplanes,
+)
+from ..streaming.windows import windowed_event_counts  # noqa: E402
+
+# Shared SQL fragments, generated from the same constants the Spark
+# operators use so the two sides cannot drift.
+_WS_TOKENS_SQL = r"list_filter(string_split_regex({col}, '\s+'), t -> t <> '')"
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS["en"]) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup via canonical fingerprint (md5 of lower+whitespace-collapsed
+# text): one hash-groupBy shuffle, deterministic survivor (min id).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text_ops.fingerprint(_t(spark, sf_dir, "documents"))
+    return exact_dedup(docs, ["fp"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (char 5-grams, threshold 0.3 —
+# p99.9 of the pair distribution is ~0.28, so survivors are true near-dups).
+# Inverted-index join: work bounded by postings lists, never n².
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+      FROM documents
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=5, mode="char", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+# Hash functions are engine-specific (xxhash64) → rows-only driver check;
+# recall/precision pinned by pytest with planted near-duplicates.
+# ---------------------------------------------------------------------------
+@register("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_k=5,
+        mode="char",
+        verify_jaccard=0.3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup candidates (64-bit fingerprint, 16-bit bands → hamming≤3
+# by pigeonhole). Rows-only (xxhash64-based).
+# ---------------------------------------------------------------------------
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs within hyperplane-LSH buckets. Rows-only
+# (approximate by construction); exactness pinned by pytest planted pairs.
+# ---------------------------------------------------------------------------
+@register("dedup_embedding")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # max pairwise cosine in the synthetic embeddings is ~0.51 (p99.9 ~0.38):
+    # 0.35 selects the genuinely-nearest pairs while exercising the
+    # bucket-prune + verify path.
+    planes = random_hyperplanes(n_bits=8, dim=64, seed=42)
+    return embedding_near_dup(emb, "vec_id", "embedding", planes, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact cosine top-k vs a query vector (vec_id 0) — the ANN
+# baseline. Scores rounded to 6 dp on BOTH engines and used as the sort key,
+# so ordering and hashes agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS score
+      FROM embeddings e, q
+    )
+    SELECT vec_id, score FROM scored
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    from ..operators.similarity import cosine_scores
+
+    scored = cosine_scores(emb, "embedding", qv, out="score").withColumn(
+        "score", F.round(F.col("score"), 6)
+    )
+    return (
+        scored.select("vec_id", "score")
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate top-k (the scale path: bucket prune → exact
+# cosine on candidates). Rows-only; recall vs brute force pinned in pytest.
+# ---------------------------------------------------------------------------
+@register("ann_cosine_topk_lsh")
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planes = random_hyperplanes(n_bits=8, dim=64, seed=42)
+    return cosine_topk_lsh(
+        emb, "vec_id", "embedding", qv, planes, k=10, probe_radius=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts (whitespace + BPE-ish regex). Pure narrow
+# per-row expressions — scan-speed at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{text_ops.BPE_TOKEN_PATTERN}')) AS BIGINT)
+             AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count_ws("text").alias("n_tokens_ws"),
+        text_ops.token_count_bpe("text").alias("n_tokens_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality features + scalar score (C4/Gopher-style heuristics).
+# Per-row double arithmetic in the same operation order on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_WS_TOKENS_SQL.format(col="text")},
+                      t -> list_contains({_EN_STOP_SQL}, lower(t)))) AS BIGINT) AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_chars > 0
+                  THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_chars > 0
+                  THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                  ELSE 0.0 END AS digit_ratio,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, stopword_ratio,
+           round(0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+               + 0.3 * least(stopword_ratio * 5.0, 1.0)
+               + 0.3 * (1.0 - least(punct_ratio * 10.0 + digit_ratio * 5.0, 1.0)),
+             6) AS quality
+    FROM ratios
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stopword-heuristic language ID. The SQL CASE chain replicates the Spark
+# argmax exactly (ties → first language in sorted code order; all-zero →
+# 'und').
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    langs = sorted(text_ops.LANG_STOPWORDS)
+    score_cols = ",\n             ".join(
+        "CAST(len(list_filter(list_transform("
+        + _WS_TOKENS_SQL.format(col="text")
+        + ", t -> lower(t)), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS[lang])
+        + "], t))) AS BIGINT) AS s_" + lang
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{later}" for later in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_chain = "\n                ".join(cases)
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+    WITH scores AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest({greatest}) = 0 THEN 'und'
+                {case_chain}
+                ELSE '{langs[-1]}' END AS lang_pred
+    FROM scores
+    """
+
+
+@register("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.language_id(docs).select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window event counts — the batch face of the streaming layer
+# (identical transform serves readStream; see streaming.windows and tests).
+# ---------------------------------------------------------------------------
+@register(
+    "events_windowed",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window="1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: multi-way join + aggregation (broadcast dims).
+# Cent-exact revenue so hashes are deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0), 0
+    ).cast("long")
+    return (
+        li.select("l_orderkey", cents.alias("__cents"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__cents").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: top-k per group (window row_number — deterministic
+# tie-break on part key).
+# ---------------------------------------------------------------------------
+@register(
+    "top_parts_by_brand",
+    oracle="""
+    WITH pr AS (
+      SELECT p_brand, l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand, l_partkey
+    )
+    SELECT p_brand, l_partkey, revenue_cents, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY p_brand
+               ORDER BY revenue_cents DESC, l_partkey ASC) AS INTEGER) AS rn
+      FROM pr
+    ) WHERE rn <= 3
+    """,
+)
+def top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0), 0
+    ).cast("long")
+    pr = (
+        li.select("l_partkey", cents.alias("__cents"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("__cents").alias("revenue_cents"))
+    )
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("revenue_cents").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "l_partkey", "revenue_cents", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: payload attach → mapInPandas decode (stub codec) →
+# per-modality stats. Rows-only (binary digests aren't SQL-portable).
+# ---------------------------------------------------------------------------
+@register("multimodal_stats")
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_payload(docs, text_col="text", id_col="doc_id")
+    decoded = decode_images(assets)
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("content_sha256").alias("n_distinct"),
+    )

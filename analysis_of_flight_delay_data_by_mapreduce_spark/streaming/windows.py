@@ -1,0 +1,108 @@
+"""Structured Streaming variants of the aggregation layer.
+
+The reference is batch-only (SURVEY §2.4); this module is the additive
+streaming tier. The transforms take plain DataFrames, so the SAME function
+serves batch (``spark.read``) and streaming (``spark.readStream``) inputs —
+the design constraint from SURVEY §7.3. Late data is handled with
+watermarks; state is bounded (windowed aggs, session windows), never
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "windowed_event_counts",
+    "sessionized_counts",
+    "read_events_stream",
+    "run_stream_to_memory",
+]
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + cent-exact value sums per event type.
+
+    Works on batch and streaming frames alike; the watermark (streaming
+    only) bounds state so late rows older than the threshold are dropped
+    instead of growing state forever.
+    Output: ``window_start, event_type, n, value_cents``.
+    """
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "value_cents")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows (gap-based). ``session_window`` is the
+    native stateful operator — no custom state store code needed.
+    Output: ``user_id, session_start, session_end, n``."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """The events table as a bounded stream (file source; real deployments
+    swap in Kafka with the same downstream plan). Timestamps arrive as
+    int64 nanos (see sources.readers) and are restored exactly."""
+    from ..schema import EVENTS
+    from pyspark.sql import types as T
+
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType())
+            if f.name == "ts"
+            else f
+            for f in EVENTS.fields
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet")
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "complete"):
+    """Drive a (bounded) streaming aggregate to completion into an
+    in-memory sink; returns the finished StreamingQuery. Test harness path."""
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
