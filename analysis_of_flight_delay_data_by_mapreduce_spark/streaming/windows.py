@@ -86,10 +86,13 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
             for f in EVENTS.fields
         ]
     )
+    # FileStreamSource requires a directory; scope it to the events file
+    # with a glob filter (a real deployment points at a landing directory).
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -1,0 +1,95 @@
+"""Dedup operators on planted fixtures: exact survivors, minhash recall on
+true near-duplicates, simhash stability, jaccard exactness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+    random_hyperplanes,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import fingerprint
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon", "morning")  # one-word edit → high jaccard
+FAR = "completely different content about spark catalyst optimizer internals and shuffle partitioning strategies"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1
+        (4, FAR),
+        (5, "  THE QUICK  brown fox jumps over the lazy dog while the cat watches from the warm windowsill in the afternoon sun"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_survivor_is_min_id(spark, docs):
+    fp = fingerprint(docs)
+    got = {r.doc_id for r in exact_dedup(fp, ["fp"], "doc_id").collect()}
+    # 1 and 2 collapse (and 5 normalizes to the same text: case + whitespace)
+    assert got == {1, 3, 4}
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # hand-checkable: texts 'abcde' vs 'abcdef' with k=5 →
+    # shingles {abcde} vs {abcde, bcdef}: jaccard = 1/2
+    df = spark.createDataFrame([(1, "abcde"), (2, "abcdef")], "doc_id long, text string")
+    rows = ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=5, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert math.isclose(rows[0].jaccard, 0.5)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(
+            docs, "doc_id", "text", num_hashes=32, bands=16, verify_jaccard=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # one-word edit, char-5-gram jaccard >> 0.5
+    assert all(4 not in p for p in pairs)  # unrelated text never verified
+
+
+def test_simhash_identical_and_different(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    ham = bin(fps[1] ^ fps[4]).count("1")
+    assert ham > 10  # unrelated text → far fingerprint
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dup(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+
+
+def test_embedding_near_dup_planted(spark):
+    v = [1.0] + [0.0] * 7
+    near = [0.999] + [0.04] + [0.0] * 6
+    far = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, near), (4, far)], "vec_id long, embedding array<float>"
+    )
+    planes = random_hyperplanes(n_bits=4, dim=8, seed=7)
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup(df, "vec_id", "embedding", planes, 0.95).collect()
+    }
+    assert (1, 2) in pairs and math.isclose(pairs[(1, 2)], 1.0)
+    assert (1, 3) in pairs  # cos ~0.9988
+    assert all(4 not in p for p in pairs)

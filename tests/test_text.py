@@ -1,0 +1,58 @@
+"""Text-analysis operators: language ID, quality, token counts, fingerprint."""
+
+from __future__ import annotations
+
+import math
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+from pyspark.sql import functions as F
+
+
+def test_language_id_known_sentences(spark):
+    rows = [
+        (1, "the cat is in the house and it was warm"),
+        (2, "der Hund ist nicht mit der Katze und das ist gut"),
+        (3, "el perro es grande y la casa es de piedra"),
+        (4, "xyzzy plugh qwerty"),  # no stopwords → und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2  ok")], "id long, text string")
+    row = df.select(
+        token_count_ws("text").alias("ws"), token_count_bpe("text").alias("bpe")
+    ).first()
+    assert row.ws == 4
+    # Hello , world ! x2 ok → [Hello][,][world][!][x2][ok] = 6
+    assert row.bpe == 6
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was a good day for all of us " * 4),
+        (2, "!!!! ???? ;;;; 1234 5678"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.quality for r in quality_score(df).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[1] > got[2]  # clean prose beats punctuation soup
+    assert math.isclose(got[3], 0.3)  # empty: only the no-noise term fires
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = [r.fp for r in fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert len(fps[0]) == 32  # md5 hex
