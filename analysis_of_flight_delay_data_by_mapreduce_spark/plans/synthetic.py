@@ -255,18 +255,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard near-dup pairs (char 5-grams, threshold 0.3 —
-# p99.9 of the pair distribution is ~0.28, so survivors are true near-dups).
-# Inverted-index join: work bounded by postings lists, never n².
+# Exact n-gram Jaccard near-dup pairs (word 3-shingles, threshold 0.3).
+# Word shingles, not char-grams: this corpus has a ~40-word vocabulary, so
+# char-5-grams are shared by most documents and the inverted-index join
+# degenerates toward n² (measured: >10 min at sf0.1); word trigrams have
+# max doc-freq 25 there, and the same join finishes in seconds. Survivors
+# are true near-dups (256 pairs at sf0.1, incl. exact dups with j=1.0).
 # ---------------------------------------------------------------------------
 @register(
     "dedup_ngram_jaccard",
     oracle=r"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
-                    i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
       FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
     ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -284,7 +293,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_k=5, mode="char", threshold=0.3
+        docs, "doc_id", "text", shingle_k=3, mode="word", threshold=0.3
     )
 
 
@@ -302,8 +311,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         num_hashes=32,
         bands=8,
-        shingle_k=5,
-        mode="char",
+        shingle_k=3,
+        mode="word",
         verify_jaccard=0.3,
     )
 
