@@ -67,6 +67,23 @@ def _shingles(text: Column, mode: str, k: int) -> Column:
     raise ValueError(f"unknown shingle mode: {mode}")
 
 
+def _ensure_parallelism(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by id up to the cluster's default parallelism when the
+    scan produced fewer partitions.
+
+    The shingle/feature ops below explode each document ~50×; when the
+    input is a handful of small files (one scan partition), every core but
+    one idles through the fan-out. Repartitioning the *pre-explode* rows
+    (small: id + text) is one cheap shuffle that unlocks full parallelism.
+    At real scale the scan already has >= defaultParallelism splits and this
+    is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, id_col)
+    return df
+
+
 def _prune_hot_buckets(
     entries: DataFrame, keys: list[str], max_bucket: int | None
 ) -> DataFrame:
@@ -104,7 +121,7 @@ def minhash_signatures(
     shuffle of (id, shingle-hash) pairs regardless of H. Returns
     ``id_col, sig array<bigint>``.
     """
-    shingled = df.select(
+    shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(F.col(text_col), mode, shingle_k))).alias(
             "__shingle"
@@ -214,7 +231,7 @@ def simhash(
     conditional sums in one aggregation pass — single shuffle, all-JVM.
     Returns ``id_col, simhash (bigint)``.
     """
-    toks = df.select(
+    toks = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__tok"),
     ).withColumn("__h", F.xxhash64("__tok"))
@@ -305,7 +322,7 @@ def ngram_jaccard_pairs(
 
     Returns ``id_a, id_b, jaccard``.
     """
-    sh = df.select(
+    sh = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(F.col(text_col), mode, shingle_k))).alias(
             "__shingle"
@@ -359,22 +376,17 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
-    ``hyperplanes`` (generated driver-side with a fixed seed, broadcast as
-    literals) define a sign-bit bucket per vector; exact cosine similarity
-    is computed only within equal buckets. Returns ``id_a, id_b, cos_sim``.
+    ``hyperplanes`` (generated driver-side with a fixed seed) assign a
+    sign-bit bucket per vector (vectorized numpy matmul — see
+    ``similarity.bucketize_hyperplane``); exact cosine similarity is
+    computed JVM-side only within equal buckets.
+    Returns ``id_a, id_b, cos_sim``.
     """
-    bucket = None
-    for i, hp in enumerate(hyperplanes):
-        lit_hp = F.array(*[F.lit(float(x)) for x in hp])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_hp, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        bucket = term if bucket is None else bucket.bitwiseXOR(term)
-    with_bucket = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__bucket"))
+    from .similarity import bucketize_hyperplane
+
+    with_bucket = bucketize_hyperplane(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, hyperplanes, out="__bucket"
+    )
     left, right = with_bucket.alias("l"), with_bucket.alias("r")
     return (
         left.join(
