@@ -632,3 +632,127 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("content_sha256").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: ROLLUP (hierarchical grouping sets). NULL group
+# markers match ANSI semantics on both engines; cent-exact sums.
+# ---------------------------------------------------------------------------
+@register(
+    "sales_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
+    return (
+        li.select("l_returnflag", "l_linestatus", cents.alias("__cents"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__cents").alias("price_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: anti join (NOT EXISTS) — customers who never placed
+# an urgent order (~200 of 1500 at sf0.01, so the anti path really filters).
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: exact median (linear interpolation) over cent-exact
+# ints — Spark percentile == DuckDB quantile_cont.
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents,
+           quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS median_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select("event_type", cents.alias("__cents")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__cents").alias("min_cents"),
+        F.max("__cents").alias("max_cents"),
+        F.percentile("__cents", F.lit(0.5)).alias("median_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: AS-OF join — an operator Spark lacks natively.
+# For each purchase event, the user's most recent prior (or simultaneous)
+# signup. Composed from a union + per-user ordered window (last_value of
+# the signup timestamp seen so far) — one shuffle on user_id, no range
+# explosion; the portable-SQL formulation doubles as the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_signup",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_signup_ts
+      FROM events
+    )
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s,
+           CAST(last_signup_ts AS VARCHAR) AS last_signup_s
+    FROM tagged
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_ts", last_signup)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts_s"),
+            F.col("last_signup_ts").cast("string").alias("last_signup_s"),
+        )
+    )
