@@ -145,3 +145,86 @@ def cosine_topk_lsh(
         .orderBy(F.col(out).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means centroids + cluster-pruned search.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_clusters: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse centroids for an IVF index via seeded mini k-means.
+
+    Trains on a bounded driver-side sample (``Dataset.limit`` after a
+    seeded repartition-free sample) — the standard IVF recipe: centroid
+    quality needs only a sketch of the distribution, so the driver never
+    holds more than ``sample_rows`` vectors regardless of table size.
+    Deterministic for fixed seed/sample.
+    """
+    sample = [
+        list(r[0])
+        for r in df.select(vec_col).sample(False, 1.0, seed).limit(sample_rows).collect()
+    ]
+    X = np.asarray(sample, dtype="float64")
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
+def assign_ivf_cluster(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out: str = "cluster"
+) -> DataFrame:
+    """Nearest-centroid id per vector (vectorized pandas UDF, one matmul
+    per Arrow batch — same rationale as ``bucketize_hyperplane``). At scale
+    the table is written ``partitionBy(cluster)`` so probes prune I/O."""
+    C = np.asarray(centroids, dtype="float64")  # (k, dim)
+    C_sq = (C**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy()).astype("float64")
+        d = C_sq[None, :] - 2.0 * (M @ C.T)  # ||x||² constant per row
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out, _assign(F.col(vec_col)))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    out: str = "score",
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``n_probe`` clusters whose
+    centroids are nearest the query. Literal IN-list filter → partition
+    pruning on a cluster-partitioned table."""
+    C = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    probes = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    cands = assign_ivf_cluster(df, vec_col, centroids).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    scored = cosine_scores(cands, vec_col, query_vec, out)
+    return (
+        scored.select(id_col, out)
+        .orderBy(F.col(out).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

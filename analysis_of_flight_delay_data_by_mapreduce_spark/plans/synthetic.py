@@ -756,3 +756,20 @@ def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_signup_ts").cast("string").alias("last_signup_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-indexed approximate top-k (sampled k-means centroids, n_probe cluster
+# prune, exact cosine within probed clusters). Rows-only (approximate);
+# recall vs brute force pinned in pytest.
+# ---------------------------------------------------------------------------
+@register("ann_cosine_topk_ivf")
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = train_ivf_centroids(emb, "embedding", n_clusters=16, seed=42)
+    return cosine_topk_ivf(
+        emb, "vec_id", "embedding", qv, centroids, k=10, n_probe=4
+    )

@@ -53,3 +53,34 @@ def test_bucketize_deterministic(spark):
     b = {r.vec_id: r.bucket for r in bucketize_hyperplane(emb, "embedding", planes).collect()}
     assert a == b
     assert all(0 <= v < 64 for v in a.values())
+
+
+def test_ivf_topk_recall(spark):
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    centroids = train_ivf_centroids(emb, "embedding", n_clusters=8, seed=42)
+    exact = {r.vec_id for r in cosine_topk(emb, "vec_id", "embedding", qv, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in cosine_topk_ivf(
+            emb, "vec_id", "embedding", qv, centroids, k=10, n_probe=4
+        ).collect()
+    }
+    assert 0 in approx
+    assert len(exact & approx) >= 5  # half the clusters probed → decent recall
+
+
+def test_ivf_centroids_deterministic(spark):
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    a = train_ivf_centroids(emb, "embedding", n_clusters=4, seed=7)
+    b = train_ivf_centroids(emb, "embedding", n_clusters=4, seed=7)
+    assert a == b
