@@ -773,3 +773,72 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, "vec_id", "embedding", qv, centroids, k=10, n_probe=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: semi-structured JSON column. events.props is a JSON
+# string; extract a typed field and aggregate. from_json gives a typed
+# struct at scan time — the pattern for sidecar-metadata columns.
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    props = F.from_json(
+        F.col("props"), T.StructType([T.StructField("k", T.LongType())])
+    )
+    return (
+        ev.select("event_type", props.getField("k").alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("__k").alias("k_sum"),
+            F.min("__k").alias("k_min"),
+            F.max("__k").alias("k_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: PIVOT (the reference's A5 is a hand-rolled 2-bucket
+# pivot; this is the general explicit-values form — cent-exact sums).
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS O_cents,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS F_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
+    piv = (
+        li.select("l_returnflag", "l_linestatus", cents.alias("__cents"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.coalesce(F.sum("__cents"), F.lit(0)).alias("c"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("O_cents"),
+        F.col("F").alias("F_cents"),
+    )
