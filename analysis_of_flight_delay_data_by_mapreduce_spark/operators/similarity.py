@@ -228,3 +228,51 @@ def cosine_topk_ivf(
         .orderBy(F.col(out).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def build_ann_table(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize an IVF-indexed ANN table: rows written partitioned by
+    nearest-centroid cluster (hive layout). A top-k probe then reads only
+    ``n_probe`` partition directories — at 100 TB this is the difference
+    between scanning everything and scanning ~n_probe/n_clusters of it.
+    Returns the centroids (persist them next to the table)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_clusters=n_clusters, seed=seed)
+    assign_ivf_cluster(df, vec_col, centroids).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    return centroids
+
+
+def query_ann_table(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    out: str = "score",
+) -> DataFrame:
+    """Top-k against a ``build_ann_table`` output. The cluster IN-filter is
+    a partition filter — pruned before any file is opened."""
+    C = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    probes = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    table = spark.read.parquet(path).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    scored = cosine_scores(table, vec_col, query_vec, out)
+    return (
+        scored.select(id_col, out)
+        .orderBy(F.col(out).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -842,3 +842,24 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("O_cents"),
         F.col("F").alias("F_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: exact + approximate distinct counting. The exact
+# count is the oracle-checked output; the approx (HLL) column is reported
+# relative to exact in tests (engine-specific sketches don't cross-check).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n"),
+    )

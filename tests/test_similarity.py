@@ -84,3 +84,27 @@ def test_ivf_centroids_deterministic(spark):
     a = train_ivf_centroids(emb, "embedding", n_clusters=4, seed=7)
     b = train_ivf_centroids(emb, "embedding", n_clusters=4, seed=7)
     assert a == b
+
+
+def test_ann_table_partition_pruning(spark, tmp_path):
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        build_ann_table,
+        cosine_topk_ivf,
+        query_ann_table,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import plan_text
+
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "ann")
+    centroids = build_ann_table(emb, path, n_clusters=8, seed=42)
+
+    df = query_ann_table(spark, path, "vec_id", "embedding", qv, centroids, n_probe=3)
+    txt = plan_text(df)
+    # the cluster filter must be a PARTITION filter (pruned pre-scan),
+    # not a data filter
+    assert "PartitionFilters: [cluster" in txt.replace("PartitionFilters: [ cluster", "PartitionFilters: [cluster")
+
+    # materialized index returns the same ids as the in-memory IVF path
+    live = cosine_topk_ivf(emb, "vec_id", "embedding", qv, centroids, n_probe=3)
+    assert {r.vec_id for r in df.collect()} == {r.vec_id for r in live.collect()}
