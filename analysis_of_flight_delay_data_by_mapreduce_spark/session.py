@@ -47,6 +47,9 @@ def get_spark(
         # sources.readers (exact integer div — no precision loss).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Managed-table warehouse (bucketed tables) outside the repo tree.
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_derby")
     )
     if master is not None:
         builder = builder.master(master)
