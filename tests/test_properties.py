@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): the Spark plans must agree with an
+independent pure-Python model of the reference's semantics (round-then-sum,
+flag != 'A' bucketing, >= threshold, NULL on zero weight) on arbitrary
+small inputs — not just the hand-picked fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans.flight_queries import (
+    q1_delay,
+    q2_late,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.schema import FLIGHT_PUNCTUALITY
+
+from test_flight_queries import _flight_row
+
+# a row: (airport, A/D flag, flights, delay, late31 pct)
+_row = st.tuples(
+    st.sampled_from(["AAA", "BBB"]),
+    st.sampled_from(["A", "D", "X"]),
+    st.integers(min_value=0, max_value=50),
+    st.floats(min_value=0.0, max_value=60.0, allow_nan=False, width=32),
+    st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=32),
+)
+
+
+def _half_up(x: float) -> int:
+    return math.floor(x + 0.5)  # Java Math.round for non-negative inputs
+
+
+def _model_q1(rows):
+    acc: dict[str, list[int]] = {}
+    for airport, ad, flights, delay, _ in rows:
+        if flights == 0:
+            continue
+        a = acc.setdefault(airport, [0, 0, 0, 0])
+        wd = _half_up(flights * delay)
+        if ad == "A":
+            a[0] += wd
+            a[1] += flights
+        else:  # reference else-branch: anything not 'A' is a departure
+            a[2] += wd
+            a[3] += flights
+    return {
+        k: (
+            (a[0] / a[1]) if a[1] else None,
+            (a[2] / a[3]) if a[3] else None,
+        )
+        for k, a in acc.items()
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_row, min_size=1, max_size=12))
+def test_q1_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [
+            _flight_row(airport=r[0], ad=r[1], flights=r[2], delay=float(r[3]))
+            for r in rows
+        ],
+        FLIGHT_PUNCTUALITY,
+    )
+    got = {
+        r.reporting_airport: (r.avg_arrival_delay, r.avg_departure_delay)
+        for r in q1_delay(df).collect()
+    }
+    expected = _model_q1(rows)
+    assert set(got) == set(expected)
+    for k in expected:
+        for g, e in zip(got[k], expected[k]):
+            if e is None:
+                assert g is None
+            else:
+                assert g is not None and math.isclose(g, e, rel_tol=1e-12)
+
+
+def _model_q2(rows, theta=0.5):
+    acc: dict[str, list[int]] = {}
+    for airline, ad, flights, _, late_pct in rows:
+        if flights == 0 or ad != "D":
+            continue
+        a = acc.setdefault(airline, [0, 0])
+        a[0] += _half_up(flights * (late_pct / 100.0))
+        a[1] += flights
+    return {
+        k: a[0] / a[1] for k, a in acc.items() if a[1] > 0 and a[0] / a[1] >= theta
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_row, min_size=1, max_size=12))
+def test_q2_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [
+            _flight_row(
+                airline=r[0], period="201101", ad=r[1], flights=r[2], b31=float(r[4])
+            )
+            for r in rows
+        ],
+        FLIGHT_PUNCTUALITY,
+    )
+    got = {r.airline_name: r.late_ratio for r in q2_late(df).collect()}
+    expected = _model_q2(rows)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert math.isclose(got[k], expected[k], rel_tol=1e-12)
