@@ -202,8 +202,22 @@ def minhash_lsh_dedup(
         .distinct()
     )
     if verify_jaccard is not None:
+        # Verify ONLY the LSH candidates: restrict the inverted-index
+        # Jaccard computation to documents that appear in some candidate
+        # pair (semi-join on ids). Candidates are a vanishing fraction of
+        # the corpus at scale, so the exact pass costs O(candidates), not
+        # O(corpus²-overlaps). The pair set feeds two consumers (the id
+        # semi-join and the final verify join) — persist it so the
+        # signature+band pipeline runs once, not twice.
+        pairs = pairs.persist()
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        cand_docs = df.join(cand_ids, id_col, "left_semi")
         exact = ngram_jaccard_pairs(
-            df, id_col, text_col, shingle_k=shingle_k, mode=mode, threshold=0.0
+            cand_docs, id_col, text_col, shingle_k=shingle_k, mode=mode, threshold=0.0
         ).select("id_a", "id_b", "jaccard")
         pairs = (
             pairs.join(exact, ["id_a", "id_b"], "inner")
