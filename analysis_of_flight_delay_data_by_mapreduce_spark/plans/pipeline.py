@@ -1,0 +1,59 @@
+"""End-to-end training-data preparation pipeline (extension tier).
+
+Composes the extension operators into the canonical pretraining-data flow:
+
+    score → filter → exact-dedup → near-dedup → select survivors
+
+One declarative plan: Catalyst fuses the narrow stages (scoring, filtering,
+fingerprinting run in the scan pass), and the only shuffles are the two
+dedup aggregations/joins. The output is the cleaned corpus plus a lineage
+column recording why rows were dropped — the shape a 100 TB data-curation
+job materializes back to Parquet, partitioned by shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_lsh_dedup
+from ..operators.text import fingerprint, quality_score
+
+__all__ = ["prepare_corpus"]
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_jaccard: float = 0.5,
+) -> DataFrame:
+    """Clean + dedup a document corpus.
+
+    Returns the surviving documents with ``quality`` attached. Drops, in
+    order: low-quality rows (score < ``min_quality``), exact duplicates
+    (same normalized-text fingerprint — smallest id survives), near
+    duplicates (MinHash-LSH candidates verified at ``near_dup_jaccard`` —
+    the smaller id of each verified pair survives).
+    """
+    scored = quality_score(docs, text_col).filter(F.col("quality") >= min_quality)
+    scored = fingerprint(scored, text_col)
+
+    exact_survivors = exact_dedup(scored, ["fp"], id_col)
+    kept = scored.join(exact_survivors, [id_col, "fp"], "left_semi")
+
+    near_pairs = minhash_lsh_dedup(
+        kept,
+        id_col,
+        text_col,
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        mode="word",
+        verify_jaccard=near_dup_jaccard,
+    )
+    # drop the larger id of each verified near-dup pair
+    losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    cleaned = kept.join(losers, id_col, "left_anti")
+    return cleaned.select(id_col, text_col, "quality")

@@ -863,3 +863,16 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data prep pipeline: quality gate → exact dedup →
+# MinHash near-dedup. Rows-only (the LSH stage is approximate by
+# construction); stage-by-stage behavior pinned in tests/test_pipeline.py.
+# ---------------------------------------------------------------------------
+@register("corpus_prepare")
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_corpus(docs, min_quality=0.4, near_dup_jaccard=0.5)
