@@ -876,3 +876,71 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return prepare_corpus(docs, min_quality=0.4, near_dup_jaccard=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: CUBE (all grouping-set combinations).
+# ---------------------------------------------------------------------------
+@register(
+    "sales_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: INTERSECT set semantics — users who both purchased
+# and hit an error.
+# ---------------------------------------------------------------------------
+@register(
+    "users_purchase_and_error",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: calendar-part grouping (date functions breadth).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            cents.alias("__cents"),
+        )
+        .groupBy("y", "m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__cents").alias("total_cents"))
+    )
