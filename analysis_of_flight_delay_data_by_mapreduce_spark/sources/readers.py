@@ -33,7 +33,15 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     Nano-precision timestamp columns arrive as int64; converted with exact
     integer division (``div`` keeps all bits — a double ``/`` would round
     above 2^53) then ``timestamp_micros``. Pure column ops, pushdown-safe.
+
+    Defensive session conf: the engine's own sessions (session.get_spark)
+    already set these, but the driver harness may hand us a bare session —
+    ``nanosAsLong`` is required to read TIMESTAMP(NANOS) parquet at all,
+    and UTC makes timestamp↔string behavior match the UTC-naive oracle.
+    Both are runtime-settable SQL confs; setting them is idempotent.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
