@@ -33,15 +33,16 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
 
+    warmups = int(os.environ.get("BENCH_WARMUPS", "2"))
     timings: dict[str, float] = {}
     for name, fn in synthetic.QUERIES.items():
         samples = []
-        for i in range(runs + 1):
+        for i in range(runs + warmups):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
-            if i > 0:  # drop warm-up
+            if i >= warmups:  # drop warm-ups (codegen JIT needs 2 passes)
                 samples.append(dt)
         timings[name] = round(statistics.median(samples), 4)
         print(f"# {name}: {timings[name]:.3f}s (n={n})", file=sys.stderr)
