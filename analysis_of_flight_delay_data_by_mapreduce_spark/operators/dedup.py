@@ -342,6 +342,7 @@ def ngram_jaccard_pairs(
     mode: str = "char",
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every document pair sharing at
     least one shingle, keeping pairs with ``jaccard >= threshold``.
@@ -355,6 +356,16 @@ def ngram_jaccard_pairs(
     excluded from BOTH the join and the set sizes (a well-defined filtered
     Jaccard) — a shingle shared by half the corpus contributes ~n²/4 join
     rows and no discriminative signal. None = exact unfiltered Jaccard.
+
+    ``prefix_filter`` enables PPJoin-style prefix filtering (exact, no
+    false negatives): order shingles by ascending document frequency, join
+    only each document's first ``|A| − ceil(t·|A|) + 1`` shingles — any
+    pair with ``J ≥ t`` must share its globally-smallest common shingle
+    inside BOTH prefixes (the suffix holds < ceil(t·|A|) ≤ |A∩B| elements,
+    so the intersection cannot hide there). Candidate pairs are then
+    verified with full intersection counts restricted to candidate
+    documents. Same result as the naive join at a fraction of the pair
+    volume — the scale path when no stop-shingle cutoff applies.
 
     Returns ``id_a, id_b, jaccard``.
     """
@@ -372,18 +383,48 @@ def ngram_jaccard_pairs(
             .drop("__df")
         )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
-    left, right = sh.alias("l"), sh.alias("r")
-    inter = (
-        left.join(
-            right,
-            (F.col("l.__shingle") == F.col("r.__shingle"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+
+    def _pair_counts(entries: DataFrame) -> DataFrame:
+        left, right = entries.alias("l"), entries.alias("r")
+        return (
+            left.join(
+                right,
+                (F.col("l.__shingle") == F.col("r.__shingle"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("__inter"))
         )
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+
+    if prefix_filter:
+        from pyspark.sql import Window as W
+
+        df_counts = sh.groupBy("__shingle").agg(F.count(F.lit(1)).alias("__df"))
+        ranked = sh.join(df_counts, "__shingle").withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__shingle"))
+            ),
         )
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+        with_size = ranked.join(sizes, id_col)
+        prefix_len = F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
+        prefix = with_size.filter(F.col("__rk") <= prefix_len).select(
+            id_col, "__shingle"
+        )
+        cand = (
+            _pair_counts(prefix).select("id_a", "id_b").distinct().persist()
+        )
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh_cand = sh.join(cand_ids, id_col, "left_semi")
+        inter = _pair_counts(sh_cand).join(cand, ["id_a", "id_b"], "inner")
+    else:
+        inter = _pair_counts(sh)
     ja = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").alias("sa"), "id_a")
         .withColumnRenamed("__size", "__size_a")

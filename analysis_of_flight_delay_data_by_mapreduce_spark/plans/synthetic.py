@@ -291,6 +291,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Naive inverted-index join: optimal here because word trigrams are
+    # discriminative (max df 25 at sf0.1 → light postings). The exact
+    # PPJoin prefix_filter option exists for heavy-postings corpora
+    # (equality to naive proven in tests/test_dedup.py) but measures 5-8×
+    # slower on this data — pruning can't beat an already-cheap join.
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_k=3, mode="word", threshold=0.3

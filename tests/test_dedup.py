@@ -93,3 +93,29 @@ def test_embedding_near_dup_planted(spark):
     assert (1, 2) in pairs and math.isclose(pairs[(1, 2)], 1.0)
     assert (1, 3) in pairs  # cos ~0.9988
     assert all(4 not in p for p in pairs)
+
+
+def test_prefix_filter_equals_naive(spark):
+    # PPJoin prefix filtering must be exact: identical pair sets and
+    # jaccard values vs the naive inverted-index join, across thresholds.
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+    from conftest import SF_DIR
+
+    docs = read_parquet_table(spark, SF_DIR, "documents")
+    for t in (0.2, 0.5, 0.8):
+        naive = {
+            (r.id_a, r.id_b): round(r.jaccard, 12)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_k=3, mode="word", threshold=t
+            ).collect()
+        }
+        ppj = {
+            (r.id_a, r.id_b): round(r.jaccard, 12)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_k=3, mode="word", threshold=t,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert ppj == naive, f"threshold {t}: prefix={len(ppj)} naive={len(naive)}"
