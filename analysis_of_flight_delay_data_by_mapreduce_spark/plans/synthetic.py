@@ -1071,3 +1071,29 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     return flt.agg(F.sum(cents).alias("revenue_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window counts (1h window, 15m slide): the oracle expands each
+# event into its 4 overlapping windows via an offset unnest — alignment
+# (epoch-based 15-minute buckets) is identical on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding",
+    oracle="""
+    SELECT ws AS window_start, event_type, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (CAST(k AS INTEGER) * INTERVAL '15 minutes') AS ws,
+             ts, event_type
+      FROM events, unnest(range(0, 4)) AS t(k)
+    )
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sliding_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_event_counts(ev, window="1 hour", slide="15 minutes")

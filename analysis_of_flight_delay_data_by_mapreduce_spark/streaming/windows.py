@@ -47,6 +47,28 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in ``window/slide`` windows.
+    Same batch/stream duality as ``windowed_event_counts``.
+    Output: ``window_start, event_type, n``."""
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n")
+    )
+
+
 def sessionized_counts(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -42,3 +42,77 @@ def test_sessionized_counts_batch(spark):
     assert len(rows) > 0
     assert sum(r.n for r in rows) == ev.count()  # every event in exactly one session
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows older than the watermark at batch boundaries are dropped: two
+    files processed as separate micro-batches; the second contains a row
+    far older than the first batch's max ts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]).value for r in rows],  # int64 nanos
+                "user_id": [1] * len(rows),
+                "event_type": ["x"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pdf.to_parquet(land / name)
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.schema import EVENTS
+    from pyspark.sql import types as T
+
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.LongType()) if f.name == "ts" else f for f in EVENTS.fields]
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .load(str(land))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+        updates: list = []
+
+        def sink(batch_df, _epoch):
+            updates.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        out: dict[str, int] = {}
+        for r in updates:
+            k = str(r.window_start)
+            out[k] = max(out.get(k, 0), r.n)
+        return out
+
+    # run 1: only fresh rows; advances the persisted watermark to 10:20
+    write_batch("b1.parquet", [(1, "2024-01-01 10:05"), (2, "2024-01-01 10:50")])
+    got1 = run_once("late_run1")
+    assert got1.get("2024-01-01 10:00:00") == 2
+
+    # run 2 (same checkpoint): one row far below the watermark, one fresh
+    write_batch("b2.parquet", [(3, "2024-01-01 08:00"), (4, "2024-01-01 10:55")])
+    got2 = run_once("late_run2")
+    # the 08:00 row is dropped (window end 09:00 < watermark 10:20);
+    # the 10:55 row updates the 10:00 window
+    assert got2.get("2024-01-01 10:00:00") == 3
+    assert "2024-01-01 08:00:00" not in got2
