@@ -1097,3 +1097,47 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return sliding_event_counts(ev, window="1 hour", slide="15 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: EXCEPT set semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "users_purchase_no_refund_day",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_no_refund_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (user, day) granularity keeps EXCEPT discriminating (~50% survive)
+    ev = _t(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: regex extraction — parse the numeric id out of
+# p_name-like strings (regexp_extract parity across engines).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_name_ids",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS name_id
+    FROM customer
+    WHERE regexp_matches(c_name, 'Customer#[0-9]+')
+    """,
+)
+def part_name_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ext = F.regexp_extract(F.col("c_name"), r"Customer#([0-9]+)", 1)
+    return c.filter(ext != "").select("c_custkey", ext.cast("long").alias("name_id"))
