@@ -149,3 +149,16 @@ def test_q5_weblog2(spark):
     df = spark.createDataFrame(_WEBLOG_ROWS, WEBLOG)
     got = {(r.username, r.url) for r in q5_weblog2(df).collect()}
     assert got == {("bob", "/b")}
+
+
+def test_all_queries_tolerate_empty_input(spark):
+    """Every native plan must return an empty (not failing) result when the
+    filters eliminate all rows — the reference's header-only-input case."""
+    flights = spark.createDataFrame([], FLIGHT_PUNCTUALITY)
+    weblog = spark.createDataFrame([], WEBLOG)
+    corpus = spark.createDataFrame([], TEXT_CORPUS)
+    assert q1_delay(flights).count() == 0
+    assert q2_late(flights).count() == 0
+    assert q3_wordcount(corpus).count() == 0
+    assert q4_weblog1(weblog).count() == 0
+    assert q5_weblog2(weblog).count() == 0

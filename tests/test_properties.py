@@ -107,3 +107,44 @@ def test_q2_matches_model(spark, rows):
     assert set(got) == set(expected)
     for k in expected:
         assert math.isclose(got[k], expected[k], rel_tol=1e-12)
+
+
+def _py_word_trigrams(text: str) -> set[str]:
+    toks = text.split()
+    if len(toks) >= 3:
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    return {" ".join(toks)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_ngram_jaccard_matches_model(spark, texts):
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=3, mode="word", threshold=0.0
+        ).collect()
+    }
+    expected = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                sa, sb = _py_word_trigrams(a), _py_word_trigrams(b)
+                inter = len(sa & sb)
+                if inter:
+                    expected[(i, j)] = inter / len(sa | sb)
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12)
