@@ -41,7 +41,10 @@ def prepare_corpus(
     scored = fingerprint(scored, text_col)
 
     exact_survivors = exact_dedup(scored, ["fp"], id_col)
-    kept = scored.join(exact_survivors, [id_col, "fp"], "left_semi")
+    # `kept` feeds three consumers (minhash signatures, the verify pass,
+    # the final anti join) — persist so the scoring+fingerprint scan runs
+    # once. Narrow columns only; at scale this is a checkpointed shard.
+    kept = scored.join(exact_survivors, [id_col, "fp"], "left_semi").persist()
 
     near_pairs = minhash_lsh_dedup(
         kept,
