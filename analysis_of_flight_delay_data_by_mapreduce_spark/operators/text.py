@@ -132,3 +132,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     c = F.col(text_col)
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split by content-independent id hash.
+
+    ``splits`` maps name → percent (must sum to 100). The bucket is
+    ``int(md5(id)[:8], 16) % 100`` — stable across runs, engines, partition
+    layouts, and insertion order, which is what makes train/val/test splits
+    reproducible in a 100 TB pipeline (never ``rand()``: re-runs reshuffle
+    rows between splits). Cheap narrow op, no shuffle.
+    """
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    assert sum(splits.values()) == 100
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(out, expr)

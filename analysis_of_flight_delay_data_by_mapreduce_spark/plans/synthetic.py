@@ -1141,3 +1141,54 @@ def part_name_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     ext = F.regexp_extract(F.col("c_name"), r"Customer#([0-9]+)", 1)
     return c.filter(ext != "").select("c_custkey", ext.cast("long").alias("name_id"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: md5-hash bucket of the id — stable
+# across engines and partitionings (never rand()). Oracle replicates the
+# same md5 arithmetic in DuckDB.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM b GROUP BY 1
+    """,
+)
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        text_ops.hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (numeric bucketing breadth): docs per 10-token bin.
+# ---------------------------------------------------------------------------
+@register(
+    "token_histogram",
+    oracle=r"""
+    SELECT (CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+            AS BIGINT) // 10) * 10 AS bin,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bin_ = (text_ops.token_count_ws("text") / 10).cast("long") * 10
+    return docs.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )

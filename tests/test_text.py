@@ -56,3 +56,18 @@ def test_fingerprint_normalization(spark):
     fps = [r.fp for r in fingerprint(df).orderBy("doc_id").collect()]
     assert fps[0] == fps[1] == fps[2]
     assert len(fps[0]) == 32  # md5 hex
+
+
+def test_hash_split_deterministic_and_partition_stable(spark):
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    # different partitioning must not change assignments (the rand() trap)
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(7), "doc_id").collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.85 < c["train"] / 2000 < 0.95  # ~90%
