@@ -46,3 +46,23 @@ def test_oracle_match(spark, duck, name):
 def test_query_runs(spark, name):
     df = synthetic.QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """HLL distinct and approximate percentile stay within documented error
+    of the exact answers (the scale path for distinct/quantile at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("approx_p50"),
+    ).first()
+    assert abs(row.approx_users - row.exact_users) <= 0.1 * row.exact_users
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.05 * max(row.exact_p50, 1.0)
