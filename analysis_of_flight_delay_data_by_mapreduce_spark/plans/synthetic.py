@@ -1192,3 +1192,130 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(bin_.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling: per-source keep-rates via the same md5
+# bucket as hash_split — the reproducible "dataset mixing" op (e.g. keep
+# 100% of en, 50% of de, 25% of the rest). Never rand().
+# ---------------------------------------------------------------------------
+@register(
+    "docs_mixture_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n
+    FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 ELSE 25 END)
+    GROUP BY lang
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(25)
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window breadth: NTILE quartiles of per-user spend (cent-exact totals →
+# deterministic ordering with id tie-break).
+# ---------------------------------------------------------------------------
+@register(
+    "user_spend_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, cents,
+           CAST(NTILE(4) OVER (ORDER BY cents DESC, user_id ASC) AS INTEGER)
+             AS quartile
+    FROM t
+    """,
+)
+def user_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = W.orderBy(F.col("cents").desc(), F.col("user_id").asc())
+    return totals.withColumn("quartile", F.ntile(4).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape: orders above their customer's own average
+# order value (exact int arithmetic: compare cents*n > sum_cents).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ), ca AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             COUNT(*) AS n
+      FROM t GROUP BY o_custkey
+    )
+    SELECT o_orderkey
+    FROM t JOIN ca ON o_custkey = ck
+    WHERE cents * n > sum_cents
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    t = o.select("o_orderkey", "o_custkey", cents.alias("cents"))
+    ca = t.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
+    # cents*n > sum_cents avoids any float division — exact comparison
+    return (
+        t.join(ca, t.o_custkey == ca.ck)
+        .filter(F.col("cents") * F.col("n") > F.col("sum_cents"))
+        .select("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join breadth: every nation with its customer count, including
+# nations with none (NULL-extension semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "nation_customer_counts",
+    oracle="""
+    SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
