@@ -1319,3 +1319,33 @@ def nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("c_custkey").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing: global prefix sum of token counts (two-pass
+# distributed — NO single-partition window over the data) → fixed-budget
+# chunk ids. Oracle uses the plain global window (DuckDB's single node
+# doesn't care); results must match exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_pack_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ((SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 - n_tokens) // 512 AS chunk_id
+    FROM t
+    """,
+)
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", text_ops.token_count_ws("text").alias("n_tokens"))
+    return pack_chunks(t, "doc_id", "n_tokens", max_tokens=512)

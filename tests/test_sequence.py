@@ -1,0 +1,67 @@
+"""Distributed prefix sum: equality with the naive global window, stability
+across partition counts, and the range-partitioned plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sequence import (
+    global_running_sum,
+    pack_chunks,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import plan_text
+
+
+def _data(spark):
+    return spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+
+
+def test_running_sum_equals_naive_window(spark):
+    df = _data(spark)
+    naive = {
+        r.doc_id: r.run
+        for r in df.withColumn(
+            "run",
+            F.sum("n_tokens").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        ).collect()
+    }
+    dist = {
+        r.doc_id: r.running
+        for r in global_running_sum(df, "doc_id", "n_tokens").collect()
+    }
+    assert dist == naive
+
+
+def test_running_sum_partition_count_stable(spark):
+    df = _data(spark)
+    a = {r.doc_id: r.running for r in global_running_sum(df, "doc_id", "n_tokens", num_partitions=3).collect()}
+    b = {r.doc_id: r.running for r in global_running_sum(df, "doc_id", "n_tokens", num_partitions=17).collect()}
+    assert a == b
+
+
+def test_plan_range_partitions_the_data(spark):
+    df = global_running_sum(_data(spark), "doc_id", "n_tokens")
+    txt = plan_text(df, "simple")
+    assert "rangepartitioning" in txt  # the data path is parallel
+    # the only SinglePartition exchange is over per-partition totals
+    # (#partitions rows), never the data itself — the data-side input to it
+    # is an aggregate of __pid
+    assert txt.count("Exchange SinglePartition") <= 1
+
+
+def test_pack_chunks_budget_respected(spark):
+    df = _data(spark).limit(200)
+    packed = pack_chunks(df, "doc_id", "n_tokens", max_tokens=100).collect()
+    by_chunk: dict[int, int] = {}
+    for r in packed:
+        by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.n_tokens
+    # every chunk except possibly where a doc straddles stays <= budget +
+    # the straddling doc's excess; with tokens <= 37 << 100 no chunk
+    # exceeds budget + 37
+    assert all(v <= 100 + 37 for v in by_chunk.values())
+    assert len(by_chunk) > 1
