@@ -7,4 +7,6 @@
 - ``text``        : language-ID, quality scoring, token counting,
                     fingerprinting (extension tier)
 - ``multimodal``  : binary-column plumbing with pandas-UDF decode slots
+- ``sessions``    : gap sessionization, gaps-and-islands SCD2 intervals,
+                    changelog compaction (latest state per key)
 """

@@ -1349,3 +1349,216 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = docs.select("doc_id", text_ops.token_count_ws("text").alias("n_tokens"))
     return pack_chunks(t, "doc_id", "n_tokens", max_tokens=512)
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (operators.sessions.session_summary): split each
+# user's event timeline into sessions separated by >30 min of silence.
+# Boundaries compared on exact int64 microseconds on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, us,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM m
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS VARCHAR) AS start_s,
+           CAST(MAX(ts) AS VARCHAR) AS end_s,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import session_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return session_summary(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands / SCD2 reconstruction (operators.sessions.collapse_runs):
+# collapse each user's consecutive same-type events into half-open
+# [valid_from, valid_to) state intervals — the standard rebuild of a
+# slowly-changing dimension from a changelog.
+# ---------------------------------------------------------------------------
+@register(
+    "user_state_intervals",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER win IS NULL
+                       OR LAG(event_type) OVER win <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM w
+    ), g AS (
+      SELECT user_id, run, event_type,
+             MIN(ts) AS vfrom, COUNT(*) AS n_rows
+      FROM r GROUP BY user_id, run, event_type
+    )
+    SELECT user_id, event_type AS state,
+           CAST(vfrom AS VARCHAR) AS valid_from,
+           CAST(LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY run)
+                AS VARCHAR) AS valid_to,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM g
+    """,
+)
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import collapse_runs
+
+    ev = _t(spark, sf_dir, "events")
+    return collapse_runs(
+        ev, "user_id", "ts", "event_type", tiebreak=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction (operators.sessions.latest_state): most recent row
+# per user — the CDC current-snapshot materialization (ROW_NUMBER()==1).
+# ---------------------------------------------------------------------------
+@register(
+    "events_latest_state",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, cents, CAST(ts AS VARCHAR) AS ts_s
+    FROM r WHERE rn = 1
+    """,
+)
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import latest_state
+
+    ev = _t(spark, sf_dir, "events")
+    compacted = latest_state(ev, "user_id", "ts", tiebreak=["event_id"])
+    return compacted.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("cents"),
+        F.col("ts").cast("string").alias("ts_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC-style snapshot diff: per-customer 1995-vs-1996 spend, full-outer
+# joined and classified added/removed/changed/same — the row-level diff a
+# change-data pipeline computes between two snapshot epochs. Exact int64
+# cents; no float totals cross the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_snapshot_diff",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ), a AS (
+      SELECT o_custkey AS k, CAST(SUM(cents) AS BIGINT) AS cents_old
+      FROM t WHERE yr = 1995 GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey AS k, CAST(SUM(cents) AS BIGINT) AS cents_new
+      FROM t WHERE yr = 1996 GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.k, b.k) AS custkey, cents_old, cents_new,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN cents_old = cents_new THEN 'same'
+                ELSE 'changed' END AS change
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    t = o.select(
+        "o_custkey", F.year("o_orderdate").alias("yr"), cents.alias("cents")
+    )
+    a = (
+        t.filter(F.col("yr") == 1995)
+        .groupBy(F.col("o_custkey").alias("k_old"))
+        .agg(F.sum("cents").alias("cents_old"))
+    )
+    b = (
+        t.filter(F.col("yr") == 1996)
+        .groupBy(F.col("o_custkey").alias("k_new"))
+        .agg(F.sum("cents").alias("cents_new"))
+    )
+    j = a.join(b, a.k_old == b.k_new, "full")
+    return j.select(
+        F.coalesce("k_old", "k_new").alias("custkey"),
+        "cents_old",
+        "cents_new",
+        F.when(F.col("k_old").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("cents_old") == F.col("cents_new"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running + moving frame aggregates: per-customer cumulative spend and a
+# 3-order trailing sum over the order timeline (ROWS frames; exact cents).
+# Per-key windows — hashpartitioning(o_custkey), never SinglePartition.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_running_spend",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_cents,
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS mov3_cents
+    FROM t
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    t = o.select("o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("cents")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_cents"),
+        F.sum("cents").over(w.rowsBetween(-2, W.currentRow)).alias("mov3_cents"),
+    )
