@@ -1,0 +1,104 @@
+"""Temporal join operators Spark lacks as primitives: as-of join and
+interval (range) join (extension tier).
+
+The reference repo has zero joins of any kind (SURVEY §2.4 — no
+join-shaped code in any of its five programs), so this whole module is
+additive capability, built the Spark-first way:
+
+- ``asof_join``     : for each left row, the most recent right row with
+                      ``right.ts <= left.ts`` per key. Implemented as
+                      union + per-key ordered window (``last`` with
+                      ignorenulls) — ONE hash shuffle on the key, no
+                      range-condition join (which Spark would plan as a
+                      broadcast nested loop or a full sort-merge with
+                      inequality post-filter). This is the classic
+                      changelog-enrichment join (trades joined against
+                      latest quote, event against latest profile).
+- ``interval_join`` : facts joined to a SMALL set of [start, end)
+                      intervals via an explicit ``broadcast()`` hint +
+                      range predicate — a broadcast nested-loop whose
+                      inner side is tiny, so cost is |facts| × |intervals|
+                      comparisons streamed through codegen with zero
+                      shuffle of the fact table. At 100 TB this is the
+                      only sane plan when intervals fit in memory; for
+                      large interval sets, bucket both sides by coarse
+                      time grain first and equi-join on the bucket.
+
+Determinism: as-of tie-breaking is explicit (right rows sort before left
+rows at equal timestamps, so a simultaneous right row IS visible to the
+left row), matching the SQL-window oracle formulation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Enrich each ``left`` row with the latest ``right`` row at-or-before
+    its timestamp (per ``key_col``). ``payload_cols`` are the right-side
+    columns to carry over; they appear on the output as
+    ``<name><suffix>`` (NULL when no prior right row exists).
+
+    Single shuffle: both sides are unioned then window-scanned within
+    each key partition. Right rows at the exact same timestamp as a left
+    row ARE visible to it (at-or-before semantics).
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
+    r = right.select(
+        F.col(key_col), F.col(ts_col), payload, F.lit(1).alias("__is_r")
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.lit(0).alias("__is_r"),
+    )
+    # align: right side needs the left-only columns as NULLs
+    for c in left_cols:
+        if c not in (key_col, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    both = l.unionByName(r.select(*l.columns))
+
+    order = [F.col(ts_col).asc(), F.col("__is_r").desc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = both.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
+    out = enriched.filter(F.col("__is_r") == 0).select(
+        *left_cols,
+        *[F.col(f"__last.{c}").alias(f"{c}{suffix}") for c in payload_cols],
+    )
+    return out
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows to every interval containing their timestamp
+    (half-open ``[start, end)``). The interval side is broadcast — the
+    fact table is never shuffled. Overlapping intervals multiply rows
+    (each match emits one row), same as the SQL range-predicate join.
+    """
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    return facts.join(F.broadcast(intervals), cond, how)

@@ -1562,3 +1562,144 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("run_cents"),
         F.sum("cents").over(w.rowsBetween(-2, W.currentRow)).alias("mov3_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: events joined to a broadcast set of [start, end)
+# promo windows — broadcast nested loop with a tiny inner side; the fact
+# table is never shuffled (operators.joins.interval_join). Overlapping
+# windows intentionally multiply matches.
+# ---------------------------------------------------------------------------
+_PROMOS = [
+    ("p1", "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+    ("p2", "2024-01-04 00:00:00", "2024-01-06 12:00:00"),
+    ("p3", "2024-01-10 12:00:00", "2024-01-11 00:00:00"),
+    ("p4", "2024-01-20 00:00:00", "2024-01-27 00:00:00"),
+]
+
+
+@register(
+    "events_interval_join",
+    oracle="""
+    WITH iv(promo_id, start_ts, end_ts) AS (
+      VALUES ('p1', TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+             ('p2', TIMESTAMP '2024-01-04 00:00:00', TIMESTAMP '2024-01-06 12:00:00'),
+             ('p3', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+             ('p4', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-27 00:00:00')
+    )
+    SELECT promo_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events JOIN iv ON ts >= start_ts AND ts < end_ts
+    GROUP BY promo_id
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = spark.createDataFrame(
+        _PROMOS, "promo_id string, start_s string, end_s string"
+    ).select(
+        "promo_id",
+        F.col("start_s").cast("timestamp").alias("start"),
+        F.col("end_s").cast("timestamp").alias("end"),
+    )
+    j = interval_join(ev, iv, "ts")
+    return j.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * F.lit(100.0), 0).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic two-table as-of join (operators.joins.asof_join): each purchase
+# enriched with the user's most recent at-or-before error amount. Union +
+# per-key window — one shuffle, no range join. (user_id, ts) is unique in
+# the synthetic events table, so the at-or-before winner is unambiguous.
+# ---------------------------------------------------------------------------
+@register(
+    "purchases_asof_error",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'error'
+                             THEN CAST(ROUND(value * 100.0) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, CASE WHEN event_type = 'error' THEN 0 ELSE 1 END
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS err_cents_asof
+      FROM events WHERE event_type IN ('purchase', 'error')
+    )
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_s, err_cents_asof
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def purchases_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * F.lit(100.0), 0).cast("long").alias("err_cents"),
+    )
+    out = asof_join(purchases, errors, "user_id", "ts", ["err_cents"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.col("err_cents_asof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native streaming operator exercised in batch: session_window (gap 30 min)
+# — the same operator the streaming path uses (streaming.windows.
+# sessionized_counts), oracle-checked against the window-function
+# formulation. session_window merges when the silence is <= gap (probed
+# empirically: an event at exactly prev+gap MERGES), identical to
+# operators.sessions.sessionize's strict-> new-session rule.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, us,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start_s,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end_s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sessionized_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionized_counts(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start_s"),
+        F.col("session_end").cast("string").alias("session_end_s"),
+        "n",
+    )
