@@ -1703,3 +1703,172 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("string").alias("session_end_s"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated aggregation (operators.skew.salted_sum_count): event_type
+# has only 5 distinct values over the whole table — the textbook hot-key
+# shape. Two-stage salted agg splits each hot key across 16 reducers, then
+# re-sums; algebraic aggregates make the result bit-identical to the plain
+# GROUP BY the oracle runs.
+# ---------------------------------------------------------------------------
+@register(
+    "events_salted_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev,
+        ["event_type"],
+        {"cents": F.round(F.col("value") * F.lit(100.0), 0).cast("long")},
+        n_salts=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS via the SQL surface: one pass emitting two independent
+# group-bys (status-level and priority-level totals) with GROUPING()
+# markers — the general form behind ROLLUP/CUBE (both also registered).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS cents,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-style left-semi join (orders that have at least one
+# returned lineitem), counted by priority. The semi join never widens the
+# probe side and needs no distinct on the build side — at 100 TB the
+# lineitem side is reduced to keys before the shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q4_priority_semijoin",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: six-way join (customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝
+# nation ⨝ region) with the local-supplier constraint c_nationkey =
+# s_nationkey. Scale posture: region/nation/supplier are broadcast (dims),
+# so the only shuffles are the two big-side equijoins (orderkey, custkey)
+# plus the final small groupBy — lineitem is never repartitioned twice.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    euro_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(euro_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0),
+        0,
+    ).cast("long")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", cents.alias("__cents")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("__cents").alias("revenue_cents"))
+    )

@@ -116,3 +116,28 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:55 row updates the 10:00 window
     assert got2.get("2024-01-01 10:00:00") == 3
     assert "2024-01-01 08:00:00" not in got2
+
+
+def test_sessionized_counts_stream_equals_batch(spark):
+    """Native session_window through readStream (availableNow) must equal
+    the same transform over a batch read — gap-merge semantics and counts
+    identical; the batch face is also oracle-checked (events_session_window)."""
+    batch = sessionized_counts(
+        read_parquet_table(spark, SF_DIR, "events"), gap="30 minutes"
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end): r.n for r in batch.collect()
+    }
+
+    stream = read_events_stream(spark, SF_DIR)
+    agg = sessionized_counts(stream, gap="30 minutes")
+    q = run_stream_to_memory(agg, "sess_counts", mode="complete")
+    try:
+        got = {
+            (r.user_id, r.session_start, r.session_end): r.n
+            for r in spark.sql("SELECT * FROM sess_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
