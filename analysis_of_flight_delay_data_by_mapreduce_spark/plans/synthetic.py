@@ -1872,3 +1872,177 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(F.sum("__cents").alias("revenue_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UNION (distinct) set operation — completes the set-op family alongside
+# INTERSECT (users_purchase_and_error) and EXCEPT
+# (users_purchase_no_refund_day). Spark plans union+distinct as one
+# hash-aggregate over the concatenated scans: a single shuffle on the key.
+# ---------------------------------------------------------------------------
+@register(
+    "parties_union",
+    oracle="""
+    SELECT c_custkey AS party FROM customer WHERE c_acctbal > 9000.0
+    UNION
+    SELECT o_custkey AS party FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def parties_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_custkey").alias("party"))
+    )
+    open_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("party"))
+    )
+    return rich.union(open_orders).distinct()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated MIN subquery — for each small part, the
+# supplier(s) in one region offering it at the region-minimum price.
+# (Adapted: no partsupp table in TESTDATA, so lineitem plays the
+# part-supplier offer list; reference scope boundary SURVEY §2.4 — joins and
+# correlated subqueries are extension-tier.)
+#
+# Scale plan: supplier⋈nation⋈region is a broadcast (dims are tiny even at
+# 100 TB: 10M suppliers ≪ lineitem), so the only wide shuffle is the window
+# partitionBy(l_partkey); the subsequent part join re-uses the same key. The
+# correlated scalar subquery is decorrelated by hand into a partition-window
+# MIN — exactly what Catalyst's RewriteCorrelatedScalarSubquery would emit,
+# but with one fewer self-join: window-min + filter instead of
+# aggregate + rejoin.
+#
+# Determinism: the min is an actual stored double (no arithmetic), equality
+# against it is exact; the output price is one IEEE multiply then round to
+# cents — identical on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM part p, lineitem l, supplier s, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE' AND p.p_size <= 10
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    euro_suppliers = (
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(euro_suppliers), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    # Window MIN over all offers of a part in the region == the correlated
+    # subquery's scope (the p_size predicate only drops whole part groups,
+    # so applying it after the window is equivalent and cheaper than a
+    # min-aggregate + self-join decorrelation).
+    w = W.partitionBy("l_partkey")
+    cheapest = offers.withColumn(
+        "__min_price", F.min("l_extendedprice").over(w)
+    ).filter(F.col("l_extendedprice") == F.col("__min_price"))
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+    )
+    return cheapest.join(
+        small_parts, F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "s_name",
+        "n_name",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between two nations by ship-year —
+# supplier nation on one side, customer nation (via orders) on the other,
+# both directions kept, cent-exact round-then-sum revenue.
+#
+# Scale plan: nation is broadcast twice under distinct aliases; the
+# orders⋈customer side shuffles on o_custkey then the result joins lineitem
+# on l_orderkey (the one unavoidable fact-fact shuffle); the final groupBy
+# is low-cardinality (2 nations × 2 × years) so partial aggregation
+# collapses it map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+               AS revenue_cents
+    FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
+    WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n1.n_nationkey
+      AND c.c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    pair = nation.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("s_nk"),
+                                    F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("c_nk"),
+                                    F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust_orders = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        li.withColumn(
+            "__cents",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long"),
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum("__cents").alias("revenue_cents"))
+    )

@@ -141,3 +141,26 @@ def test_sessionized_counts_stream_equals_batch(spark):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_sliding_counts_stream_equals_batch(spark):
+    """Sliding (1h/15m) windowed counts through readStream (availableNow)
+    must equal the same transform over a batch read; the batch face is
+    also oracle-checked (events_sliding)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.windows import sliding_event_counts
+
+    batch = sliding_event_counts(read_parquet_table(spark, SF_DIR, "events"))
+    expected = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+
+    stream = read_events_stream(spark, SF_DIR)
+    agg = sliding_event_counts(stream)
+    q = run_stream_to_memory(agg, "slide_counts", mode="complete")
+    try:
+        got = {
+            (r.window_start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM slide_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
