@@ -19,6 +19,7 @@ __all__ = [
     "quality_features",
     "quality_score",
     "language_id",
+    "language_id_trigram",
     "fingerprint",
 ]
 
@@ -115,6 +116,66 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     for lang in sorted(LANG_STOPWORDS):
         lit = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
         score = F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), score
+        else:
+            better = score > best_score
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+    pred = F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+#: Char-trigram profiles for the NB-style language scorer. Weights are
+#: small positive ints (3 = near-unique to the language, 1 = common but
+#: indicative): integer likelihood-ratio scores keep the argmax exactly
+#: reproducible in plain SQL (no float log-probs to drift). For zh the
+#: "trigrams" are single characters (char n-grams degenerate usefully for
+#: unsegmented scripts). Curated from public function-word frequency lists.
+LANG_TRIGRAMS: dict[str, dict[str, int]] = {
+    "en": {"the": 3, " th": 2, "ing": 3, " of": 3, "nd ": 2, "ion": 2,
+           "he ": 1, " an": 1, "to ": 1, " in": 1},
+    "de": {"sch": 3, "ich": 3, "und": 3, "der": 3, "ung": 3, "ein": 2,
+           "cht": 2, " ge": 2, "die": 2, "en ": 1},
+    "es": {"ión": 3, "cio": 2, "que": 2, " qu": 2, "ado": 2, "los": 2,
+           " la": 2, " de": 1, "ent": 1, "ar ": 1},
+    "fr": {"une": 3, "eur": 2, "ait": 2, "ant": 2, " le": 2, "les": 2,
+           " pa": 1, "ou ": 1, "es ": 1, "aux": 2},
+    "zh": {"的": 3, "是": 3, "了": 3, "这": 3, "在": 2, "我": 2,
+           "不": 2, "人": 2, "有": 2, "中": 2},
+}
+
+
+def _norm_for_trigrams(c: Column) -> Column:
+    # lowercase, collapse whitespace, pad so boundary trigrams (" th")
+    # match at the ends too
+    return F.concat(F.lit(" "), F.regexp_replace(F.lower(c), r"\s+", " "), F.lit(" "))
+
+
+def language_id_trigram(
+    df: DataFrame, text_col: str = "text", out: str = "lang_pred"
+) -> DataFrame:
+    """Char-trigram profile language ID (NB-style likelihood-ratio scoring).
+
+    score(lang) = Σ_t weight_t · count(t in text); counts come from the
+    length-difference-after-replace identity, so the whole operator is
+    closed-form Catalyst string expressions — per-row, no shuffle, no UDF,
+    and bit-identical in ANSI SQL (the oracle uses the same identity).
+    Non-overlapping counting (REPLACE semantics) is identical on both
+    engines. Argmax ties break by language code order; max score ≤ 0 →
+    'und'. Better than stopword matching on real text: no tokenizer
+    dependency, morphology-sensitive, works for unsegmented scripts.
+    """
+    p = _norm_for_trigrams(F.col(text_col))
+    best_lang, best_score = None, None
+    for lang in sorted(LANG_TRIGRAMS):
+        score = F.lit(0).cast("long")
+        for tri, w in LANG_TRIGRAMS[lang].items():
+            cnt = (
+                (F.length(p) - F.length(F.replace(p, F.lit(tri), F.lit(""))))
+                / F.lit(len(tri))
+            ).cast("long")
+            score = score + F.lit(w).cast("long") * cnt
         if best_lang is None:
             best_lang, best_score = F.lit(lang), score
         else:

@@ -519,6 +519,51 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Char-trigram NB-style language ID (operators.text.language_id_trigram).
+# The oracle rebuilds the identical integer scoring — counts via the
+# length-difference-after-REPLACE identity — so argmax ties and the 'und'
+# floor reproduce exactly.
+# ---------------------------------------------------------------------------
+def _langid_trigram_oracle() -> str:
+    langs = sorted(text_ops.LANG_TRIGRAMS)
+    norm = "concat(' ', regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"{w} * CAST((length(p) - length(replace(p, '{tri}', ''))) // {len(tri)} AS BIGINT)"
+            for tri, w in text_ops.LANG_TRIGRAMS[lang].items()
+        )
+        score_cols.append(f"{terms} AS s_{lang}")
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{later}" for later in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_chain = "\n                ".join(cases)
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    joined_scores = ",\n             ".join(score_cols)
+    return f"""
+    WITH padded AS (
+      SELECT doc_id, {norm} AS p FROM documents
+    ), scores AS (
+      SELECT doc_id,
+             {joined_scores}
+      FROM padded
+    )
+    SELECT doc_id,
+           CASE WHEN greatest({greatest}) <= 0 THEN 'und'
+                {case_chain}
+                ELSE '{langs[-1]}' END AS lang_pred
+    FROM scores
+    """
+
+
+@register("text_language_id_trigram", oracle=_langid_trigram_oracle())
+def text_language_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.language_id_trigram(docs).select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
 # Tumbling-window event counts — the batch face of the streaming layer
 # (identical transform serves readStream; see streaming.windows and tests).
 # ---------------------------------------------------------------------------
@@ -2045,4 +2090,93 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(F.sum("__cents").alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — of all PROMO-part revenue sold to
+# ASIA customers, what fraction came from NATION_5 suppliers, per order
+# year. Ratio of conditional sums (SURVEY §2.3 A5+A8 pattern at join
+# breadth): both numerator and denominator are round-then-sum int64 cents,
+# final share is one int/int double division — deterministic.
+#
+# Scale plan: part is filtered by type then broadcast (a filtered dim);
+# supplier⋈nation and customer-region membership are broadcasts; the wide
+# work is lineitem⋈orders on l_orderkey (fact-fact, the one unavoidable
+# shuffle) after orders⋈customer shuffles on o_custkey. Group cardinality
+# is |years| so the final agg collapses map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           SUM(CASE WHEN n1.n_name = 'NATION_5'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                    ELSE 0 END)
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                    AS DOUBLE) AS mkt_share
+    FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2, region r, part p
+    WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      AND l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
+      AND s.s_nationkey = n1.n_nationkey
+      AND c.c_nationkey = n2.n_nationkey AND n2.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    promo_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    asia_custs = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation")
+                .join(
+                    _t(spark, sf_dir, "region"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .filter(F.col("r_name") == "ASIA")
+                .select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    asia_orders = (
+        _t(spark, sf_dir, "orders")
+        .join(asia_custs, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.withColumn("__cents", cents)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("__cents")).otherwise(F.lit(0)))
+                / F.sum("__cents").cast("double")
+            ).alias("mkt_share")
+        )
     )

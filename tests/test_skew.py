@@ -33,3 +33,36 @@ def test_salted_two_shuffles(spark):
     df = salted_sum_count(li, ["l_returnflag"], {"q": F.col("l_quantity")}, n_salts=4)
     txt = plan_text(df, "simple")
     assert txt.count("Exchange hashpartitioning") == 2  # (key,salt) then key
+
+
+def test_aqe_skew_split_fires_on_planted_hot_key(spark):
+    """The executed plan must carry skew=true for a planted hot-key
+    sort-merge join under the lowered local-scale thresholds (the exact
+    setup tools/skew_bench.py times head-to-head)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from skew_bench import SKEW_CONF, build, skewed_join, executed_plan_has_skew_split
+
+    # the fixture session runs shuffle=4; the split needs enough reduce
+    # partitions for a meaningful median (bench runs 32 — mirror it)
+    overrides = dict(
+        SKEW_CONF,
+        **{
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.shuffle.partitions": "32",
+        },
+    )
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # 8M rows: the hot partition's *compressed* shuffle bytes must
+        # clear the lowered 1MB trigger (2M rows leaves it borderline)
+        fact, dim = build(spark, 8_000_000)
+        assert executed_plan_has_skew_split(skewed_join(fact, dim))
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
