@@ -20,6 +20,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "language_id_trigram",
+    "tf_idf",
     "fingerprint",
 ]
 
@@ -144,6 +145,40 @@ LANG_TRIGRAMS: dict[str, dict[str, int]] = {
     "zh": {"的": 3, "是": 3, "了": 3, "这": 3, "在": 2, "我": 2,
            "不": 2, "人": 2, "有": 2, "中": 2},
 }
+
+
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, term) TF-IDF over whitespace tokens.
+
+    ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` — smoothed idf (the
+    scikit-learn formulation). Three aggregations, all shuffle-partitioned
+    on their natural keys: tf on (doc, term), document frequency on term,
+    and the corpus size N as a 1-row aggregate cross-joined in (never a
+    driver-side ``count()`` — the plan stays fully declarative, so the
+    same code serves a 100 TB corpus where N must not round-trip through
+    the driver). The idf arithmetic is one double op chain per row on
+    int64 inputs — deterministic, no accumulation-order sensitivity.
+
+    Output: ``id_col, term, tf, doc_freq, tfidf`` (rounded to 6 places).
+    """
+    tokens = df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term"))
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    idf = F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
 
 
 def _norm_for_trigrams(c: Column) -> Column:

@@ -564,6 +564,37 @@ def text_language_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF (operators.text.tf_idf): tf on (doc, term), doc-frequency on term,
+# corpus size as a 1-row broadcast aggregate — no driver round-trip. The
+# smoothed-idf arithmetic (ln((N+1)/(df+1))+1) is one double chain per row
+# on int64 inputs, so the rounded values hash-match DuckDB exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest({_WS_TOKENS_SQL.format(col="text")}) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6)
+               AS tfidf
+    FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tf_idf(docs)
+
+
+# ---------------------------------------------------------------------------
 # Tumbling-window event counts — the batch face of the streaming layer
 # (identical transform serves readStream; see streaming.windows and tests).
 # ---------------------------------------------------------------------------
@@ -2180,3 +2211,111 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch face of the stream-stream interval join (streaming.joins): purchase
+# events joined to error events of the same user within the following hour.
+# The identical transform runs through readStream with watermarks on both
+# sides (test_interval_join_stream_equals_batch); this registration
+# oracle-checks the join semantics themselves.
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_interval_join",
+    oracle="""
+    SELECT p.user_id, p.ts AS l_ts, e.ts AS r_ts
+    FROM events p, events e
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+      AND p.user_id = e.user_id
+      AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL '1 hour'
+    """,
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_join_streams(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transitive dedup closure (operators.graph.connected_components): exact
+# ngram-Jaccard pairs (the dedup_ngram_jaccard edge set) → min-label
+# connected components → every document labeled with its cluster id
+# (singletons label themselves). The oracle reproduces the closure with a
+# recursive CTE — iterative Spark fixpoint vs SQL recursion, hash-equal.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_components",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ), comp AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, mode="word", threshold=0.3
+    ).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Exact global top-k terms: wordcount composed with a deterministic top-k
+# (count desc, term asc — the tie-break makes the result set well-defined,
+# which is what lets an order-insensitive hash compare it). Spark plans the
+# limit as TakeOrderedAndProject: per-partition heaps, k rows to the
+# driver stage — never a global sort of the vocabulary.
+# ---------------------------------------------------------------------------
+@register(
+    "top_terms",
+    oracle=r"""
+    SELECT word, cnt FROM (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ) ORDER BY cnt DESC, word ASC LIMIT 20
+    """,
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = token_counts(docs, "text", out="cnt")
+    return counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(20)

@@ -104,3 +104,25 @@ def read_weblog(spark: SparkSession, path: str) -> DataFrame:
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Plain text, one line per row (WordCount input)."""
     return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source with an explicit schema (extension tier).
+
+    A 100 TB pipeline NEVER lets the JSON source infer its schema — sampling
+    reads the data twice and a drifting field type silently re-types the
+    whole column. Pass a ``StructType``; malformed lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job, so bad
+    rows are quantifiable and quarantinable downstream.
+    """
+    reader = spark.read
+    if schema is not None:
+        schema = T.StructType(
+            schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)

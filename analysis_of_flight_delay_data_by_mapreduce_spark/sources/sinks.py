@@ -28,3 +28,41 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 16,
+    splits: dict[str, int] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training corpus as split/shard-partitioned parquet.
+
+    Layout: ``path/split=train/shard=3/part-*.parquet``. The split comes
+    from the deterministic md5 bucket (``operators.text.hash_split`` — id
+    hash, never ``rand()``, so re-runs land every row in the same split)
+    and the shard from a second independent md5 window. ``repartition``
+    on (split, shard) makes each output directory a small number of
+    whole files (trainers stream shards sequentially; thousands of tiny
+    files per shard would defeat that), and hive partitioning lets any
+    downstream reader prune to one split without listing the rest.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.text import hash_split
+
+    out = hash_split(df, id_col, splits, out="split")
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).alias("shard")
+    out = out.select("*", shard)
+    (
+        out.repartition(F.col("split"), F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("split", "shard")
+        .parquet(path)
+    )

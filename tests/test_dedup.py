@@ -119,3 +119,27 @@ def test_prefix_filter_equals_naive(spark):
             ).collect()
         }
         assert ppj == naive, f"threshold {t}: prefix={len(ppj)} naive={len(naive)}"
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-hop chain (needs multiple propagation rounds), a separate pair,
+    and a no-edge singleton: labels must be the component-min id; the
+    singleton keeps itself via dedup_clusters."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 2), (2, 30), (30, 4), (4, 50), (7, 8)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {10: 2, 2: 2, 30: 2, 4: 2, 50: 2, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame([(i,) for i in [10, 2, 30, 4, 50, 7, 8, 99]], ["doc_id"])
+    clusters = {r.doc_id: r.cluster for r in dedup_clusters(docs, edges).collect()}
+    assert clusters[99] == 99  # singleton labels itself
+    assert {k: v for k, v in clusters.items() if k != 99} == comp
+    # survivor rule: one doc per cluster survives
+    survivors = sorted(k for k, v in clusters.items() if k == v)
+    assert survivors == [2, 7, 99]

@@ -95,3 +95,63 @@ def test_sink_tsv(tmp_path, spark):
         l for p in __import__("pathlib").Path(out).glob("part-*") for l in p.read_text().splitlines()
     )
     assert lines == ["a\t1", "b\t2"]
+
+
+def test_read_jsonl_explicit_schema_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL with explicit schema: typed fields come back exact; a
+    malformed line is quarantined in _corrupt_record, not an error."""
+    from pyspark.sql import types as T
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "score": 0.5}\n'
+        "not json at all\n"
+        '{"doc_id": 2, "text": "bye", "score": 1.25}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    good = {r.doc_id: (r.text, r.score) for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {1: ("hello world", 0.5), 2: ("bye", 1.25)}
+    assert bad == ["not json at all"]
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    """Split/shard partitioned write: hive layout on disk, every row in
+    exactly one (split, shard), and the assignment is identical when
+    written twice (id-hash, not rand)."""
+    import os
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import read_parquet_table
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.sinks import (
+        write_training_shards,
+    )
+    from conftest import SF_DIR
+
+    docs = read_parquet_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    write_training_shards(docs, out1, "doc_id", n_shards=4)
+    write_training_shards(docs, out2, "doc_id", n_shards=4)
+
+    splits = sorted(d for d in os.listdir(out1) if d.startswith("split="))
+    assert splits == ["split=test", "split=train", "split=val"]
+
+    back1 = spark.read.parquet(out1).select("doc_id", "split", "shard")
+    back2 = spark.read.parquet(out2).select("doc_id", "split", "shard")
+    a = {r.doc_id: (r.split, r.shard) for r in back1.collect()}
+    b = {r.doc_id: (r.split, r.shard) for r in back2.collect()}
+    assert a == b  # deterministic across runs
+    assert len(a) == docs.count()  # every row exactly once
+    assert all(0 <= s < 4 for _, s in a.values())
+    # pruning: reading one split dir touches only that split
+    train_only = spark.read.parquet(out1).filter("split = 'train'")
+    assert 0 < train_only.count() < len(a)

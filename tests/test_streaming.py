@@ -164,3 +164,38 @@ def test_sliding_counts_stream_equals_batch(spark):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream interval join (purchase → error within 1h per user),
+    both sides watermarked, must equal the identical transform on batch
+    frames. Append mode: watermarked stream-stream inner joins emit each
+    match exactly once."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    ev = read_parquet_table(spark, SF_DIR, "events")
+    batch = interval_join_streams(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+    expected = sorted((r.user_id, r.l_ts, r.r_ts) for r in batch.collect())
+    assert len(expected) > 0
+
+    stream = read_events_stream(spark, SF_DIR)
+    joined = interval_join_streams(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "error"),
+    )
+    q = run_stream_to_memory(joined, "sjoin", mode="append")
+    try:
+        got = sorted(
+            (r.user_id, r.l_ts, r.r_ts)
+            for r in spark.sql("SELECT * FROM sjoin").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
