@@ -77,3 +77,33 @@ def test_csv_reader_prunes_and_pushes(spark, tmp_path):
     df = q1_delay(read_flight_csv(spark, str(p)))
     txt = plan_text(df, "simple")
     assert txt.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q2_broadcast_dims_and_partkey_shuffles_only(spark):
+    """Q2 shape: the supplier⋈nation⋈region side is broadcast (no shuffle),
+    and every wide exchange is keyed on the part key — the window-min and
+    the part join reuse the same partitioning column."""
+    txt = plan_text(synthetic.QUERIES["tpch_q2_min_cost_supplier"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in txt
+    wide = [
+        l for l in txt.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert wide, "expected at least one wide exchange"
+    assert all("partkey" in l for l in wide), wide
+
+
+def test_tpch_q8_dims_broadcast(spark):
+    """Q8 shape: part (filtered), supplier-nation, and the region membership
+    are broadcast; only order/customer/lineitem fact keys shuffle."""
+    txt = plan_text(synthetic.QUERIES["tpch_q8_market_share"](spark, SF_DIR), "simple")
+    assert txt.count("BroadcastHashJoin") >= 3
+    for l in txt.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert ("custkey" in l) or ("orderkey" in l) or ("o_year" in l), l
+
+
+def test_tfidf_aggregates_on_natural_keys(spark):
+    """TF-IDF: corpus size joins in as a broadcast (1-row) aggregate, not a
+    driver-side collected constant."""
+    txt = plan_text(synthetic.QUERIES["text_tfidf"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
