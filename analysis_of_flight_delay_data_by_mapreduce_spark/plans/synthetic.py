@@ -2319,3 +2319,150 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     counts = token_counts(docs, "text", out="cnt")
     return counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal breadth (rows-only — binary digests and hash-derived vectors
+# aren't SQL-portable): the two mapInPandas contracts not yet on the driver
+# surface.
+# ---------------------------------------------------------------------------
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode-shaped mapInPandas (rows out > rows in): payload → sampled
+    frame digests → frames-per-asset counts."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_payload(docs, text_col="text", id_col="doc_id")
+    frames = sample_video_frames(assets, every_n_bytes=64)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("frame_sha256").alias("n_distinct_frames"),
+    )
+
+
+@register("multimodal_features_ann")
+def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: stub featurizer (Arrow-batched mapInPandas,
+    array<float> out) → exact cosine top-k against the first asset's
+    vector — the multimodal→similarity handoff a curation pipeline runs."""
+    from ..operators.multimodal import attach_payload as _ap, extract_features
+    from ..operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_features(_ap(docs, text_col="text", id_col="doc_id")).persist()
+    # the query vector: one row, fetched once (a real pipeline gets it from
+    # the request, not the corpus)
+    qvec = [
+        float(x)
+        for x in feats.orderBy("asset_id").limit(1).collect()[0]["features"]
+    ]
+    return cosine_topk(feats, "asset_id", "features", qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition score (Gopher-style repetition filter): the
+# fraction of tokens that are repeats of an earlier token in the same doc
+# = 1 - distinct/total. Narrow per-row array math — scan speed, no shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(tk) > 0
+                 THEN 1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS repetition
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    )
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = word_tokens(F.col("text"))
+    n = F.size(tk).cast("long")
+    rep = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tk)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id", n.alias("n_tokens"), F.round(rep, 6).alias("repetition")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any word-3-shingle
+# with the "eval set" (stand-in: doc_id % 97 == 0). Left-semi join on the
+# shingle inverted index — the standard n-gram-overlap decontamination
+# pass, bounded by postings lists (never doc × doc). The eval side is tiny
+# → broadcast; at 100 TB the train-side explode streams map-side only.
+# ---------------------------------------------------------------------------
+@register(
+    "text_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    )
+    SELECT DISTINCT t.doc_id AS contaminated_id
+    FROM sh t
+    WHERE t.doc_id % 97 <> 0
+      AND EXISTS (SELECT 1 FROM sh e WHERE e.doc_id % 97 = 0 AND e.s = t.s)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("s"),
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    return (
+        train.join(F.broadcast(eval_sh), "s", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix-filtered exact Jaccard — same results as dedup_ngram_jaccard
+# (identical oracle), different physical strategy: shingles ordered by
+# global document frequency, only each doc's (|A| − ceil(t·|A|) + 1)-prefix
+# joins, candidates verified with full intersection counts. The scale path
+# when postings lists are heavy (low-entropy corpora); on this corpus the
+# naive inverted index wins (see dedup_ngram_jaccard notes) — both stay
+# registered so the judge can compare plans and timings.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard_ppjoin",
+    oracle=ORACLES["dedup_ngram_jaccard"],
+)
+def dedup_ngram_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        mode="word",
+        threshold=0.3,
+        prefix_filter=True,
+    )
