@@ -148,3 +148,43 @@ def test_ngram_jaccard_matches_model(spark, texts):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert math.isclose(got[k], v, rel_tol=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation must equal a classic union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # component label = min node of each set
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == expected
