@@ -2466,3 +2466,163 @@ def dedup_ngram_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         prefix_filter=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: users who completed view → click → purchase in strict
+# event-time order, with the earliest completion chain (min view, then min
+# click after that view, then min purchase after that click). Three
+# conditional-min aggregations, each re-keyed on user_id — the exchanges
+# all share one partitioning, and the per-stage frames are one row per
+# user (tiny), so stages 2/3 are cheap broadcast-joins against the event
+# scan. Timestamps exported as exact epoch micros (int64).
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(epoch_us(v.t_view) AS BIGINT) AS view_us,
+           CAST(epoch_us(c.t_click) AS BIGINT) AS click_us,
+           CAST(epoch_us(p.t_purchase) AS BIGINT) AS purchase_us
+    FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    us = lambda col: F.unix_micros(F.col(col))  # noqa: E731
+    return (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            us("t_view").alias("view_us"),
+            us("t_click").alias("click_us"),
+            us("t_purchase").alias("purchase_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LEAD/LAG window breadth: per-user gap to the NEXT purchase (lead over an
+# event-time-ordered per-user window, hashpartitioned on user — never
+# SinglePartition), then exact int64 gap stats per user.
+# ---------------------------------------------------------------------------
+@register(
+    "events_purchase_gaps",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS min_gap_us,
+           CAST(MAX(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS max_gap_us,
+           CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS total_gap_us
+    FROM p WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("nxt", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("__gap", F.unix_micros("nxt") - F.unix_micros("ts"))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("__gap").alias("min_gap_us"),
+        F.max("__gap").alias("max_gap_us"),
+        F.sum("__gap").alias("total_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users bucketed by signup week (their first 'signup'
+# event), counted as retained in each subsequent week they show any
+# activity. Week arithmetic is exact integer epoch math (both engines
+# truncate weeks to Monday); the heavy join is events⋈cohorts on user_id —
+# one co-partitioned shuffle, then a low-cardinality groupBy that
+# collapses map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, s.cw, date_trunc('week', e.ts) AS aw
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.ts >= s.cw
+    )
+    SELECT CAST(cw AS DATE) AS cohort_week,
+           CAST((epoch(aw) - epoch(cw)) // 604800 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM act
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    act = (
+        ev.join(s, "user_id")
+        .filter(F.col("ts") >= F.col("cw"))
+        .select(
+            "user_id",
+            "cw",
+            F.date_trunc("week", F.col("ts")).alias("aw"),
+        )
+        .distinct()
+    )
+    week_off = (
+        (F.unix_timestamp("aw") - F.unix_timestamp("cw")) / F.lit(604800)
+    ).cast("long")
+    return act.groupBy(
+        F.col("cw").cast("date").alias("cohort_week"),
+        week_off.alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_active"))
