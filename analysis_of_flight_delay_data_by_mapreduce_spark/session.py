@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning: a selective filter on the
+        # build side of a shuffle join materializes a bloom filter that
+        # prunes the probe-side SCAN before the shuffle. Gated by size
+        # thresholds (10 GB application side by default), so it is a no-op
+        # at test scale and self-activates exactly where it pays — the
+        # 100 TB fact-fact joins. Injection is pinned (with lowered
+        # thresholds) in tests/test_plan_shapes.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow transfer for pandas UDF / toPandas paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # DuckDB (the correctness oracle) treats timestamps as UTC-naive.

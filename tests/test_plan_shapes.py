@@ -107,3 +107,40 @@ def test_tfidf_aggregates_on_natural_keys(spark):
     driver-side collected constant."""
     txt = plan_text(synthetic.QUERIES["text_tfidf"](spark, SF_DIR), "simple")
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """With the size gates lowered to test scale, a selective filter on
+    the build side of a shuffle join must inject a bloom filter
+    (might_contain) on the probe side — the scan-pruning path that
+    matters for 100 TB fact-fact joins (session.py enables the feature;
+    the default 10 GB gate keeps it out of small plans)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import read_parquet_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = read_parquet_table(spark, SF_DIR, "lineitem")
+        od = read_parquet_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        txt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in txt
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
