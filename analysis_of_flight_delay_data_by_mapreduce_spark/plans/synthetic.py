@@ -2453,7 +2453,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dedup_ngram_jaccard_ppjoin",
-    oracle=ORACLES["dedup_ngram_jaccard"],
+    # Same closed form as dedup_ngram_jaccard but at t=0.8 — PPJoin's
+    # proper regime: the join prefix is |A| - ceil(0.8|A|) + 1 ≈ 0.2|A|,
+    # so candidate generation touches ~1/5 of the postings. (At t=0.3 the
+    # prefix covers ~70% of each doc and prefix filtering costs more than
+    # it prunes — measured 11 s vs 1.5 s naive at sf0.1.)
+    oracle=ORACLES["dedup_ngram_jaccard"].replace(">= 0.3", ">= 0.8"),
 )
 def dedup_ngram_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2463,7 +2468,7 @@ def dedup_ngram_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         shingle_k=3,
         mode="word",
-        threshold=0.3,
+        threshold=0.8,
         prefix_filter=True,
     )
 
@@ -2626,3 +2631,39 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cw").cast("date").alias("cohort_week"),
         week_off.alias("week_offset"),
     ).agg(F.count_distinct("user_id").alias("n_active"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-flavored multi-EXISTS on events: users whose LAST error was
+# never followed by a purchase (EXISTS an error + NOT EXISTS a later
+# purchase). Spark decorrelates both as per-user aggregates — max error ts
+# vs max purchase ts, one shuffle on user_id, then a null-safe compare —
+# instead of two correlated subquery scans.
+# ---------------------------------------------------------------------------
+@register(
+    "users_error_no_recovery",
+    oracle="""
+    SELECT DISTINCT e.user_id
+    FROM events e
+    WHERE e.event_type = 'error'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts > (SELECT MAX(e2.ts) FROM events e2
+                      WHERE e2.user_id = e.user_id AND e2.event_type = 'error')
+      )
+    """,
+)
+def users_error_no_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).alias("last_err"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_buy"
+        ),
+    )
+    return (
+        agg.filter(F.col("last_err").isNotNull())
+        .filter(F.col("last_buy").isNull() | (F.col("last_buy") <= F.col("last_err")))
+        .select("user_id")
+    )

@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "windowed_event_counts",
+    "sliding_event_counts",
     "sessionized_counts",
     "read_events_stream",
     "run_stream_to_memory",
+    "dedup_events_stream",
 ]
 
 
@@ -131,3 +133,23 @@ def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins; duplicate
+    arrivals inside the watermark horizon are dropped and state for keys
+    older than the watermark is evicted (bounded state — the streaming
+    face of ``operators.dedup.exact_dedup``). On a batch frame this
+    degrades to plain ``dropDuplicates`` (all-time dedup), which is the
+    parity contract the test pins for data with no cross-horizon dupes."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)

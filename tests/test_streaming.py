@@ -199,3 +199,76 @@ def test_interval_join_stream_equals_batch(spark):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_dedup_drops_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-sent events inside the horizon are
+    dropped; the deduped stream equals batch dropDuplicates on the same
+    landing data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.windows import (
+        dedup_events_stream,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0),
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0),  # duplicate arrival
+        (2, "2024-01-01 10:05:00", 7, "click", 2.0),
+        (2, "2024-01-01 10:05:00", 7, "click", 2.0),  # duplicate arrival
+        (3, "2024-01-01 10:06:00", 8, "view", 3.0),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+        }
+    ).to_parquet(land / "batch1.parquet", coerce_timestamps="us")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(str(land))
+    deduped = dedup_events_stream(stream, ["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        got = sorted(
+            (r.event_id, r.event_type)
+            for r in spark.sql("SELECT * FROM sdedup").collect()
+        )
+    finally:
+        q.stop()
+    from datetime import datetime
+
+    batch = spark.createDataFrame(
+        [
+            (r[0], datetime.fromisoformat(r[1]), r[2], r[3], r[4])
+            for r in rows
+        ],
+        schema,
+    )
+    expected = sorted(
+        (r.event_id, r.event_type)
+        for r in dedup_events_stream(batch, ["event_id"]).collect()
+    )
+    assert got == expected == [(1, "view"), (2, "click"), (3, "view")]
