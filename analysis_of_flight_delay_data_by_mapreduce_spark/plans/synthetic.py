@@ -2667,3 +2667,87 @@ def users_error_no_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("last_buy").isNull() | (F.col("last_buy") <= F.col("last_err")))
         .select("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DecimalType exact aggregation — the engine's second exact-money path
+# besides round-to-int64-cents: cast to DECIMAL(18,2) at scan, SUM in
+# decimal (exact, order-insensitive), emit the decimal total as a string
+# (canonical 2-dp rendering on both engines avoids float formatting
+# drift). At 100 TB decimal sums cost ~2× int64 sums but never round.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_decimal_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def revenue_decimal_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__rev")
+        )
+        .select(
+            "l_returnflag", F.col("__rev").cast("string").alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation, exactly: F.corr over doubles is accumulation-order
+# dependent, so this computes the five moment sums in DECIMAL(38,0)
+# (Spark) / HUGEINT (DuckDB) — exact integers under any partitioning —
+# and applies the closed form n·Σxy−Σx·Σy over the exact terms; only the
+# final sqrt/division touch floating point (same integers → same IEEE
+# ops → same bits on both engines). x = price cents, y = rounded
+# quantity, grouped by return flag.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_price_qty_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sx,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS sy,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxx,
+             SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS syy,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS price_qty_corr
+    FROM m
+    """,
+)
+def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    x = F.round(F.col("l_extendedprice") * 100).cast("long").cast(dec)
+    y = F.round(F.col("l_quantity")).cast("long").cast(dec)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.round(num / F.sqrt(varx * vary), 6).alias("price_qty_corr"),
+    )
