@@ -2751,3 +2751,31 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(num / F.sqrt(varx * vary), 6).alias("price_qty_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch face of the stream-static enrichment join (streaming.joins.
+# enrich_with_dim): purchase events enriched with the customer dimension,
+# aggregated to cent-exact spend per market segment. The same transform
+# runs through readStream in test_stream_static_enrichment_parity.
+# ---------------------------------------------------------------------------
+@register(
+    "events_segment_spend",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS spend_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import enrich_with_dim
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_with_dim(ev, cust)
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents"),
+    )

@@ -48,3 +48,22 @@ def interval_join_streams(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
     )
     return joined.select(F.col("__lk").alias(key), "l_ts", "r_ts")
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (re-read per batch) static dimension — no state store involved, the
+    dimension is broadcast into every batch. The canonical lookup-table
+    pattern; works identically on a batch left side.
+    """
+    from pyspark.sql import functions as F
+
+    return stream.join(
+        F.broadcast(dim), stream[on_left] == dim[on_right], how
+    )

@@ -272,3 +272,43 @@ def test_stream_dedup_drops_duplicates_within_watermark(spark, tmp_path):
         for r in dedup_events_stream(batch, ["event_id"]).collect()
     )
     assert got == expected == [(1, "view"), (2, "click"), (3, "view")]
+
+
+def test_stream_static_enrichment_parity(spark):
+    """Stream-static join: purchase events (stream) enriched against the
+    customer dimension (static broadcast), aggregated per segment — must
+    equal the same transform on a batch read (oracle-checked as
+    events_segment_spend)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.joins import (
+        enrich_with_dim,
+    )
+
+    cust = read_parquet_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def agg(ev):
+        return enrich_with_dim(
+            ev.filter(F.col("event_type") == "purchase"), cust
+        ).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("spend_cents"),
+        )
+
+    batch = agg(read_parquet_table(spark, SF_DIR, "events"))
+    expected = {r.c_mktsegment: (r.n, r.spend_cents) for r in batch.collect()}
+
+    q = run_stream_to_memory(
+        agg(read_events_stream(spark, SF_DIR)), "seg_spend", mode="complete"
+    )
+    try:
+        got = {
+            r.c_mktsegment: (r.n, r.spend_cents)
+            for r in spark.sql("SELECT * FROM seg_spend").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
