@@ -22,6 +22,7 @@ __all__ = [
     "language_id_trigram",
     "tf_idf",
     "fingerprint",
+    "chunk_documents",
 ]
 
 #: BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols.
@@ -228,6 +229,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     c = F.col(text_col)
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the RAG/pretraining
+    chunker): chunk i covers tokens ``[i·stride, i·stride + window)``;
+    every token belongs to ≥1 chunk, consecutive chunks overlap by
+    ``window − stride`` tokens. Pure array expressions (sequence →
+    transform → slice → explode) — narrow, scan-speed, no shuffle, no UDF;
+    the explode is the only fan-out (rows ×~len/stride).
+
+    Output: ``id_col, chunk_idx, chunk_text, n_chunk_tokens``.
+    """
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    last = F.greatest(
+        F.ceil((n - F.lit(window)) / F.lit(stride)), F.lit(0)
+    ).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), chunk)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window)
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )
 
 
 def hash_split(

@@ -2823,3 +2823,33 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window chunker (operators.text.chunk_documents): 64-token
+# windows, stride 48 — the RAG/pretraining splitter. The oracle rebuilds
+# the identical slicing with list_slice over a generated chunk range
+# (1-based inclusive slicing aligned on both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_chunk_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, tk,
+             unnest(range(0, greatest(CAST(ceil((len(tk) - 64) / 48.0) AS INTEGER), 0) + 1))
+               AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(tk[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text,
+           CAST(len(tk[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS BIGINT) AS n_chunk_tokens
+    FROM spans
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, window=64, stride=48)
