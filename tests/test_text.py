@@ -71,3 +71,47 @@ def test_hash_split_deterministic_and_partition_stable(spark):
     c = Counter(a.values())
     assert set(c) == {"train", "val", "test"}
     assert 0.85 < c["train"] / 2000 < 0.95  # ~90%
+
+
+def test_chunk_documents_short_and_exact_boundary(spark):
+    """Docs shorter than one window yield exactly one chunk with all
+    tokens; a doc of exactly window+stride tokens yields two chunks with
+    the correct overlap; empty text yields one empty chunk."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        chunk_documents,
+    )
+
+    toks112 = " ".join(f"t{i}" for i in range(112))  # 64 + 48
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, toks112), (3, "")], ["doc_id", "text"]
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, window=64, stride=48).collect()
+    }
+    assert rows[(1, 0)] == (3, "a b c")
+    assert (1, 1) not in rows
+    # doc 2: chunk 0 = tokens 0..63, chunk 1 = tokens 48..111
+    assert rows[(2, 0)][0] == 64 and rows[(2, 0)][1].startswith("t0 ")
+    assert rows[(2, 1)][0] == 64 and rows[(2, 1)][1].startswith("t48 ")
+    assert rows[(2, 1)][1].endswith("t111")
+    assert (2, 2) not in rows
+    assert rows[(3, 0)] == (0, "")
+
+
+def test_profile_columns_counts_nulls(spark):
+    """Null counting and distinct counting verified on a frame that
+    actually contains nulls (the synthetic tables have none)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        ["k", "v"],
+    )
+    prof = {r.column: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_null == 1
+    assert prof["k"].n_distinct == 3  # nulls excluded from distinct
+    assert prof["v"].n_null == 1 and prof["v"].n_distinct == 2
+    assert prof["v"].min_val == "a" and prof["v"].max_val == "b"
