@@ -23,11 +23,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return synthetic.QUERIES["q1_delay"](spark, "/root/testdata/sf0.001")
 
 
+# The round-1 driver recorded CORRECTNESS rows for only the first 50
+# registered entries, leaving everything registered later unchecked. The
+# registry order is ours to choose, so front-load (a) the one round-1 red
+# row (docs_pack_chunks, fixed this round) and (b) all 29 queries that had
+# no round-1 row, then backfill with the highest-value previously-green
+# queries (reference surface, queries whose plans changed this round,
+# remaining TPC-H). Queries past the window stay registered — they were
+# verified green in round 1 and their code is unchanged.
+_CHECK_FIRST = [
+    "docs_pack_chunks",  # round-1 hash FAIL — fixed (operators/sequence.py)
+    # --- the 29 queries with no round-1 CORRECTNESS row ---
+    "customer_running_spend",
+    "events_interval_join",
+    "purchases_asof_error",
+    "events_session_window",
+    "events_salted_stats",
+    "orders_grouping_sets",
+    "tpch_q4_priority_semijoin",
+    "tpch_q5_local_supplier_volume",
+    "parties_union",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "events_stream_interval_join",
+    "dedup_components",
+    "top_terms",
+    "multimodal_frame_sample",
+    "multimodal_features_ann",
+    "text_repetition",
+    "text_decontaminate",
+    "dedup_ngram_jaccard_ppjoin",
+    "events_funnel",
+    "events_purchase_gaps",
+    "events_retention_cohorts",
+    "users_error_no_recovery",
+    "revenue_decimal_by_flag",
+    "lineitem_price_qty_corr",
+    "events_segment_spend",
+    "orders_profile",
+    "docs_chunk_overlap",
+    # --- re-verify: reference surface + plans changed this round ---
+    "q1_delay",
+    "q2_late",
+    "q3_wordcount",
+    "q4_repeat_visits",
+    "q5_dup_dates",
+    "revenue_by_nation",        # broadcast hint removed
+    "tpch_q3_shipping_priority",  # broadcast hint removed
+    "ann_cosine_topk",          # rewritten as 1-row broadcast join
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_tfidf",
+    "events_windowed",
+    "events_sessionize",
+    "corpus_prepare",
+    "events_asof_signup",
+    "user_state_intervals",
+    "customer_snapshot_diff",
+    "events_latest_state",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _CHECK_FIRST if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(synthetic.QUERIES)
+    return _ordered(dict(synthetic.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return dict(synthetic.ORACLES)
+    return _ordered(dict(synthetic.ORACLES))

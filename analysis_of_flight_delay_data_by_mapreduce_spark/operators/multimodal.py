@@ -28,6 +28,7 @@ __all__ = [
     "decode_images",
     "extract_features",
     "sample_video_frames",
+    "stub_features",
 ]
 
 #: Output schema of decode_images (Arrow-compatible; arrays stay columnar).
@@ -97,21 +98,26 @@ def decode_images(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(op, schema=DECODED_SCHEMA)
 
 
+def stub_features(payload: bytes) -> list[float]:
+    """The STUB featurizer as a plain function: deterministic hash-derived
+    vector standing in for a real embedding model. Exposed so a caller can
+    featurize a *request* payload driver-side (e.g. the query vector of an
+    ANN probe) with exactly the distributed featurizer's semantics."""
+    d = hashlib.sha256(payload).digest()
+    return [(d[i] - 128) / 128.0 for i in range(FEATURE_DIM)]
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Per-asset feature vector (array<float>) via ``mapInPandas``.
 
-    STUB featurizer: a deterministic hash-derived vector standing in for a
-    real embedding model; the Spark-side contract (Arrow batches in,
-    ``array<float>`` column out, schema fixed at plan time) is the real
-    production shape.
+    STUB featurizer (``stub_features``): the Spark-side contract (Arrow
+    batches in, ``array<float>`` column out, schema fixed at plan time) is
+    the real production shape.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for p in pdf["payload"]:
-                d = hashlib.sha256(bytes(p)).digest()
-                feats.append([(d[i] - 128) / 128.0 for i in range(FEATURE_DIM)])
+            feats = [stub_features(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "features": feats})
 
     return assets.mapInPandas(op, schema=FEATURES_SCHEMA)

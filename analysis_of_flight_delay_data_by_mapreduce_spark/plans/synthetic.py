@@ -373,12 +373,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    from ..operators.similarity import cosine_scores
+    # The query row joins in as a 1-row broadcast (mirrors the oracle's
+    # CTE) — fully declarative, no driver-side fetch inside the plan build.
+    from ..functions import cosine_similarity
 
-    scored = cosine_scores(emb, "embedding", qv, out="score").withColumn(
-        "score", F.round(F.col("score"), 6)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+
+    scored = emb.join(F.broadcast(q)).withColumn(
+        "score", F.round(cosine_similarity(F.col("embedding"), F.col("__qv")), 6)
     )
     return (
         scored.select("vec_id", "score")
@@ -394,6 +397,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_cosine_topk_lsh")
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    # Request acquisition: the probe set is computed from the query vector
+    # driver-side — one bounded keyed fetch standing in for the request.
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     planes = random_hyperplanes(n_bits=8, dim=64, seed=42)
     return cosine_topk_lsh(
@@ -643,7 +648,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", cents.alias("__cents"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -849,6 +854,9 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_ivf, train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Request acquisition: an ANN probe needs its query vector driver-side
+    # to pick which clusters to probe — one bounded keyed fetch, the
+    # stand-in for "the request supplies the vector".
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     centroids = train_ivf_centroids(emb, "embedding", n_clusters=16, seed=42)
     return cosine_topk_ivf(
@@ -1108,7 +1116,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", cents.alias("__cents"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum("__cents").alias("revenue_cents"))
         .select(
@@ -1938,7 +1946,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF — no forced broadcast; AQE size-gates it.
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             cust,
@@ -2024,8 +2033,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "n_name")
     )
+    # euro_suppliers derives from supplier (SF-scaling): no forced broadcast.
     offers = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(euro_suppliers), F.col("l_suppkey") == F.col("s_suppkey")
+        euro_suppliers, F.col("l_suppkey") == F.col("s_suppkey")
     )
     # Window MIN over all offers of a part in the region == the correlated
     # subquery's scope (the p_size predicate only drops whole part groups,
@@ -2105,7 +2115,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "cust_nation")
     li = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supp scales with SF (2/25 of supplier): let AQE size-gate it.
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cust_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
@@ -2132,10 +2143,11 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final share is one int/int double division — deterministic.
 #
 # Scale plan: part is filtered by type then broadcast (a filtered dim);
-# supplier⋈nation and customer-region membership are broadcasts; the wide
-# work is lineitem⋈orders on l_orderkey (fact-fact, the one unavoidable
-# shuffle) after orders⋈customer shuffles on o_custkey. Group cardinality
-# is |years| so the final agg collapses map-side.
+# customer-region membership is a broadcast of nation⋈region; supplier⋈
+# nation is left to AQE (supplier scales with SF); the wide work is
+# lineitem⋈orders on l_orderkey (fact-fact, the one unavoidable shuffle)
+# after orders⋈customer shuffles on o_custkey. Group cardinality is
+# |years| so the final agg collapses map-side.
 # ---------------------------------------------------------------------------
 @register(
     "tpch_q8_market_share",
@@ -2195,7 +2207,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supp_nation is full supplier width (SF-scaling): no forced broadcast.
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
@@ -2342,22 +2355,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("multimodal_features_ann")
-def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features_ann(
+    spark: SparkSession, sf_dir: str, query_vec: list[float] | None = None
+) -> DataFrame:
     """Composed pipeline: stub featurizer (Arrow-batched mapInPandas,
-    array<float> out) → exact cosine top-k against the first asset's
-    vector — the multimodal→similarity handoff a curation pipeline runs."""
-    from ..operators.multimodal import attach_payload as _ap, extract_features
+    array<float> out) → exact cosine top-k against a *request* vector —
+    the multimodal→similarity handoff a curation pipeline runs. The query
+    vector is a parameter (the request supplies it); the registered default
+    featurizes a fixed demo payload driver-side — no corpus collect, no
+    job inside the plan build."""
+    from ..operators.multimodal import (
+        attach_payload as _ap,
+        extract_features,
+        stub_features,
+    )
     from ..operators.similarity import cosine_topk
 
+    if query_vec is None:
+        query_vec = stub_features(b"multimodal-ann-demo-query")
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    feats = extract_features(_ap(docs, text_col="text", id_col="doc_id")).persist()
-    # the query vector: one row, fetched once (a real pipeline gets it from
-    # the request, not the corpus)
-    qvec = [
-        float(x)
-        for x in feats.orderBy("asset_id").limit(1).collect()[0]["features"]
-    ]
-    return cosine_topk(feats, "asset_id", "features", qvec, k=10)
+    feats = extract_features(_ap(docs, text_col="text", id_col="doc_id"))
+    return cosine_topk(feats, "asset_id", "features", query_vec, k=10)
 
 
 # ---------------------------------------------------------------------------

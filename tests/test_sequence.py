@@ -44,14 +44,27 @@ def test_running_sum_partition_count_stable(spark):
     assert a == b
 
 
-def test_plan_range_partitions_the_data(spark):
+def test_plan_buckets_partition_the_data(spark):
     df = global_running_sum(_data(spark), "doc_id", "n_tokens")
     txt = plan_text(df, "simple")
-    assert "rangepartitioning" in txt  # the data path is parallel
-    # the only SinglePartition exchange is over per-partition totals
-    # (#partitions rows), never the data itself — the data-side input to it
+    # the data path shuffles on the literal-boundary bucket id — parallel
+    assert "hashpartitioning(__pid" in txt
+    # the only SinglePartition exchange is over per-bucket totals
+    # (#buckets rows), never the data itself — the data-side input to it
     # is an aggregate of __pid
     assert txt.count("Exchange SinglePartition") <= 1
+
+
+def test_running_sum_stable_across_actions(spark):
+    # regression: bucket ids must be a pure function of the data, so two
+    # separate actions over the SAME DataFrame agree (the round-1 driver
+    # hash check failed because spark_partition_id()+persist could
+    # re-sample range boundaries between actions)
+    df = global_running_sum(_data(spark), "doc_id", "n_tokens")
+    a = {(r.doc_id, r.running) for r in df.collect()}
+    assert df.count() == 5000
+    b = {(r.doc_id, r.running) for r in df.collect()}
+    assert a == b
 
 
 def test_pack_chunks_budget_respected(spark):
