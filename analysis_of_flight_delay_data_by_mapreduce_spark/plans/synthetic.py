@@ -690,7 +690,8 @@ def top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     pr = (
         li.select("l_partkey", cents.alias("__cents"))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF — AQE size-gates the broadcast decision.
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "l_partkey")
         .agg(F.sum("__cents").alias("revenue_cents"))
     )
@@ -2531,16 +2532,19 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
+    # v/c are per-user aggregates (scale with user count): no forced
+    # broadcast — every stage joins and aggregates on user_id, so the
+    # shuffle partitioning is reused across the whole funnel.
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))

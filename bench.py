@@ -48,17 +48,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s (n={n})", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "sum of per-query median wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "sum of per-query median wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The round-1 artifact was clipped mid-line (79 queries make a long
+    # stdout line), so persist the full JSON to a file as well; keep the
+    # stdout line compact (no spaces) to fit tail buffers.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

@@ -102,6 +102,42 @@ def test_tpch_q8_dims_broadcast(spark):
             assert ("custkey" in l) or ("orderkey" in l) or ("o_year" in l), l
 
 
+def test_no_forced_broadcast_of_scaling_tables():
+    """Regression lint: ``F.broadcast`` hints in the registered plans may
+    only wrap fixed-size sides (nation/region-derived dims, 1-row query
+    frames, eval-set shingles, filtered part keys). customer/supplier/
+    lineitem/orders/events-derived frames grow with scale factor — a
+    forced broadcast of one is a driver OOM at the 100 TB target, so AQE
+    must make that call at runtime instead."""
+    import re
+    from pathlib import Path
+
+    src = Path(synthetic.__file__.removesuffix("c")).read_text()
+    allowed_heads = {
+        "q",            # 1-row query-vector frame (ann_cosine_topk)
+        "nation",       # fixed 25-row dim
+        "euro_nations",  # nation ⋈ region filter — ≤25 rows
+        "pair",         # 2 nation rows (tpch_q7)
+        "promo_parts",  # type-filtered part keys, single int column
+        "eval_sh",      # eval-set shingles (tiny by construction)
+    }
+    for m in re.finditer(r"F\.broadcast\(", src):
+        i = m.end()
+        depth, j = 1, i
+        while depth and j < len(src):
+            depth += {"(": 1, ")": -1}.get(src[j], 0)
+            j += 1
+        arg = src[i : j - 1].strip()
+        if arg.startswith("_t("):
+            table = re.search(r'"(\w+)"\s*\)', arg)
+            assert table and table.group(1) in {"nation", "region"}, arg
+            continue
+        head = re.match(r"[A-Za-z_][A-Za-z0-9_]*", arg)
+        assert head and head.group(0) in allowed_heads, (
+            f"forced broadcast of non-allowlisted side: {arg!r}"
+        )
+
+
 def test_tfidf_aggregates_on_natural_keys(spark):
     """TF-IDF: corpus size joins in as a broadcast (1-row) aggregate, not a
     driver-side collected constant."""
