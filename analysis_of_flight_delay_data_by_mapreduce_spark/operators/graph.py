@@ -5,16 +5,22 @@ Near-duplicate detection yields PAIRS; production dedup needs CLUSTERS
 reference has nothing of the kind (SURVEY §2.4); this module adds the
 missing step as an iterative DataFrame algorithm.
 
-``connected_components`` is min-label propagation: every node repeatedly
-adopts the smallest label among itself and its neighbors until a fixpoint.
-Each round is one join + one aggregation — both shuffle on the node id, so
-a round costs two exchanges regardless of graph size. Rounds needed equal
-the graph diameter; dedup-cluster graphs are shallow (near-dup clusters
-are cliques-ish), so convergence is fast. For adversarially long path
-graphs at 100 TB scale, the alternating large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") converges
-in O(log n) rounds with the same per-round join+agg shape — swap the loop
-body, keep the contract.
+``connected_components`` offers two interchangeable algorithms behind one
+contract (same inputs, identical output labels — the component min):
+
+- ``algorithm="star"`` (default): alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14). Each round rewires edges toward the locally-smallest node;
+  the edge set converges to a union of stars centered at each
+  component's minimum in **O(log n)** rounds even on adversarially long
+  path graphs. Per round: one aggregation + one join per star step —
+  all shuffles keyed on node id.
+- ``algorithm="min_label"``: classic min-label propagation — every node
+  repeatedly adopts the smallest label among itself and its neighbors.
+  One join + one aggregation per round, but rounds equal the graph
+  DIAMETER, which is fine for shallow dedup-cluster graphs (cliques-ish)
+  and pathological for long chains. Kept for cross-checking and for
+  workloads known to be shallow.
 
 Loop control reads ONE scalar per round (the changed-label count) — that
 is the standard driver-side fixpoint test, not a data collect. Lineage is
@@ -36,14 +42,20 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Component label (the minimum node id in the component) per node.
 
     Nodes are whatever ids appear in ``edges``; output is
-    ``id, component``. Deterministic: min-labels are order-insensitive.
+    ``id, component``. Deterministic: min-labels are order-insensitive
+    and both algorithms provably converge to the same labeling.
     Raises if the fixpoint is not reached within ``max_iter`` rounds
     (a correctness guard — silent truncation would mislabel components).
     """
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iter)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -77,6 +89,73 @@ def connected_components(
         if changed == 0:
             return labels.select(F.col("id"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
+
+
+def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., SoCC'14).
+
+    Large-star (per node u over its undirected neighborhood N(u)):
+    link every strictly-larger neighbor to m = min(N(u) ∪ {u}).
+    Small-star (per node u over its smaller neighbors, edges oriented
+    big→small): link every neighbor and u itself to m. Both steps
+    preserve connectivity; their alternation contracts any component onto
+    a star centered at its minimum node in O(log n) rounds. Convergence
+    test: the canonical (big, small) edge set stops changing.
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical orientation big → small; self-loops carry no connectivity
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # --- large-star: centers see the full undirected neighborhood
+        bi = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = bi.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+        large = (
+            bi.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))  # strictly-larger neighbors
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # --- small-star: edges already oriented a > b after large-star
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).union(e.exceptAll(small)).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(star): no fixpoint after {max_iter} rounds"
+        )
+    # fixpoint edge set is a union of stars (v → component min)
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("component")).union(
+        e.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
+    )
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def dedup_clusters(

@@ -44,8 +44,17 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Generator versions vary: TIMESTAMP(NANOS)→int64 (above) or
+            # TIMESTAMP_NTZ(MICROS). Normalize to TZ-aware TIMESTAMP —
+            # value-preserving under the UTC session TZ — so downstream
+            # instant functions (unix_micros, watermarks) work uniformly.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from analysis_of_flight_delay_data_by_mapreduce_spark.plans.flight_queries import (
@@ -150,6 +152,7 @@ def test_ngram_jaccard_matches_model(spark, texts):
         assert math.isclose(got[k], v, rel_tol=1e-12)
 
 
+@pytest.mark.parametrize("algorithm", ["min_label", "star"])
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
@@ -158,9 +161,10 @@ def test_ngram_jaccard_matches_model(spark, texts):
         max_size=20,
     )
 )
-def test_connected_components_matches_union_find(spark, edges):
-    """Iterative min-label propagation must equal a classic union-find on
-    arbitrary small graphs (self-loops and duplicate edges included)."""
+def test_connected_components_matches_union_find(spark, algorithm, edges):
+    """Both algorithms (min-label propagation and large-star/small-star)
+    must equal a classic union-find on arbitrary small graphs (self-loops
+    and duplicate edges included)."""
     from analysis_of_flight_delay_data_by_mapreduce_spark.operators.graph import (
         connected_components,
     )
@@ -186,5 +190,8 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = {n: comp_min[find(n)] for n in parent}
 
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {r.id: r.component for r in connected_components(df).collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components(df, algorithm=algorithm).collect()
+    }
     assert got == expected

@@ -57,8 +57,14 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # mirror the driver: record, keep going
+            failures += 1
+            msg = str(exc).splitlines()[0][:200]
+            print(f"{name}: ERROR {msg}")
+            continue
         scols = list(sdf.columns)
         sn, sh = table_hash(srows, scols)
         if name not in oracles:
