@@ -296,12 +296,27 @@ def simhash_near_dup(
     text_col: str,
     band_bits: int = 16,
     max_bucket: int | None = 500,
+    max_hamming: int | None = 3,
 ) -> DataFrame:
-    """SimHash near-dup candidate pairs: documents sharing any 16-bit band
-    of their 64-bit fingerprint (catches hamming distance ≤ 3 by pigeonhole
-    across 4 bands). Same banded self-join shape as MinHash-LSH, with the
-    same hot-bucket skew guard."""
+    """SimHash near-duplicate pairs at hamming distance ≤ ``max_hamming``.
+
+    Two stages (Manku et al., "Detecting Near-Duplicates for Web
+    Crawling", WWW'07): (1) banded self-join — documents sharing any
+    16-bit band of their 64-bit fingerprint are candidates; by pigeonhole
+    any pair at hamming ≤ 3 differs in at most 3 of the 4 bands, so it
+    MUST share one: candidate recall at ≤ 3 is exactly 100%. (2) verify —
+    ``bit_count(xor)`` on the two fingerprints filters candidates to true
+    hamming ≤ ``max_hamming``. Net contract: the output is EXACTLY the
+    set of pairs within hamming ``max_hamming`` (pinned by a brute-force
+    equality test). ``max_hamming=None`` returns raw band candidates
+    (band collisions at any distance — the pre-WWW'07 shape).
+    Output: ``id_a, id_b, hamming``. Same hot-bucket skew guard as
+    MinHash-LSH; the verify is one narrow join per side + bit math, all
+    JVM-side.
+    """
     fp = simhash(df, id_col, text_col)
+    if max_hamming is not None:
+        fp = fp.persist()  # feeds band entries + two verify joins
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     entries = fp.select(
@@ -322,7 +337,7 @@ def simhash_near_dup(
     ).select(id_col, "bb.band", "bb.bucket")
     entries = _prune_hot_buckets(entries, ["band", "bucket"], max_bucket)
     left, right = entries.alias("l"), entries.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -331,6 +346,19 @@ def simhash_near_dup(
         )
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
+    )
+    if max_hamming is None:
+        return pairs
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -450,33 +478,50 @@ def embedding_near_dup(
     vec_col: str,
     hyperplanes: list[list[float]],
     threshold: float = 0.95,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
-    ``hyperplanes`` (generated driver-side with a fixed seed) assign a
-    sign-bit bucket per vector (vectorized numpy matmul — see
-    ``similarity.bucketize_hyperplane``); exact cosine similarity is
-    computed JVM-side only within equal buckets.
+    ``hyperplanes`` (generated driver-side with a fixed seed) are split
+    into ``n_tables`` independent sign-bit signatures; vectors landing in
+    the same bucket of ANY table become candidates (multi-table LSH:
+    recall 1-(1-p^b)^L for per-bit agreement p — e.g. cos 0.95 with 4
+    tables of 8 bits is ~90% vs ~43% single-table). Candidate id-pairs
+    are deduped across tables BEFORE the verify, so exact cosine
+    (JVM-side ``aggregate``/``zip_with`` math) runs once per pair.
+    Precision is exact by construction: every emitted pair carries its
+    true cosine and passed ``threshold``.
     Returns ``id_a, id_b, cos_sim``.
     """
-    from .similarity import bucketize_hyperplane
+    from .similarity import bucketize_hyperplane_tables
 
-    with_bucket = bucketize_hyperplane(
-        df.select(F.col(id_col), F.col(vec_col)), vec_col, hyperplanes, out="__bucket"
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    with_buckets = bucketize_hyperplane_tables(
+        vecs, vec_col, hyperplanes, n_tables, out="__buckets"
     )
-    left, right = with_bucket.alias("l"), with_bucket.alias("r")
-    return (
+    entries = with_buckets.select(
+        F.col(id_col), F.posexplode("__buckets").alias("__table", "__bucket")
+    )
+    left, right = entries.alias("l"), entries.alias("r")
+    cand = (
         left.join(
             right,
-            (F.col("l.__bucket") == F.col("r.__bucket"))
+            (F.col("l.__table") == F.col("r.__table"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias(
-                "cos_sim"
-            ),
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

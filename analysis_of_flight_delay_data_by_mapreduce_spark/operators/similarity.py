@@ -29,6 +29,7 @@ __all__ = [
     "cosine_scores",
     "cosine_topk",
     "bucketize_hyperplane",
+    "bucketize_hyperplane_tables",
     "cosine_topk_lsh",
 ]
 
@@ -95,6 +96,38 @@ def bucketize_hyperplane(
         return pd.Series((bits @ weights).astype("int64"))
 
     return df.withColumn(out, _bucket(F.col(vec_col)))
+
+
+def bucketize_hyperplane_tables(
+    df: DataFrame,
+    vec_col: str,
+    hyperplanes: list[list[float]],
+    n_tables: int,
+    out: str = "buckets",
+) -> DataFrame:
+    """Multi-table sign-bit LSH: split ``hyperplanes`` into ``n_tables``
+    equal groups and emit one bucket id per table (``array<long>``).
+
+    One numpy matmul per Arrow batch computes ALL tables' bits at once —
+    the multi-table generalization of ``bucketize_hyperplane`` (same
+    deliberate pandas-UDF exception; see that docstring). Per-row
+    parallel, zero shuffle.
+    """
+    H = np.asarray(hyperplanes, dtype="float64")  # (tables*bits, dim)
+    total_bits = H.shape[0]
+    if total_bits % n_tables:
+        raise ValueError(f"{total_bits} hyperplanes not divisible by {n_tables}")
+    b = total_bits // n_tables
+    weights = (1 << np.arange(b, dtype="int64")).astype("int64")
+
+    @F.pandas_udf("array<long>")
+    def _buckets(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy())  # (batch, dim)
+        bits = (M.astype("float64") @ H.T) >= 0.0  # (batch, tables*b)
+        per_table = bits.reshape(len(M), n_tables, b) @ weights  # (batch, tables)
+        return pd.Series(list(per_table.astype("int64")))
+
+    return df.withColumn(out, _buckets(F.col(vec_col)))
 
 
 def _hamming_neighbors(bucket: int, bits: int, radius: int) -> list[int]:

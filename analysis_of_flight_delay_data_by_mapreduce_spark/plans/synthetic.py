@@ -341,9 +341,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # max pairwise cosine in the synthetic embeddings is ~0.51 (p99.9 ~0.38):
     # 0.35 selects the genuinely-nearest pairs while exercising the
-    # bucket-prune + verify path.
-    planes = random_hyperplanes(n_bits=8, dim=64, seed=42)
-    return embedding_near_dup(emb, "vec_id", "embedding", planes, threshold=0.35)
+    # bucket-prune + verify path. 4 tables × 8 bits: multi-table recall
+    # at the near-dup operating point (cos→1) is ~1-(1-p^8)^4; precision
+    # is exact (verified cosine). Deterministic: seeded planes.
+    planes = random_hyperplanes(n_bits=32, dim=64, seed=42)
+    return embedding_near_dup(
+        emb, "vec_id", "embedding", planes, threshold=0.35, n_tables=4
+    )
 
 
 # ---------------------------------------------------------------------------

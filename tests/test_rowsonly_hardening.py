@@ -1,0 +1,183 @@
+"""Falsifiable expected-value checks for the rows-only queries.
+
+The driver's oracle-differential gate cannot hash-check hash-function-
+specific operators (MinHash/SimHash/hyperplane LSH use engine-side
+xxhash64 / seeded numpy — DuckDB cannot replicate them). These tests make
+each one falsifiable anyway, at the same scale and configuration the
+registered queries run (sf0.01):
+
+- MinHash-LSH: output must EQUAL the exact n-gram-Jaccard pair set (the
+  exact operator is itself DuckDB-oracle-checked as dedup_ngram_jaccard),
+  because every planted near-dup pair on this corpus sits at jaccard ≥0.9
+  where banded collision probability is ≈1 and the verify step is exact.
+- SimHash: output contract is exact — ALL pairs at hamming ≤ 3 (banding
+  guarantees candidate recall by pigeonhole; bit_count verifies) — so it
+  must equal a brute-force O(n²) hamming scan over the fingerprints.
+- Embedding LSH: a pure function of (vectors, seeded planes) — an
+  independent numpy replica of signature + bucket + threshold predicts
+  the EXACT output pair set and cosines.
+- corpus_prepare: the composed pipeline must equal its stage-by-stage
+  reconstruction where near-dup pairs come from the EXACT jaccard
+  operator — if LSH recall ever dropped a true ≥0.5 pair, the survivor
+  sets would diverge and this fails.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+    random_hyperplanes,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+    fingerprint,
+    quality_score,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans.pipeline import (
+    prepare_corpus,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+    read_parquet_table,
+)
+
+from conftest import SF_DIR_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet_table(spark, SF_DIR_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, docs):
+    """Ground truth: exact word-3-gram jaccard ≥ 0.3 (oracle-checked op)."""
+    return {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=3, mode="word", threshold=0.3
+        ).collect()
+    }
+
+
+def test_minhash_equals_exact_pairs_on_corpus(spark, docs, exact_pairs):
+    """Registered config (32 hashes / 8 bands / verify 0.3): zero false
+    positives (verify is exact) AND zero false negatives (every true pair
+    on this corpus has jaccard ≥ 0.9 — banded collision prob ≈ 1)."""
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(
+            docs,
+            "doc_id",
+            "text",
+            num_hashes=32,
+            bands=8,
+            shingle_k=3,
+            mode="word",
+            verify_jaccard=0.3,
+        ).collect()
+    }
+    assert got == set(exact_pairs)
+    # sanity: the corpus actually plants near-dups, and they are high-sim
+    assert len(exact_pairs) > 0
+    assert min(exact_pairs.values()) >= 0.3
+
+
+def test_simhash_equals_bruteforce_hamming(spark, docs):
+    """Output == every pair at hamming ≤ 3, per brute-force O(n²) scan of
+    the fingerprints; reported hamming values match exactly."""
+    fps = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(fps)
+    mask = (1 << 64) - 1
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((fps[a] ^ fps[b]) & mask).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup(docs, "doc_id", "text").collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # corpus plants identical/near-identical docs
+
+
+def test_embedding_neardup_equals_numpy_replica(spark):
+    """Registered config (32 planes / 4 tables / threshold 0.35): the
+    output pair set and cosines must equal an independent numpy replica
+    of signature → bucket → candidate → exact-cosine → threshold."""
+    emb = read_parquet_table(spark, SF_DIR_ORACLE, "embeddings")
+    planes = random_hyperplanes(n_bits=32, dim=64, seed=42)
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup(
+            emb, "vec_id", "embedding", planes, threshold=0.35, n_tables=4
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    M = np.array([r.embedding for r in rows], dtype="float64")
+    H = np.asarray(planes, dtype="float64")
+    bits = (M @ H.T) >= 0.0  # (n, 32)
+    w = (1 << np.arange(8, dtype="int64")).astype("int64")
+    sigs = bits.reshape(len(ids), 4, 8) @ w  # (n, 4) bucket per table
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = norm @ norm.T
+
+    expected = {}
+    for t in range(4):
+        buckets: dict[int, list[int]] = {}
+        for i, b in enumerate(sigs[:, t]):
+            buckets.setdefault(int(b), []).append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    a, b = sorted((ids[i], ids[j]))
+                    if S[i, j] >= 0.35:
+                        expected[(a, b)] = S[i, j]
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-9, abs_tol=1e-9)
+    assert len(got) > 0
+    # precision is exact by construction: every emitted cosine ≥ threshold
+    assert all(v >= 0.35 for v in got.values())
+
+
+def test_corpus_prepare_equals_exact_reconstruction(spark, docs):
+    """The composed pipeline (quality → exact-dedup → MinHash near-dedup)
+    must equal its reconstruction with the EXACT jaccard operator in the
+    near-dedup seat. Any LSH recall loss at ≥0.5 diverges the survivor
+    sets and fails here."""
+    got = sorted(
+        r.doc_id
+        for r in prepare_corpus(
+            docs, min_quality=0.4, near_dup_jaccard=0.5
+        ).collect()
+    )
+
+    scored = quality_score(docs, "text").filter("quality >= 0.4")
+    scored = fingerprint(scored, "text")
+    exact_survivors = exact_dedup(scored, ["fp"], "doc_id")
+    kept = scored.join(exact_survivors, ["doc_id", "fp"], "left_semi")
+    pairs = ngram_jaccard_pairs(
+        kept, "doc_id", "text", shingle_k=3, mode="word", threshold=0.5
+    )
+    losers = {r.id_b for r in pairs.collect()}
+    expected = sorted(
+        r.doc_id for r in kept.select("doc_id").collect() if r.doc_id not in losers
+    )
+    assert got == expected
+    assert 0 < len(got) < docs.count()  # both gates actually fired
