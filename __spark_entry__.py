@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     "top_terms",
     "multimodal_frame_sample",
     "multimodal_features_ann",
+    "multimodal_stats",  # gained a DuckDB oracle in round 2 — never hash-checked
     "text_repetition",
     "text_decontaminate",
     "dedup_ngram_jaccard_ppjoin",

@@ -713,7 +713,19 @@ def top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal plumbing: payload attach → mapInPandas decode (stub codec) →
 # per-modality stats. Rows-only (binary digests aren't SQL-portable).
 # ---------------------------------------------------------------------------
-@register("multimodal_stats")
+@register(
+    "multimodal_stats",
+    # The stub decoder is pure sha256-over-payload arithmetic, so DuckDB can
+    # replicate it: payload == UTF-8 bytes of text (corpus is ASCII, so
+    # char ops == byte ops; sha256(VARCHAR) hashes the UTF-8 bytes exactly
+    # like the engine-side hashlib call).
+    oracle="""
+    SELECT 'image' AS modality, COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS n_distinct
+    FROM documents
+    """,
+)
 def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     assets = attach_payload(docs, text_col="text", id_col="doc_id")
@@ -2344,7 +2356,28 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aren't SQL-portable): the two mapInPandas contracts not yet on the driver
 # surface.
 # ---------------------------------------------------------------------------
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    # Frame sampling = sha256 per 64-byte chunk; DuckDB replicates via
+    # unnest(range(ceil(len/64))) + substring (ASCII corpus: chars==bytes;
+    # empty payload still yields one frame, matching the stub's max(len,1)).
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id AS asset_id, text,
+             unnest(range(GREATEST(CAST(ceil(length(text)/64.0) AS BIGINT), 1)))
+               AS i
+      FROM documents
+    ),
+    f AS (
+      SELECT asset_id,
+             sha256(substring(text, CAST(i*64 + 1 AS BIGINT), 64)) AS fsha
+      FROM idx
+    )
+    SELECT asset_id, COUNT(*) AS n_frames,
+           COUNT(DISTINCT fsha) AS n_distinct_frames
+    FROM f GROUP BY asset_id
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode-shaped mapInPandas (rows out > rows in): payload → sampled
     frame digests → frames-per-asset counts."""
@@ -2359,7 +2392,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features_ann")
+def _mm_ann_query_vec() -> list[float]:
+    from ..operators.multimodal import stub_features
+
+    return stub_features(b"multimodal-ann-demo-query")
+
+
+def _mm_ann_oracle() -> str:
+    # Feature i = (digest_byte_i - 128)/128 — replicated in SQL via a
+    # 256-row hex→int lookup over the sha256 hex string. Values are exact
+    # (power-of-2 denominators), so double cosine matches bit-for-bit and
+    # 6-dp rounding on both engines makes the sort key hash-stable.
+    qlit = "[" + ", ".join(repr(x) for x in _mm_ann_query_vec()) + "]"
+    return f"""
+    WITH hexmap AS (
+      SELECT printf('%02x', i) AS h, CAST(i AS INT) AS v FROM range(256) t(i)
+    ),
+    x AS (
+      SELECT doc_id AS asset_id, sha256(text) AS dig, unnest(range(16)) AS i
+      FROM documents WHERE doc_id < 200
+    ),
+    feats AS (
+      SELECT asset_id, list((m.v - 128) / 128.0 ORDER BY x.i) AS features
+      FROM x JOIN hexmap m ON m.h = substr(x.dig, CAST(x.i*2+1 AS BIGINT), 2)
+      GROUP BY asset_id
+    )
+    SELECT asset_id,
+           round(list_cosine_similarity(features, {qlit}), 6) AS score
+    FROM feats ORDER BY score DESC, asset_id ASC LIMIT 10
+    """
+
+
+@register("multimodal_features_ann", oracle=_mm_ann_oracle())
 def multimodal_features_ann(
     spark: SparkSession, sf_dir: str, query_vec: list[float] | None = None
 ) -> DataFrame:
@@ -2368,19 +2432,24 @@ def multimodal_features_ann(
     the multimodal→similarity handoff a curation pipeline runs. The query
     vector is a parameter (the request supplies it); the registered default
     featurizes a fixed demo payload driver-side — no corpus collect, no
-    job inside the plan build."""
-    from ..operators.multimodal import (
-        attach_payload as _ap,
-        extract_features,
-        stub_features,
-    )
-    from ..operators.similarity import cosine_topk
+    job inside the plan build. Scores rounded to 6 dp on both engines and
+    used as the sort key (ann_cosine_topk pattern) for hash parity."""
+    from ..functions import cosine_similarity
+    from ..operators.multimodal import attach_payload as _ap, extract_features
 
     if query_vec is None:
-        query_vec = stub_features(b"multimodal-ann-demo-query")
+        query_vec = _mm_ann_query_vec()
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     feats = extract_features(_ap(docs, text_col="text", id_col="doc_id"))
-    return cosine_topk(feats, "asset_id", "features", query_vec, k=10)
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = feats.withColumn(
+        "score", F.round(cosine_similarity(F.col("features"), qv), 6)
+    )
+    return (
+        scored.select("asset_id", "score")
+        .orderBy(F.col("score").desc(), F.col("asset_id").asc())
+        .limit(10)
+    )
 
 
 # ---------------------------------------------------------------------------
