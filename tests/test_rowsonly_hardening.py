@@ -156,6 +156,89 @@ def test_embedding_neardup_equals_numpy_replica(spark):
     assert all(v >= 0.35 for v in got.values())
 
 
+def test_ann_lsh_equals_numpy_replica(spark):
+    """Registered config (8 planes, probe radius 1, query = vec 0): the
+    LSH top-k must equal an independent numpy replica of bucket → probe →
+    candidate → exact cosine → (score desc, id) top-10."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        cosine_topk_lsh,
+    )
+
+    emb = read_parquet_table(spark, SF_DIR_ORACLE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    M = np.array([r.embedding for r in rows], dtype="float64")
+    q = M[ids.index(0)]
+    planes = random_hyperplanes(n_bits=8, dim=64, seed=42)
+    H = np.asarray(planes, dtype="float64")
+    w = (1 << np.arange(8, dtype="int64")).astype("int64")
+    buckets = (((M @ H.T) >= 0.0) @ w).astype("int64")
+    q_bucket = int((((q @ H.T) >= 0.0) @ w))
+    probes = {q_bucket} | {q_bucket ^ (1 << i) for i in range(8)}
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = norm @ qn
+    cand = [
+        (float(scores[i]), ids[i])
+        for i in range(len(ids))
+        if int(buckets[i]) in probes
+    ]
+    expected = sorted(cand, key=lambda p: (-p[0], p[1]))[:10]
+
+    got = [
+        (r.score, r.vec_id)
+        for r in cosine_topk_lsh(
+            emb, "vec_id", "embedding", list(q), planes, k=10, probe_radius=1
+        ).collect()
+    ]
+    assert [g[1] for g in got] == [e[1] for e in expected]
+    for (gs, _), (es, _) in zip(got, expected):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-9)
+    assert len(got) == 10
+
+
+def test_ann_ivf_equals_numpy_replica(spark):
+    """Registered config (16 centroids seed 42, 4 probes, query = vec 0):
+    cluster assignment, probe pruning, scoring and ordering must equal a
+    numpy replica built from the same (deterministic) trained centroids."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = read_parquet_table(spark, SF_DIR_ORACLE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    M = np.array([r.embedding for r in rows], dtype="float64")
+    q = M[ids.index(0)]
+    centroids = train_ivf_centroids(emb, "embedding", n_clusters=16, seed=42)
+    C = np.asarray(centroids, dtype="float64")
+    assign = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    probes = set(np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:4].tolist())
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = norm @ qn
+    cand = [
+        (float(scores[i]), ids[i])
+        for i in range(len(ids))
+        if int(assign[i]) in probes
+    ]
+    expected = sorted(cand, key=lambda p: (-p[0], p[1]))[:10]
+
+    got = [
+        (r.score, r.vec_id)
+        for r in cosine_topk_ivf(
+            emb, "vec_id", "embedding", list(q), centroids, k=10, n_probe=4
+        ).collect()
+    ]
+    assert [g[1] for g in got] == [e[1] for e in expected]
+    for (gs, _), (es, _) in zip(got, expected):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-9)
+    assert len(got) == 10
+    # the probed clusters must actually prune: candidates < corpus
+    assert len(cand) < len(ids)
+
+
 def test_corpus_prepare_equals_exact_reconstruction(spark, docs):
     """The composed pipeline (quality → exact-dedup → MinHash near-dedup)
     must equal its reconstruction with the EXACT jaccard operator in the
