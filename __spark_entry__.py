@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "multimodal_frame_sample",
     "multimodal_features_ann",
     "multimodal_stats",  # gained a DuckDB oracle in round 2 — never hash-checked
+    "corpus_prepare_cc",  # new in round 2: flagship pipeline, hash-checked variant
     "text_repetition",
     "text_decontaminate",
     "dedup_ngram_jaccard_ppjoin",

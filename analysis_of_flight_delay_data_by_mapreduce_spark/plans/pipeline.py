@@ -16,10 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup, minhash_lsh_dedup
+from ..operators.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_pairs
+from ..operators.graph import dedup_clusters
 from ..operators.text import fingerprint, quality_score
 
-__all__ = ["prepare_corpus"]
+__all__ = ["prepare_corpus", "prepare_corpus_cc"]
 
 
 def prepare_corpus(
@@ -60,3 +61,38 @@ def prepare_corpus(
     losers = near_pairs.select(F.col("id_b").alias(id_col)).distinct()
     cleaned = kept.join(losers, id_col, "left_anti")
     return cleaned.select(id_col, text_col, "quality")
+
+
+def prepare_corpus_cc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_jaccard: float = 0.5,
+) -> DataFrame:
+    """``prepare_corpus`` with the standard near-dedup survivor rule:
+    EXACT n-gram-Jaccard pairs → connected-components closure → keep the
+    minimum id of each near-dup CLUSTER. The pairwise drop-the-larger
+    rule decides each pair independently (docs 2 and 3 both similar to 5
+    but not to each other both survive); the closure treats near-
+    duplication as a cluster relation and keeps exactly one doc per
+    cluster — the production convention. Every stage is deterministic and
+    SQL-expressible, so — unlike the MinHash variant — this composed
+    pipeline is value-hash-checked against the DuckDB oracle end-to-end.
+    At 100 TB the exact pair stage is the documented PPJoin/inverted-index
+    path and the closure is the O(log n) star algorithm.
+    """
+    scored = quality_score(docs, text_col).filter(F.col("quality") >= min_quality)
+    scored = fingerprint(scored, text_col)
+    exact_survivors = exact_dedup(scored, ["fp"], id_col)
+    kept = scored.join(exact_survivors, [id_col, "fp"], "left_semi").persist()
+
+    pairs = ngram_jaccard_pairs(
+        kept, id_col, text_col, shingle_k=3, mode="word",
+        threshold=near_dup_jaccard,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(kept, pairs, id_col)  # (id, cluster=min of comp)
+    survivors = clusters.filter(F.col("cluster") == F.col(id_col)).select(id_col)
+    return kept.join(survivors, id_col, "left_semi").select(
+        id_col, text_col, "quality"
+    )

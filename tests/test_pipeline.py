@@ -22,3 +22,44 @@ def test_prepare_corpus(spark):
     survivors = {r.doc_id for r in out.collect()}
     assert survivors == {1, 4}
     assert set(out.columns) == {"doc_id", "text", "quality"}
+
+
+def test_prepare_corpus_cc_collapses_clusters(spark):
+    """Hub case: 2~5 and 3~5 but 2≁3. The pairwise rule keeps both 2 and
+    3 (each pair judged alone); the closure clusters {2,3,5} and keeps
+    only the min id — the production convention."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.pipeline import (
+        prepare_corpus_cc,
+    )
+
+    hub = BASE  # similar to both variants below
+    var_a = BASE.replace("afternoon", "morning")
+    var_b = BASE.replace("quick", "sneaky").replace("warm", "cold")
+    # trigram jaccard: hub↔var_a 0.81, hub↔var_b 0.58 (≥0.5); var_a↔var_b 0.46 (<0.5)
+    rows = [(2, var_a), (3, var_b), (5, hub), (9, FAR)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pair_rule = {
+        r.doc_id
+        for r in prepare_corpus(docs, min_quality=0.4, near_dup_jaccard=0.5).collect()
+    }
+    closure = {
+        r.doc_id
+        for r in prepare_corpus_cc(
+            docs, min_quality=0.4, near_dup_jaccard=0.5
+        ).collect()
+    }
+    # sanity on the planted geometry: both variants pair with the hub only
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=3, mode="word", threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(2, 5), (3, 5)}
+    assert pair_rule == {2, 3, 9}  # drops only the larger id of each pair
+    assert closure == {2, 9}  # one survivor per cluster {2,3,5}
