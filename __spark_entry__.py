@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "multimodal_features_ann",
     "multimodal_stats",  # gained a DuckDB oracle in round 2 — never hash-checked
     "corpus_prepare_cc",  # new in round 2: flagship pipeline, hash-checked variant
+    "text_pii_scrub",  # new in round 2: PII redaction, hash-checked
     "text_repetition",
     "text_decontaminate",
     "dedup_ngram_jaccard_ppjoin",

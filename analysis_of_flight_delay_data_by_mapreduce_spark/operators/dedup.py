@@ -479,6 +479,7 @@ def embedding_near_dup(
     hyperplanes: list[list[float]],
     threshold: float = 0.95,
     n_tables: int = 1,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
@@ -502,6 +503,10 @@ def embedding_near_dup(
     entries = with_buckets.select(
         F.col(id_col), F.posexplode("__buckets").alias("__table", "__bucket")
     )
+    # same skew guard as the MinHash/SimHash banded joins: a degenerate
+    # bucket (e.g. many near-zero vectors sharing a signature) would emit
+    # |bucket|² candidates; the cap bounds the join at O(n · max_bucket)
+    entries = _prune_hot_buckets(entries, ["__table", "__bucket"], max_bucket)
     left, right = entries.alias("l"), entries.alias("r")
     cand = (
         left.join(

@@ -23,6 +23,8 @@ __all__ = [
     "tf_idf",
     "fingerprint",
     "chunk_documents",
+    "scrub_pii",
+    "PII_PATTERNS",
 ]
 
 #: BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols.
@@ -297,3 +299,45 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += pct
     return df.withColumn(out, expr)
+
+
+#: PII redaction patterns, applied in order (email first so its digits
+#: can't be half-eaten by the number rule; IP before phone for the same
+#: reason). Dialect-portable: no lookarounds/backrefs, so the same strings
+#: run under Java regex (Spark) and RE2 (DuckDB) — which is what lets the
+#: scrub be oracle-checked. Replacement tokens are angle-bracket tags, the
+#: common convention in pretraining-corpus scrubbing.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # phone requires at least one space/dash separator so a bare digit run
+    # falls through to the number rule below
+    ("phone", r"\+?\d{1,4}[\- ][\d\- ]{3,}\d", "<PHONE>"),
+    ("number", r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out: str = "scrubbed"
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4s, phone-ish runs, long id
+    numbers) and count each kind.
+
+    A pretraining-corpus hygiene pass: pure narrow per-row regex work —
+    scan speed, zero shuffle, Catalyst keeps it inside the scan's
+    whole-stage-codegen span at any scale. Counts are taken BEFORE
+    replacement (per kind, on the progressively-scrubbed text, matching
+    the replacement order) so ``n_<kind>`` reports exactly what was
+    redacted. Output: ``out`` (scrubbed text) + one ``n_<kind>`` column
+    per pattern.
+    """
+    result = df
+    prev = F.col(text_col)
+    for kind, pat, tag in PII_PATTERNS:
+        result = result.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(prev, F.lit(pat), F.lit(0))).cast("long"),
+        ).withColumn(f"__s_{kind}", F.regexp_replace(prev, pat, tag))
+        prev = F.col(f"__s_{kind}")
+    result = result.withColumn(out, prev)
+    return result.drop(*[f"__s_{k}" for k, _, _ in PII_PATTERNS])

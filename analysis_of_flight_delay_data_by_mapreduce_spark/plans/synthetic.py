@@ -1073,6 +1073,66 @@ def corpus_prepare_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (pretraining-corpus hygiene). The synthetic corpus is
+# clean, so the query PLANTS deterministic PII derived from doc_id — on
+# both engines identically — then scrubs it; the oracle replicates the
+# plant and the ordered regexp_replace chain (patterns are shared between
+# Java regex and RE2 — no lookarounds, see operators.text.PII_PATTERNS).
+# ---------------------------------------------------------------------------
+_PII_PLANT_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org via 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 or +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || ' ref 900000' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    stages = ["SELECT doc_id, " + _PII_PLANT_SQL + " AS t FROM documents"]
+    carried: list[str] = []
+    for kind, pat, tag in text_ops.PII_PATTERNS:
+        prev_cols = (", ".join(carried) + ",") if carried else ""
+        stages.append(
+            f"SELECT doc_id, {prev_cols}"
+            f" CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind},"
+            f" regexp_replace(t, '{pat}', '{tag}', 'g') AS t"
+            f" FROM s{len(stages) - 1}"
+        )
+        carried.append(f"n_{kind}")
+    ctes = ", ".join(f"s{i} AS ({sql})" for i, sql in enumerate(stages))
+    final_cols = ", ".join(f"n_{k}" for k, _, _ in text_ops.PII_PATTERNS)
+    return (
+        f"WITH {ctes} SELECT doc_id, t AS scrubbed, {final_cols}"
+        f" FROM s{len(stages) - 1}"
+    )
+
+
+@register("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ref 900000"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ).alias("text"),
+    )
+    scrubbed = text_ops.scrub_pii(planted, "text", out="scrubbed")
+    return scrubbed.select(
+        "doc_id",
+        "scrubbed",
+        *[f"n_{k}" for k, _, _ in text_ops.PII_PATTERNS],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Beyond the reference: CUBE (all grouping-set combinations).
 # ---------------------------------------------------------------------------
 @register(

@@ -115,3 +115,35 @@ def test_profile_columns_counts_nulls(spark):
     assert prof["k"].n_distinct == 3  # nulls excluded from distinct
     assert prof["v"].n_null == 1 and prof["v"].n_distinct == 2
     assert prof["v"].min_val == "a" and prof["v"].max_val == "b"
+
+
+def test_scrub_pii_planted(spark):
+    """Each PII kind redacted with its tag, counts exact, clean text
+    untouched; replacement order prevents the number rule from eating
+    email/IP digits."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "write to alice.smith+spam@example.co.uk today"),
+        (2, "server 192.168.001.1 and 10.0.0.7 pinged"),
+        (3, "call +44 20-7946-0958 or 555-0100 now"),
+        (4, "order 123456789012 shipped"),
+        (5, "no pii here at all"),
+        (6, "multi bob@x.io and carol@y.org from 1.2.3.4 acct 987654321"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df, "text").collect()}
+
+    assert got[1].scrubbed == "write to <EMAIL> today"
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone, got[1].n_number) == (1, 0, 0, 0)
+    assert got[2].scrubbed == "server <IP> and <IP> pinged"
+    assert got[2].n_ip == 2
+    assert got[3].scrubbed == "call <PHONE> or <PHONE> now"
+    assert got[3].n_phone == 2
+    assert got[4].scrubbed == "order <NUM> shipped"
+    assert got[4].n_number == 1
+    assert got[5].scrubbed == rows[4][1]  # clean text is untouched
+    assert got[6].scrubbed == "multi <EMAIL> and <EMAIL> from <IP> acct <NUM>"
+    assert (got[6].n_email, got[6].n_ip, got[6].n_number) == (2, 1, 1)
