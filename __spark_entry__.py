@@ -54,6 +54,12 @@ _CHECK_FIRST = [
     "multimodal_stats",  # gained a DuckDB oracle in round 2 — never hash-checked
     "corpus_prepare_cc",  # new in round 2: flagship pipeline, hash-checked variant
     "text_pii_scrub",  # new in round 2: PII redaction, hash-checked
+    # --- new in round 2: five more TPC-H shapes, never driver-checked ---
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_orders",
     "text_repetition",
     "text_decontaminate",
     "dedup_ngram_jaccard_ppjoin",
