@@ -60,6 +60,9 @@ _CHECK_FIRST = [
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume_orders",
+    "events_value_zscore_outliers",
+    "customer_rfm",
+    "text_bigram_lm",
     "text_repetition",
     "text_decontaminate",
     "dedup_ngram_jaccard_ppjoin",

@@ -3309,3 +3309,168 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: per-type z-score outliers. Moments come from EXACT
+# int64 cent sums (n, Σx, Σx²) so mean/σ are the same doubles on both
+# engines — no accumulation-order drift at the |z| ≥ 3 boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_zscore_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT)
+               * CAST(ROUND(value * 100.0) AS BIGINT)) AS ss
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((CAST(ROUND(e.value * 100.0) AS BIGINT) - CAST(m.s AS DOUBLE)/m.n)
+             / sqrt(CAST(m.ss AS DOUBLE)/m.n
+                  - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n)), 6)
+             AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs((CAST(ROUND(e.value * 100.0) AS BIGINT) - CAST(m.s AS DOUBLE)/m.n)
+             / sqrt(CAST(m.ss AS DOUBLE)/m.n
+                  - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n))) >= 3.0
+    """,
+)
+def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    ev = ev.select("event_id", "event_type", cents.alias("__c"))
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__c").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    sd = F.sqrt(F.col("__ss").cast("double") / F.col("__n") - mean * mean)
+    z = (F.col("__c") - mean) / sd
+    return (
+        ev.join(F.broadcast(m), "event_type")  # one row per event type
+        .filter(F.abs(z) >= 3.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary per customer + quartile
+# buckets (ntile with a custkey tiebreak so both engines tile identically).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_rfm",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    base AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), (SELECT mx FROM maxd))
+               AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, c_custkey ASC) AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey ASC) AS BIGINT) AS m_quartile
+    FROM base
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("__mx"))
+    base = (
+        orders.join(F.broadcast(maxd))  # 1-row global max, declarative
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("__mx"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    # ntile needs a global order — acceptable for the per-customer rollup
+    # (rows = |customers|, far smaller than facts); tiebreak by custkey
+    # makes the tiling deterministic and engine-portable.
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(W.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc()))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc()))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey").asc()))
+        .cast("long")
+        .alias("m_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts: P(w2|w1) over the corpus, min-count gated.
+# Two aggregations on natural keys; probability from exact int64 counts.
+# ---------------------------------------------------------------------------
+@register(
+    "text_bigram_lm",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), bg AS (
+      SELECT tk[i] AS w1, tk[i+1] AS w2
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)
+    ), pair_counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, SUM(n) AS total FROM pair_counts GROUP BY w1
+    )
+    SELECT p.w1, p.w2, p.n,
+           round(CAST(p.n AS DOUBLE) / u.total, 6) AS p_cond
+    FROM pair_counts p JOIN uni u ON p.w1 = u.w1
+    WHERE p.n >= 5
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(word_tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = pair_counts.groupBy("w1").agg(F.sum("n").alias("__total"))
+    return (
+        pair_counts.join(uni, "w1")
+        .filter(F.col("n") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__total"), 6).alias("p_cond"),
+        )
+    )
