@@ -12,7 +12,7 @@ from .readers import (
     read_text_corpus,
     read_weblog,
 )
-from .sinks import write_parquet, write_tsv
+from .sinks import upsert_partitions, write_parquet, write_tsv
 
 __all__ = [
     "read_flight_csv",
@@ -20,6 +20,7 @@ __all__ = [
     "read_synthetic",
     "read_text_corpus",
     "read_weblog",
+    "upsert_partitions",
     "write_parquet",
     "write_tsv",
 ]

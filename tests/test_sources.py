@@ -155,3 +155,35 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     # pruning: reading one split dir touches only that split
     train_only = spark.read.parquet(out1).filter("split = 'train'")
     assert 0 < train_only.count() < len(a)
+
+
+def test_upsert_partitions_replaces_only_present_days(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing one day replaces exactly
+    that day's partition (idempotent retry) and leaves others untouched."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.sinks import (
+        upsert_partitions,
+    )
+
+    path = str(tmp_path / "lake")
+    day1 = [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0)]
+    day2 = [(3, "2024-01-02", 30.0)]
+    schema = "id long, day string, v double"
+    upsert_partitions(spark.createDataFrame(day1 + day2, schema), path, ["day"])
+
+    # re-run day2 with corrected data: only day2 changes
+    fixed_day2 = [(3, "2024-01-02", 99.0), (4, "2024-01-02", 40.0)]
+    upsert_partitions(spark.createDataFrame(fixed_day2, schema), path, ["day"])
+
+    # hive partition discovery type-infers the day column as DATE
+    got = {
+        (r.id, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 10.0,
+        (2, "2024-01-01"): 20.0,
+        (3, "2024-01-02"): 99.0,
+        (4, "2024-01-02"): 40.0,
+    }
+    # partition pruning still works on the layout
+    one_day = spark.read.parquet(path).filter("day = '2024-01-01'")
+    assert one_day.count() == 2
