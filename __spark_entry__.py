@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     "events_value_zscore_outliers",
     "customer_rfm",
     "text_bigram_lm",
+    "events_trailing_7d_spend",
     "text_repetition",
     "text_decontaminate",
     "dedup_ngram_jaccard_ppjoin",

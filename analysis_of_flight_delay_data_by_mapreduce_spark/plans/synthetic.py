@@ -3474,3 +3474,38 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("__total"), 6).alias("p_cond"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: per-user trailing-7-day spend at every event.
+# The frame is declared on exact epoch MICROSECONDS (int64) so the RANGE
+# bounds are engine-portable — Spark's rangeBetween and DuckDB's RANGE
+# PRECEDING agree bit-for-bit, including the all-ties-included semantics
+# of RANGE frames. One shuffle, keyed on user_id.
+# ---------------------------------------------------------------------------
+@register(
+    "events_trailing_7d_spend",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS spend_7d_cents
+    FROM events
+    """,
+)
+def events_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("spend_7d_cents"),
+    )
