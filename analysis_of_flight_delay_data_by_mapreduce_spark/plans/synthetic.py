@@ -3342,7 +3342,7 @@ def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100.0, 0).cast("long")
     ev = ev.select("event_id", "event_type", cents.alias("__c"))
-    m = ev.groupBy("event_type").agg(
+    type_moments = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__c").alias("__s"),
         F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
@@ -3351,7 +3351,7 @@ def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.sqrt(F.col("__ss").cast("double") / F.col("__n") - mean * mean)
     z = (F.col("__c") - mean) / sd
     return (
-        ev.join(F.broadcast(m), "event_type")  # one row per event type
+        ev.join(F.broadcast(type_moments), "event_type")  # one row per event type
         .filter(F.abs(z) >= 3.0)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )

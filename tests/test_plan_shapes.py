@@ -120,6 +120,8 @@ def test_no_forced_broadcast_of_scaling_tables():
         "pair",         # 2 nation rows (tpch_q7)
         "promo_parts",  # type-filtered part keys, single int column
         "eval_sh",      # eval-set shingles (tiny by construction)
+        "type_moments",  # one row per event_type (bounded cardinality agg)
+        "maxd",         # 1-row global MAX aggregate
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
