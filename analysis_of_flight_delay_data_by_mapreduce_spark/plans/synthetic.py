@@ -3509,3 +3509,28 @@ def events_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(cents).over(w).alias("spend_7d_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL): per-day
+# user sketches unioned into per-type estimates. THE incremental pattern
+# for 100 TB analytics — daily jobs materialize small sketch rows; any
+# later window's distinct count is a cheap union of sketches instead of a
+# rescan of raw facts. Rows-only (sketch binaries are engine-specific);
+# the estimate's error bound vs exact is pinned in pytest.
+# ---------------------------------------------------------------------------
+@register("events_user_sketch_rollup")
+def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("approx_users"),
+        )
+    )

@@ -264,3 +264,28 @@ def test_corpus_prepare_equals_exact_reconstruction(spark, docs):
     )
     assert got == expected
     assert 0 < len(got) < docs.count()  # both gates actually fired
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    """Per-type distinct-user estimates from unioned per-day HLL sketches
+    must sit within 2% of the exact distinct counts (default lgConfigK=12
+    gives ~1.6% RSE; the corpus cardinalities are far below saturation)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
+        QUERIES,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["events_user_sketch_rollup"](spark, SF_DIR_ORACLE).collect()
+    }
+    ev = read_parquet_table(spark, SF_DIR_ORACLE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est - exact[t]) <= max(1, 0.02 * exact[t]), (t, est, exact[t])
