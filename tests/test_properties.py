@@ -195,3 +195,42 @@ def test_connected_components_matches_union_find(spark, algorithm, edges):
         for r in connected_components(df, algorithm=algorithm).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab1 .-@+x" + "9",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scrub_pii_matches_python_re_model(spark, texts):
+    """scrub_pii must equal a pure-Python re.sub chain with the same
+    patterns on adversarial text drawn from the PII alphabet (digits,
+    dots, dashes, @, +) — counts and scrubbed output both."""
+    import re as _re
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        PII_PATTERNS,
+        scrub_pii,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df, "text").collect()}
+
+    for i, t in rows:
+        cur = t
+        counts = {}
+        for kind, pat, tag in PII_PATTERNS:
+            counts[kind] = len(_re.findall(pat, cur))
+            cur = _re.sub(pat, tag, cur)
+        r = got[i]
+        assert r.scrubbed == cur, (t, r.scrubbed, cur)
+        for kind, _, _ in PII_PATTERNS:
+            assert getattr(r, f"n_{kind}") == counts[kind], (t, kind)
