@@ -86,6 +86,7 @@ _CHECK_FIRST = [
     "tpch_q3_shipping_priority",  # broadcast hint removed
     "ann_cosine_topk",          # rewritten as 1-row broadcast join
     "events_user_sketch_rollup",  # new in round 2 (rows-only sketch tier)
+    "events_user_overlap_sketch",  # new in round 2 (theta set algebra)
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "dedup_exact",

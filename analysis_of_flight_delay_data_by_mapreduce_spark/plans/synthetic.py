@@ -3534,3 +3534,30 @@ def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra: approximate |users(A) ∩ users(B)| per event-type
+# pair from per-type sketches. Theta sketches (unlike HLL) support
+# intersection/difference — at 100 TB, per-segment sketches materialized
+# once answer ANY pairwise audience-overlap question without rescanning
+# facts. Rows-only (sketch binaries engine-specific); error bound vs the
+# exact INTERSECT pinned in pytest.
+# ---------------------------------------------------------------------------
+@register("events_user_overlap_sketch")
+def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+            )
+            .cast("long")
+            .alias("approx_both"),
+        )
+    )

@@ -289,3 +289,31 @@ def test_hll_sketch_rollup_error_bound(spark):
     assert set(got) == set(exact)
     for t, est in got.items():
         assert abs(est - exact[t]) <= max(1, 0.02 * exact[t]), (t, est, exact[t])
+
+
+def test_theta_overlap_sketch_error_bound(spark):
+    """Pairwise audience-overlap estimates from theta-sketch intersection
+    must sit within 2% of the exact INTERSECT counts for every event-type
+    pair (cardinalities far below the default sketch saturation)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
+        QUERIES,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.type_a, r.type_b): r.approx_both
+        for r in QUERIES["events_user_overlap_sketch"](
+            spark, SF_DIR_ORACLE
+        ).collect()
+    }
+    ev = read_parquet_table(spark, SF_DIR_ORACLE, "events")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for (ta, tb), est in got.items():
+        exact = (
+            ev.filter(F.col("event_type") == ta)
+            .select("user_id")
+            .intersect(ev.filter(F.col("event_type") == tb).select("user_id"))
+            .count()
+        )
+        assert abs(est - exact) <= max(1, 0.02 * exact), (ta, tb, est, exact)
