@@ -29,12 +29,17 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["global_running_sum", "pack_chunks", "range_bucket"]
+__all__ = ["global_running_sum", "ntile_exact", "pack_chunks", "range_bucket"]
 
 _SAMPLE_PER_BUCKET = 64  # sampled keys per target bucket when picking boundaries
 
 
-def range_bucket(df: DataFrame, order_col: str, n_buckets: int) -> Column:
+def range_bucket(
+    df: DataFrame,
+    order_col: str | Column,
+    n_buckets: int,
+    n_rows: int | None = None,
+) -> Column:
     """Return a Column assigning each row a range-bucket id in
     ``[0, n_buckets)`` such that every key in bucket i sorts before every
     key in bucket i+1 (NULLS FIRST, matching Spark/DuckDB ASC ordering).
@@ -44,14 +49,17 @@ def range_bucket(df: DataFrame, order_col: str, n_buckets: int) -> Column:
     100 TB input) and baked into the plan as literals — the assignment is
     a pure function of the row, so it is deterministic across actions.
     """
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     if n == 0 or n_buckets <= 1:
         return F.lit(0)
     target = n_buckets * _SAMPLE_PER_BUCKET
     fraction = min(1.0, target / n)
+    key = F.col(order_col) if isinstance(order_col, str) else order_col
     keys = sorted(
         r[0]
-        for r in df.select(order_col).sample(False, fraction, seed=42).collect()
+        for r in df.select(key.alias("__k"))
+        .sample(False, fraction, seed=42)
+        .collect()
         if r[0] is not None
     )
     if not keys:
@@ -66,7 +74,6 @@ def range_bucket(df: DataFrame, order_col: str, n_buckets: int) -> Column:
     if not boundaries:
         return F.lit(0)
     # bucket = #boundaries strictly below the key; NULL keys sort first → 0.
-    key = F.col(order_col)
     return reduce(
         lambda acc, b: acc + F.when(key > F.lit(b), 1).otherwise(0),
         boundaries,
@@ -110,6 +117,72 @@ def global_running_sum(
         .withColumn(out, F.col("__local") + F.col("__offset"))
         .drop("__pid", "__local", "__offset", "__v")
     )
+
+
+def ntile_exact(
+    df: DataFrame,
+    n_tiles: int,
+    order_col: str,
+    ascending: bool = True,
+    tiebreak: str | None = None,
+    out: str = "ntile",
+    n_rows: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order_col [DESC][, tiebreak])``
+    without the ``Exchange SinglePartition`` a global window needs.
+
+    Two-pass distributed rank (same scheme as :func:`global_running_sum`):
+
+    1. range-bucket each row on the sort key via plan-literal boundaries;
+    2. ``row_number`` inside each bucket (narrow window);
+    3. per-bucket counts → cumulative offsets computed on the DRIVER
+       (#buckets rows, KBs at any scale) and baked in as literals —
+       global rank = offset + local rank, tile from rank arithmetic.
+
+    Matches SQL ntile semantics exactly: the first ``n mod n_tiles``
+    tiles get ``ceil(n/n_tiles)`` rows, the rest ``floor(n/n_tiles)``.
+    With a unique ``tiebreak`` the tiling is deterministic and
+    engine-portable (same contract the DuckDB oracles rely on).
+    ``order_col`` must be numeric when ``ascending=False`` (the key is
+    negated so range bucketing stays ascending); NULL keys are not
+    supported (callers here rank non-null aggregates).
+    """
+    spark = df.sparkSession
+    n = df.count() if n_rows is None else n_rows
+    if n == 0:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    key = F.col(order_col) if ascending else (-F.col(order_col))
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    part = df.withColumn("__pid", range_bucket(df, key, n_part, n_rows=n))
+    order = [key.asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w_local = W.partitionBy("__pid").orderBy(*order)
+    local = part.withColumn("__local", F.row_number().over(w_local))
+
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offset, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = offset
+        offset += counts[pid]
+    off_col = reduce(
+        lambda acc, pid: acc.when(F.col("__pid") == pid, F.lit(offsets[pid])),
+        sorted(offsets),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+
+    rank = (off_col + F.col("__local")).cast("long")
+    q, rem = divmod(n, n_tiles)
+    head = rem * (q + 1)  # rows covered by the ceil-sized tiles
+    if q == 0:
+        tile = rank  # fewer rows than tiles: tile i = row i
+    else:
+        tile = F.when(rank <= head, ((rank - 1) / (q + 1)).cast("long") + 1).otherwise(
+            rem + ((rank - head - 1) / q).cast("long") + 1
+        )
+    return local.withColumn(out, tile.cast("long")).drop("__pid", "__local")
 
 
 def pack_chunks(

@@ -1586,9 +1586,11 @@ def nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           ((SUM(n_tokens) OVER (ORDER BY doc_id
+           -- DuckDB widens window-SUM(BIGINT) to HUGEINT; the driver hash is
+           -- dtype-sensitive, so cast back to BIGINT to match Spark (r2 red).
+           CAST(((SUM(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                 - n_tokens) // 512 AS chunk_id
+                 - n_tokens) // 512 AS BIGINT) AS chunk_id
     FROM t
     """,
 )
@@ -2242,8 +2244,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-               AS revenue_cents
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
     WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
       AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n1.n_nationkey
@@ -3006,7 +3008,8 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_segment_spend",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n,
-           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS spend_cents
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type = 'purchase'
     GROUP BY c.c_mktsegment
@@ -3033,27 +3036,30 @@ def events_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_profile",
     oracle="""
+    -- n_null SUMs are CAST back to BIGINT: DuckDB widens SUM(int) to
+    -- HUGEINT and the driver's value hash is dtype-sensitive (r2 red row).
     SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
            COUNT(DISTINCT o_orderkey) AS n_distinct,
            CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
            CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
     FROM orders
     UNION ALL
     SELECT 'o_custkey', COUNT(*),
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_custkey),
            CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', COUNT(*),
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderstatus),
            CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', COUNT(*),
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderpriority),
            CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
     FROM orders
@@ -3370,7 +3376,8 @@ def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', MAX(o_orderdate), (SELECT mx FROM maxd))
                AS BIGINT) AS recency_days,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS monetary_cents
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
       FROM orders GROUP BY o_custkey
     )
     SELECT c_custkey, recency_days, frequency, monetary_cents,
@@ -3381,7 +3388,7 @@ def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.sequence import ntile_exact
 
     orders = _t(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("__mx"))
@@ -3398,26 +3405,33 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # ntile needs a global order — acceptable for the per-customer rollup
-    # (rows = |customers|, far smaller than facts); tiebreak by custkey
-    # makes the tiling deterministic and engine-portable.
-    return base.select(
+    # A plain ntile window would be Exchange SinglePartition over the whole
+    # per-customer rollup — a single-task bottleneck at 1e9 customers.
+    # ntile_exact is the two-pass distributed rank (range buckets + narrow
+    # row_number + driver-side offsets over #buckets rows); the custkey
+    # tiebreak keeps the tiling bit-identical to the DuckDB oracle. The
+    # construction-time stats jobs (count/sample/bucket-counts) hit the
+    # cached rollup; it is unpersisted before returning so nothing leaks
+    # into the driver's long session — the final action rebuilds lineage
+    # once.
+    base = base.persist()
+    n = base.count()
+    out = ntile_exact(
+        base, 4, "recency_days", True, "c_custkey", "r_quartile", n_rows=n
+    )
+    out = ntile_exact(out, 4, "frequency", False, "c_custkey", "f_quartile", n_rows=n)
+    out = ntile_exact(
+        out, 4, "monetary_cents", False, "c_custkey", "m_quartile", n_rows=n
+    )
+    base.unpersist()
+    return out.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4)
-        .over(W.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc()))
-        .cast("long")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc()))
-        .cast("long")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary_cents").desc(), F.col("c_custkey").asc()))
-        .cast("long")
-        .alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 

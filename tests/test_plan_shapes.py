@@ -182,3 +182,19 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_customer_rfm_no_data_wide_single_partition(spark):
+    # The quartile assignment must not funnel the per-customer rollup
+    # through one task: ntile_exact replaces the three global ntile
+    # windows with __pid hash exchanges. The only SinglePartition allowed
+    # is the 1-row global-max aggregate (moves #partitions rows).
+    df = synthetic.QUERIES["customer_rfm"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert txt.count("Exchange SinglePartition") <= 1
+    # every window is partitioned (no empty partition spec → no global sort)
+    for line in txt.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            first_arg = spec.split(",", 1)[0]
+            assert "__pid" in first_arg, f"unpartitioned window:\n{line}"

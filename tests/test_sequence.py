@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sequence import (
     global_running_sum,
+    ntile_exact,
     pack_chunks,
 )
 from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import plan_text
@@ -112,3 +113,50 @@ def test_pack_chunks_matches_python_model(spark, rows, budget):
         expected[did] = acc // budget
         acc += nt
     assert got == expected
+
+
+def test_ntile_exact_matches_window_ntile(spark):
+    # asc and desc orderings, with ties broken by a unique key — must be
+    # bit-identical to the SQL window ntile the oracles use.
+    df = spark.range(0, 1003).select(
+        F.col("id").alias("k"), (F.col("id") % 29).alias("v")
+    )
+    for asc in (True, False):
+        order = [F.col("v").asc() if asc else F.col("v").desc(), F.col("k").asc()]
+        want = {
+            r.k: r.t
+            for r in df.withColumn(
+                "t", F.ntile(4).over(W.orderBy(*order)).cast("long")
+            ).collect()
+        }
+        got = {
+            r.k: r.t
+            for r in ntile_exact(
+                df, 4, "v", ascending=asc, tiebreak="k", out="t"
+            ).collect()
+        }
+        assert got == want, f"ascending={asc}"
+
+
+def test_ntile_exact_small_and_uneven(spark):
+    # n < tiles and n % tiles != 0 exercise the ceil/floor tile-size split
+    for n, tiles in [(3, 4), (10, 4), (7, 3)]:
+        df = spark.range(0, n).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        want = {
+            r.k: r.t
+            for r in df.withColumn(
+                "t", F.ntile(tiles).over(W.orderBy("v", "k")).cast("long")
+            ).collect()
+        }
+        got = {
+            r.k: r.t
+            for r in ntile_exact(df, tiles, "v", tiebreak="k", out="t").collect()
+        }
+        assert got == want, (n, tiles)
+
+
+def test_ntile_exact_partition_count_stable(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    a = {r.k: r.t for r in ntile_exact(df, 4, "v", tiebreak="k", out="t", num_partitions=3).collect()}
+    b = {r.k: r.t for r in ntile_exact(df, 4, "v", tiebreak="k", out="t", num_partitions=17).collect()}
+    assert a == b
