@@ -3113,7 +3113,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_profit_by_nation_year",
     oracle="""
-    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
            CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
                 - p_retailprice * l_quantity) * 100.0) AS BIGINT)) AS BIGINT)
              AS profit_cents
