@@ -3558,6 +3558,54 @@ def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # facts. Rows-only (sketch binaries engine-specific); error bound vs the
 # exact INTERSECT pinned in pytest.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Driver-checkable face of the HLL rollup: the same sketch pipeline plus
+# the exact distinct count in one job, reduced to a hashable boolean —
+# |approx - exact| <= max(1, 2% of exact) (default lgConfigK=12 ≈ 1.6%
+# RSE). The oracle asserts the exact side and `TRUE`; a drifting sketch
+# flips within_tolerance and the driver hash goes red. The exact side
+# exists only to make the bound checkable — production uses the rows-only
+# rollup above, which never rescans facts.
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_sketch_check",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type
+    """,
+)
+def events_user_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    approx = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("approx_users"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    bound = F.greatest(F.lit(1.0), F.col("exact_users") * 0.02)
+    return (
+        approx.join(exact, "event_type")  # |event types| rows, AQE broadcasts
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (err <= bound).alias("within_tolerance"),
+        )
+    )
+
+
 @register("events_user_overlap_sketch")
 def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -3574,4 +3622,59 @@ def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("approx_both"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable face of the theta-sketch overlap: sketch intersection
+# AND the exact pairwise |users(A) ∩ users(B)| in one job, reduced to the
+# same hashable tolerance boolean as events_user_sketch_check. Exact side
+# is a self-join of the distinct (type, user) pairs on user_id — an
+# equi-join on a high-cardinality key, shuffle-partitioned, no all-pairs
+# blowup (pair multiplicity per user = |types a user touched|² ≤ 25).
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_overlap_check",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_both,
+           TRUE AS within_tolerance
+    FROM tu a JOIN tu b ON a.user_id = b.user_id
+    WHERE a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def events_user_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a, b = sk.alias("a"), sk.alias("b")
+    approx = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.theta_sketch_estimate(F.theta_intersection(F.col("a.sk"), F.col("b.sk")))
+        .cast("long")
+        .alias("approx_both"),
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    ta, tb = tu.alias("ta"), tu.alias("tb")
+    exact = (
+        ta.join(
+            tb,
+            (F.col("ta.user_id") == F.col("tb.user_id"))
+            & (F.col("ta.event_type") < F.col("tb.event_type")),
+        )
+        .groupBy(
+            F.col("ta.event_type").alias("type_a"),
+            F.col("tb.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    err = F.abs(F.col("approx_both") - F.col("exact_both"))
+    bound = F.greatest(F.lit(1.0), F.col("exact_both") * 0.02)
+    return approx.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_both",
+        (err <= bound).alias("within_tolerance"),
     )
