@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import char_ngrams, cosine_similarity, word_shingles, word_tokens
+from .cache import scoped_persist
 
 __all__ = [
     "exact_dedup",
@@ -101,7 +102,7 @@ def _prune_hot_buckets(
     # counting, the join-back, and both sides of the candidate self-join);
     # persist the (small: one row per doc per band) frame so the upstream
     # fingerprint/signature pipeline executes once.
-    entries = entries.persist()
+    entries = scoped_persist(entries)
     counts = entries.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bucket_n"))
     return (
         entries.join(counts, keys)
@@ -214,7 +215,7 @@ def minhash_lsh_dedup(
         # O(corpus²-overlaps). The pair set feeds two consumers (the id
         # semi-join and the final verify join) — persist it so the
         # signature+band pipeline runs once, not twice.
-        pairs = pairs.persist()
+        pairs = scoped_persist(pairs)
         cand_ids = (
             pairs.select(F.col("id_a").alias(id_col))
             .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -316,7 +317,7 @@ def simhash_near_dup(
     """
     fp = simhash(df, id_col, text_col)
     if max_hamming is not None:
-        fp = fp.persist()  # feeds band entries + two verify joins
+        fp = scoped_persist(fp)  # feeds band entries + two verify joins
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     entries = fp.select(
@@ -442,7 +443,7 @@ def ngram_jaccard_pairs(
             id_col, "__shingle"
         )
         cand = (
-            _pair_counts(prefix).select("id_a", "id_b").distinct().persist()
+            scoped_persist(_pair_counts(prefix).select("id_a", "id_b").distinct())
         )
         cand_ids = (
             cand.select(F.col("id_a").alias(id_col))

@@ -329,14 +329,18 @@ def scrub_pii(
     replacement (per kind, on the progressively-scrubbed text, matching
     the replacement order) so ``n_<kind>`` reports exactly what was
     redacted. Output: ``out`` (scrubbed text) + one ``n_<kind>`` column
-    per pattern.
+    per pattern. NULL text stays NULL in ``out`` and counts 0 for every
+    kind — nothing was redacted, which is what the counts report.
     """
     result = df
     prev = F.col(text_col)
     for kind, pat, tag in PII_PATTERNS:
         result = result.withColumn(
             f"n_{kind}",
-            F.size(F.regexp_extract_all(prev, F.lit(pat), F.lit(0))).cast("long"),
+            F.coalesce(
+                F.size(F.regexp_extract_all(prev, F.lit(pat), F.lit(0))),
+                F.lit(0),
+            ).cast("long"),
         ).withColumn(f"__s_{kind}", F.regexp_replace(prev, pat, tag))
         prev = F.col(f"__s_{kind}")
     result = result.withColumn(out, prev)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.cache import scoped_persist
 from ..operators.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_pairs
 from ..operators.graph import dedup_clusters
 from ..operators.text import fingerprint, quality_score
@@ -45,7 +46,7 @@ def prepare_corpus(
     # `kept` feeds three consumers (minhash signatures, the verify pass,
     # the final anti join) — persist so the scoring+fingerprint scan runs
     # once. Narrow columns only; at scale this is a checkpointed shard.
-    kept = scored.join(exact_survivors, [id_col, "fp"], "left_semi").persist()
+    kept = scoped_persist(scored.join(exact_survivors, [id_col, "fp"], "left_semi"))
 
     near_pairs = minhash_lsh_dedup(
         kept,
@@ -85,7 +86,7 @@ def prepare_corpus_cc(
     scored = quality_score(docs, text_col).filter(F.col("quality") >= min_quality)
     scored = fingerprint(scored, text_col)
     exact_survivors = exact_dedup(scored, ["fp"], id_col)
-    kept = scored.join(exact_survivors, [id_col, "fp"], "left_semi").persist()
+    kept = scoped_persist(scored.join(exact_survivors, [id_col, "fp"], "left_semi"))
 
     pairs = ngram_jaccard_pairs(
         kept, id_col, text_col, shingle_k=3, mode="word",

@@ -48,10 +48,21 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        from functools import wraps
+
+        from ..operators.cache import release_stale
+
+        @wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # a driver session runs many queries back-to-back: free the
+            # previous query's scoped_persist blocks before building
+            release_stale()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -3333,15 +3344,18 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                * CAST(ROUND(value * 100.0) AS BIGINT)) AS ss
       FROM events GROUP BY event_type
     )
+    -- NULLIF guards a zero-variance event_type: both engines then yield
+    -- NULL z and the null-rejecting abs(z) filter drops those rows
+    -- (Spark side guards with F.when(sd > 0) for the same contract).
     SELECT e.event_id, e.event_type,
            round((CAST(ROUND(e.value * 100.0) AS BIGINT) - CAST(m.s AS DOUBLE)/m.n)
-             / sqrt(CAST(m.ss AS DOUBLE)/m.n
-                  - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n)), 6)
+             / NULLIF(sqrt(CAST(m.ss AS DOUBLE)/m.n
+                  - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n)), 0), 6)
              AS z
     FROM events e JOIN m ON e.event_type = m.event_type
     WHERE abs((CAST(ROUND(e.value * 100.0) AS BIGINT) - CAST(m.s AS DOUBLE)/m.n)
-             / sqrt(CAST(m.ss AS DOUBLE)/m.n
-                  - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n))) >= 3.0
+             / NULLIF(sqrt(CAST(m.ss AS DOUBLE)/m.n
+                  - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n)), 0)) >= 3.0
     """,
 )
 def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3355,7 +3369,10 @@ def events_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("__s").cast("double") / F.col("__n")
     sd = F.sqrt(F.col("__ss").cast("double") / F.col("__n") - mean * mean)
-    z = (F.col("__c") - mean) / sd
+    # zero-variance guard: z is NULL when sd == 0 (matches the oracle's
+    # NULLIF) so the null-rejecting abs(z) filter drops those rows instead
+    # of diverging between engines on a degenerate event_type.
+    z = F.when(sd > 0, (F.col("__c") - mean) / sd)
     return (
         ev.join(F.broadcast(type_moments), "event_type")  # one row per event type
         .filter(F.abs(z) >= 3.0)

@@ -88,9 +88,12 @@ except ImportError:  # pragma: no cover
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """``running_user_totals`` on the transformWithStateInPandas API.
 
-    Same semantics as the applyInPandasWithState version (asserted equal
-    in tests); requires the RocksDB state store provider
-    (``session.get_spark`` config or per-query option).
+    Same semantics as the applyInPandasWithState version. EXPERIMENTAL /
+    UNVERIFIED HERE: the parity test (test_stateful_streaming.py)
+    importorskips on google.protobuf, which this image lacks, so this
+    path has never executed in this environment — do not assume parity
+    until the skip count is zero. Requires the RocksDB state store
+    provider (``session.get_spark`` config or per-query option).
     """
     if not _HAS_TWS:  # pragma: no cover
         raise NotImplementedError(

@@ -147,3 +147,19 @@ def test_scrub_pii_planted(spark):
     assert got[5].scrubbed == rows[4][1]  # clean text is untouched
     assert got[6].scrubbed == "multi <EMAIL> and <EMAIL> from <IP> acct <NUM>"
     assert (got[6].n_email, got[6].n_ip, got[6].n_number) == (2, 1, 1)
+
+
+def test_scrub_pii_null_text(spark):
+    """NULL text: scrubbed stays NULL, every count is 0 (not NULL) — the
+    docstring contract that counts report exactly what was redacted."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail bob@x.io")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in scrub_pii(df, "text").collect()}
+    assert got[1].scrubbed is None
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone, got[1].n_number) == (0, 0, 0, 0)
+    assert got[2].scrubbed == "mail <EMAIL>" and got[2].n_email == 1
