@@ -44,6 +44,12 @@ _CHECK_FIRST = [
     # --- new in round 3: driver-checkable sketch tier ---
     "events_user_sketch_check",
     "events_user_overlap_check",
+    # --- new in round 3: TPC-H Q15/Q17/Q19/Q22 shapes + mixture cap ---
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_inactive_rich",
+    "docs_source_budget_cap",
     # --- oracle-backed queries whose last driver row is round 1 ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -3695,3 +3695,240 @@ def events_user_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_both",
         (err <= bound).alias("within_tolerance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape (top supplier by windowed revenue; no view, no second
+# scan for the max): revenue per supplier over one quarter, keep the
+# argmax row(s) via a broadcast 1-row max — the same declarative scalar
+# pattern as customer_rfm's global max. Schema note: partsupp is absent
+# from the synthetic set, so the revenue base is lineitem alone
+# (reference Q15's l_extendedprice*(1-l_discount) formula, cent-exact).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_cents
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents).alias("total_revenue_cents"))
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_cents") == F.col("__mx"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape (small-quantity-order revenue): lineitems of one brand
+# whose quantity is below 20% of that part's average quantity. The
+# correlated scalar subquery becomes a per-part aggregate joined back —
+# one shuffle on l_partkey; the brand dimension filter is pushed to the
+# part scan and broadcast. Exactness: qty*5n < sum_qty avoids division
+# (l_quantity is integral in the synthetic set).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    JOIN pq ON pq.pk = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.n < pq.sum_qty
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(pq, li.l_partkey == pq.pk)
+        .filter(F.col("l_quantity").cast("long") * 5 * F.col("n") < F.col("sum_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape (disjunctive predicate revenue): three OR'd
+# brand/size/quantity bands over the part-lineitem join. Catalyst pushes
+# the common p_partkey equi-join key and evaluates the disjunction
+# post-join; part is broadcast. The reference point of this shape: OR'd
+# multi-column predicates must not fall back to a cartesian product.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 20 AND l_quantity <= 30))
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (inactive wealthy customers): customers whose balance
+# exceeds the average positive balance AND who placed no order since
+# 2000-01-01, counted per nation. (Every synthetic customer has SOME
+# order, so true Q22's no-orders-ever would be empty — the recency cutoff
+# keeps the anti-join selective and non-trivial: 55 of 1500 at sf0.01.)
+# The phone-prefix country code of true Q22 needs c_phone (absent —
+# requested in FIXTURES.md); nation is the stand-in. Anti-join +
+# broadcast scalar threshold: both Catalyst-native, no correlated
+# subquery execution.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q22_inactive_rich",
+    oracle="""
+    WITH thr AS (
+      SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS avg_cents
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (SELECT avg_cents FROM thr)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    """,
+)
+def tpch_q22_inactive_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cust = cust.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+    thr = cust.filter(F.col("bal_cents") > 0).agg(
+        F.avg("bal_cents").alias("__avg")
+    )
+    return (
+        cust.join(F.broadcast(thr), F.col("bal_cents") > F.col("__avg"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus token budget per source: rank each source's documents
+# by quality proxy (chars per doc desc, doc_id tiebreak) and keep rows
+# until the source's running char total exceeds the budget. One
+# partitioned window per source — parallel across sources, no global
+# sort; the pattern that enforces per-domain mixture caps when building
+# a pretraining mix at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_source_budget_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS run_chars
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, run_chars
+    FROM r WHERE run_chars <= 5000
+    """,
+)
+def docs_source_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.sum("n_chars").over(w).alias("run_chars"),
+        )
+        .filter(F.col("run_chars") <= 5000)
+    )
