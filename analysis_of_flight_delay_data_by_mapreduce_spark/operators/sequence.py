@@ -187,14 +187,29 @@ def ntile_exact(
     w_local = W.partitionBy("__pid").orderBy(*order)
     local = part.withColumn("__local", F.row_number().over(w_local))
 
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offset, offsets = 0, {}
-    for pid in sorted(counts):
-        offsets[pid] = offset
-        offset += counts[pid]
+    # per-bucket counts are a pure function of the bucketed plan — cache
+    # them like the boundaries so repeated builds skip the collect job
+    try:
+        off_key = (part.semanticHash(), "__pid-offsets", n_part)
+    except Exception:  # pragma: no cover
+        off_key = None
+    if off_key is not None and off_key in _STATS_CACHE:
+        _, offsets = _STATS_CACHE[off_key]
+    else:
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in part.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offset, offsets = 0, {}
+        for pid in sorted(counts):
+            offsets[pid] = offset
+            offset += counts[pid]
+        if off_key is not None:
+            if len(_STATS_CACHE) >= _STATS_CACHE_MAX:
+                _STATS_CACHE.clear()
+            _STATS_CACHE[off_key] = (n, offsets)
     off_col = reduce(
         lambda acc, pid: acc.when(F.col("__pid") == pid, F.lit(offsets[pid])),
         sorted(offsets),

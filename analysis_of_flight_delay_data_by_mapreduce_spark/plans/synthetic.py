@@ -50,13 +50,16 @@ def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         from functools import wraps
 
-        from ..operators.cache import release_stale
+        from ..operators.cache import release_stale, set_scope
 
         @wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # a driver session runs many queries back-to-back: free the
-            # previous query's scoped_persist blocks before building
-            release_stale()
+            # a driver session runs many queries back-to-back: free any
+            # OTHER query's scoped_persist blocks before building. Same-
+            # name rebuilds (bench iterations) keep theirs so canonical-
+            # plan cache lookup can reuse them.
+            release_stale(keep_scope=name)
+            set_scope(name)
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
@@ -3428,10 +3431,11 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number + driver-side offsets over #buckets rows); the custkey
     # tiebreak keeps the tiling bit-identical to the DuckDB oracle. The
     # construction-time stats jobs (count/sample/bucket-counts) hit the
-    # cached rollup; it is unpersisted before returning so nothing leaks
-    # into the driver's long session — the final action rebuilds lineage
-    # once.
-    base = base.persist()
+    # scoped-persisted rollup (released when the next registry query
+    # builds) and are themselves cached per plan, so rebuilds are free.
+    from ..operators.cache import scoped_persist
+
+    base = scoped_persist(base)
     n = base.count()
     out = ntile_exact(
         base, 4, "recency_days", True, "c_custkey", "r_quartile", n_rows=n
@@ -3440,7 +3444,6 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ntile_exact(
         out, 4, "monetary_cents", False, "c_custkey", "m_quartile", n_rows=n
     )
-    base.unpersist()
     return out.select(
         "c_custkey",
         "recency_days",
@@ -3778,7 +3781,8 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        # no broadcast hint: part scales with SF — AQE picks the strategy
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(pq, li.l_partkey == pq.pk)
         .filter(F.col("l_quantity").cast("long") * 5 * F.col("n") < F.col("sum_qty"))
         .agg(
@@ -3828,7 +3832,8 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # no broadcast hint: part scales with SF — AQE picks the strategy
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
         .agg(F.sum(cents).alias("revenue_cents"))
     )

@@ -122,6 +122,9 @@ def test_no_forced_broadcast_of_scaling_tables():
         "eval_sh",      # eval-set shingles (tiny by construction)
         "type_moments",  # one row per event_type (bounded cardinality agg)
         "maxd",         # 1-row global MAX aggregate
+        "mx",           # 1-row revenue MAX (tpch_q15 argmax)
+        "thr",          # 1-row AVG threshold (tpch_q22)
+        "nat",          # fixed 25-row nation dim (tpch_q22)
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
