@@ -50,6 +50,8 @@ _CHECK_FIRST = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_inactive_rich",
     "docs_source_budget_cap",
+    "docs_difficulty_quartiles",
+    "embedding_label_centroids",
     # --- oracle-backed queries whose last driver row is round 1 ---
     "dedup_exact",
     "dedup_ngram_jaccard",

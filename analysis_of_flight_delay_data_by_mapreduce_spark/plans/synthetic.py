@@ -3937,3 +3937,69 @@ def docs_source_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("run_chars") <= 5000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quartiles over the corpus: ntile(4) by document length with
+# a doc_id tiebreak — the "bucket by difficulty proxy" step of curriculum
+# data ordering. Second driver-checked consumer of ntile_exact
+# (operators.sequence): distributed two-pass rank, no data-wide
+# Exchange SinglePartition, bit-identical to the oracle's global window.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_difficulty_quartiles",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(ntile(4) OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+               AS difficulty_q
+    FROM documents
+    """,
+)
+def docs_difficulty_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import ntile_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return ntile_exact(
+        docs, 4, "n_chars", ascending=False, tiebreak="doc_id", out="difficulty_q"
+    ).select("doc_id", "n_chars", "difficulty_q")
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids, exactly: posexplode the vector, sum
+# round-to-micro int64 components per (label, dimension) — the
+# order-independent integer-moment pattern (module docstring) applied to
+# array columns, so the result hash-matches DuckDB despite float inputs.
+# Output mean is back-derived from the exact integer sum. One shuffle on
+# (label, pos): dimension count is a literal fan-out, not a join.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS pos,
+           CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_micro,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+                AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_micro
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "__v")
+    )
+    micro = F.round(F.col("__v").cast("double") * 1_000_000, 0).cast("long")
+    agg = ex.groupBy("label", "pos").agg(
+        F.sum(micro).alias("sum_micro"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.round(F.col("sum_micro").cast("double") / F.col("n"), 0).cast("long")
+    return agg.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        "sum_micro",
+        "n",
+        mean.alias("mean_micro"),
+    )
