@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "docs_source_budget_cap",
     "docs_difficulty_quartiles",
     "embedding_label_centroids",
+    "vocab_build",
     # --- oracle-backed queries whose last driver row is round 1 ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -29,7 +29,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["global_running_sum", "ntile_exact", "pack_chunks", "range_bucket"]
+__all__ = [
+    "global_rank",
+    "global_running_sum",
+    "ntile_exact",
+    "pack_chunks",
+    "range_bucket",
+]
 
 _SAMPLE_PER_BUCKET = 64  # sampled keys per target bucket when picking boundaries
 
@@ -147,17 +153,16 @@ def global_running_sum(
     )
 
 
-def ntile_exact(
+def global_rank(
     df: DataFrame,
-    n_tiles: int,
     order_col: str,
     ascending: bool = True,
     tiebreak: str | None = None,
-    out: str = "ntile",
+    out: str = "rank",
     n_rows: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact ``ntile(n_tiles) OVER (ORDER BY order_col [DESC][, tiebreak])``
+    """Exact ``ROW_NUMBER() OVER (ORDER BY order_col [DESC][, tiebreak])``
     without the ``Exchange SinglePartition`` a global window needs.
 
     Two-pass distributed rank (same scheme as :func:`global_running_sum`):
@@ -166,12 +171,10 @@ def ntile_exact(
     2. ``row_number`` inside each bucket (narrow window);
     3. per-bucket counts → cumulative offsets computed on the DRIVER
        (#buckets rows, KBs at any scale) and baked in as literals —
-       global rank = offset + local rank, tile from rank arithmetic.
+       global rank = offset + local rank.
 
-    Matches SQL ntile semantics exactly: the first ``n mod n_tiles``
-    tiles get ``ceil(n/n_tiles)`` rows, the rest ``floor(n/n_tiles)``.
-    With a unique ``tiebreak`` the tiling is deterministic and
-    engine-portable (same contract the DuckDB oracles rely on).
+    With a unique ``tiebreak`` the ranking is deterministic and
+    engine-portable (the contract the DuckDB oracles rely on).
     ``order_col`` must be numeric when ``ascending=False`` (the key is
     negated so range bucketing stays ascending); NULL keys are not
     supported (callers here rank non-null aggregates).
@@ -216,7 +219,36 @@ def ntile_exact(
         F.when(F.lit(False), F.lit(0)),
     ).otherwise(F.lit(0))
 
-    rank = (off_col + F.col("__local")).cast("long")
+    return local.withColumn(
+        out, (off_col + F.col("__local")).cast("long")
+    ).drop("__pid", "__local")
+
+
+def ntile_exact(
+    df: DataFrame,
+    n_tiles: int,
+    order_col: str,
+    ascending: bool = True,
+    tiebreak: str | None = None,
+    out: str = "ntile",
+    n_rows: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order_col [DESC][, tiebreak])``
+    via :func:`global_rank` + tile arithmetic — no data-wide
+    ``Exchange SinglePartition``.
+
+    Matches SQL ntile semantics exactly: the first ``n mod n_tiles``
+    tiles get ``ceil(n/n_tiles)`` rows, the rest ``floor(n/n_tiles)``.
+    """
+    n = df.count() if n_rows is None else n_rows
+    if n == 0:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    ranked = global_rank(
+        df, order_col, ascending, tiebreak, "__rank", n_rows=n,
+        num_partitions=num_partitions,
+    )
+    rank = F.col("__rank")
     q, rem = divmod(n, n_tiles)
     head = rem * (q + 1)  # rows covered by the ceil-sized tiles
     if q == 0:
@@ -225,7 +257,7 @@ def ntile_exact(
         tile = F.when(rank <= head, ((rank - 1) / (q + 1)).cast("long") + 1).otherwise(
             rem + ((rank - head - 1) / q).cast("long") + 1
         )
-    return local.withColumn(out, tile.cast("long")).drop("__pid", "__local")
+    return ranked.withColumn(out, tile.cast("long")).drop("__rank")
 
 
 def pack_chunks(

@@ -4003,3 +4003,47 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         mean.alias("mean_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed vocabulary build: token counts (one shuffle, map-side
+# partials) → min-count gate → contiguous ids in (count DESC, token ASC)
+# order assigned by operators.sequence.global_rank — the two-pass
+# bucketed rank, so the id assignment that tokenizer training needs does
+# NOT funnel the vocabulary through one task the way ROW_NUMBER() OVER
+# (ORDER BY ...) would.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_build",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+             AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY token HAVING COUNT(*) >= 5
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS token_id
+    FROM counts
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    return global_rank(
+        counts, "n", ascending=False, tiebreak="token", out="token_id"
+    ).select("token", "n", "token_id")

@@ -115,6 +115,13 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path).withColumnRenamed("value", "line")
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — symmetric with :func:`write_orc`; Catalyst pushes
+    filters and prunes columns exactly as for parquet (asserted in
+    test_sources)."""
+    return spark.read.orc(path)
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:

@@ -31,6 +31,22 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC columnar sink — same contract as :func:`write_parquet` for
+    stacks standardized on ORC (Hive/Trino interop). Spark-native format:
+    predicate pushdown, column pruning, and hive partitioning all apply.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import textwrap
 
+from pyspark.sql import functions as F
+
 from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
     read_flight_csv,
     read_text_corpus,
@@ -187,3 +189,37 @@ def test_upsert_partitions_replaces_only_present_days(spark, tmp_path):
     # partition pruning still works on the layout
     one_day = spark.read.parquet(path).filter("day = '2024-01-01'")
     assert one_day.count() == 2
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC sink/scan parity with parquet: values round-trip, filters reach
+    the ORC scan (PushedFilters), unused columns are pruned from
+    ReadSchema, and hive partitioning prunes directories."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.readers import (
+        read_orc,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.sinks import (
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(100)],
+        "id long, bucket string, v double",
+    )
+    path = str(tmp_path / "orc_plain")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+    flt = back.filter(F.col("id") > 90).select("id")
+    txt = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in txt
+    read_schema = next(l for l in txt.splitlines() if "ReadSchema" in l)
+    assert "bucket" not in read_schema and "v" not in read_schema
+
+    part_path = str(tmp_path / "orc_part")
+    write_orc(df, part_path, partition_by=["bucket"])
+    pruned = read_orc(spark, part_path).filter(F.col("bucket") == "u1")
+    ptxt = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in ptxt
+    assert pruned.count() == 33
