@@ -4047,3 +4047,48 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_rank(
         counts, "n", ascending=False, tiebreak="token", out="token_id"
     ).select("token", "n", "token_id")
+
+
+# ---------------------------------------------------------------------------
+# Approximate-quantile rollup, driver-checkable: percentile_approx
+# (Greenwald-Khanna, mergeable — the map-side-combinable sketch Spark
+# ships for quantiles) vs the exact percentile, reduced to the same
+# hashable within_tolerance booleans as the sketch checks. accuracy=10000
+# bounds rank error at n/10000; the oracle asserts the exact side and
+# TRUE per quantile. Exact percentile exists only to make the bound
+# checkable — at 100 TB you'd publish the approx rollup alone.
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_quantile_check",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(quantile_cont(value, 0.5) * 100) AS BIGINT)
+               AS exact_p50_cents,
+           CAST(ROUND(quantile_cont(value, 0.95) * 100) AS BIGINT)
+               AS exact_p95_cents,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # exact continuous percentiles (SQL percentile == DuckDB quantile_cont)
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("__e50"),
+        F.expr("percentile(value, 0.95)").alias("__e95"),
+        F.percentile_approx("value", 0.5, 10000).alias("__a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("__a95"),
+    )
+    # tolerance: approx within 1% of the exact value (far looser than the
+    # rank-error bound implies on this distribution — stable per round)
+    ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= F.abs(F.col(e)) * 0.01)
+    return exact.select(
+        "event_type",
+        "n",
+        F.round(F.col("__e50") * 100).cast("long").alias("exact_p50_cents"),
+        F.round(F.col("__e95") * 100).cast("long").alias("exact_p95_cents"),
+        ok("__a50", "__e50").alias("p50_ok"),
+        ok("__a95", "__e95").alias("p95_ok"),
+    )

@@ -160,3 +160,32 @@ def test_ntile_exact_partition_count_stable(spark):
     a = {r.k: r.t for r in ntile_exact(df, 4, "v", tiebreak="k", out="t", num_partitions=3).collect()}
     b = {r.k: r.t for r in ntile_exact(df, 4, "v", tiebreak="k", out="t", num_partitions=17).collect()}
     assert a == b
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=9),
+)
+@settings(max_examples=8, deadline=None)
+def test_global_rank_matches_window_model(spark, values, n_parts):
+    """Property: global_rank == ROW_NUMBER over (v asc, idx asc) for
+    arbitrary duplicate-heavy data and any bucket count."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sequence import (
+        global_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    want = {
+        r.k: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("v", "k")).cast("long")
+        ).collect()
+    }
+    got = {
+        r.k: r.rank
+        for r in global_rank(
+            df, "v", tiebreak="k", num_partitions=n_parts
+        ).collect()
+    }
+    assert got == want
