@@ -4078,17 +4078,22 @@ def events_value_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr("percentile(value, 0.5)").alias("__e50"),
         F.expr("percentile(value, 0.95)").alias("__e95"),
+        # exact quantile brackets at p ± 1% rank — the bound GK actually
+        # guarantees (a *value*-relative tolerance breaks on sparse tails:
+        # the approx returns a real data element, the exact interpolates)
+        F.expr("percentile(value, 0.49)").alias("__lo50"),
+        F.expr("percentile(value, 0.51)").alias("__hi50"),
+        F.expr("percentile(value, 0.94)").alias("__lo95"),
+        F.expr("percentile(value, 0.96)").alias("__hi95"),
         F.percentile_approx("value", 0.5, 10000).alias("__a50"),
         F.percentile_approx("value", 0.95, 10000).alias("__a95"),
     )
-    # tolerance: approx within 1% of the exact value (far looser than the
-    # rank-error bound implies on this distribution — stable per round)
-    ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= F.abs(F.col(e)) * 0.01)
+    ok = lambda a, lo, hi: (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))
     return exact.select(
         "event_type",
         "n",
         F.round(F.col("__e50") * 100).cast("long").alias("exact_p50_cents"),
         F.round(F.col("__e95") * 100).cast("long").alias("exact_p95_cents"),
-        ok("__a50", "__e50").alias("p50_ok"),
-        ok("__a95", "__e95").alias("p95_ok"),
+        ok("__a50", "__lo50", "__hi50").alias("p50_ok"),
+        ok("__a95", "__lo95", "__hi95").alias("p95_ok"),
     )
