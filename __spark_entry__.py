@@ -24,82 +24,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-3 rotation: (a) the 5
-# round-2 hash-red queries (oracle HUGEINT dtype bugs, all fixed) and the
-# one oracle edited by the dtype audit, (b) the two new sketch-check
-# queries (first driver-visible evidence for the sketch tier), (c) every
-# oracle-backed query whose last driver row is from round 1 — so after
-# this round each has a green row from r2 or r3 — then (d) backfill with
-# the reference surface. Queries past the window were green in round 2
-# and their code is unchanged (full local check_oracle sweep re-verified
-# all 86 this round regardless).
+# entries; registry order is ours to choose. Round-4 rotation (VERDICT r3
+# item 2): the window is exactly the 54 queries with NO round-3 driver
+# row — all 46 oracle-backed ones (including the new
+# dedup_minhash_recall_check and the never-driver-checked
+# events_value_quantile_check, which goes first) plus 4 of the 8
+# rows-only ones. After this round every oracle-backed query has a
+# driver-green row from r3 or r4. The 50 queries past the window are
+# precisely the CORRECTNESS_r03 green set; their code paths are
+# re-verified by the full local check_oracle sweep each round and by
+# pytest oracle replicas at sf0.001.
 _CHECK_FIRST = [
-    # --- round-2 red rows, fixed (CAST ... AS BIGINT in the oracle) ---
-    "docs_pack_chunks",
-    "tpch_q7_nation_volume",
-    "customer_rfm",  # also de-bottlenecked: ntile_exact, no SinglePartition
-    "events_segment_spend",
-    "orders_profile",
-    "tpch_q9_profit_by_nation_year",  # oracle year-width fixed by dtype audit
-    # --- new in round 3: driver-checkable sketch tier ---
-    "events_user_sketch_check",
-    "events_user_overlap_check",
-    # --- oracle-backed queries whose last driver row is round 1 ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_token_counts",
-    "text_quality",
-    "text_language_id",
-    "text_language_id_trigram",
-    "text_tfidf",
-    "events_windowed",
-    "top_parts_by_brand",
-    "sales_rollup",
-    "customers_without_orders",
-    "events_value_stats",
-    "events_asof_signup",
-    "events_json_props",
-    "pivot_status_revenue",
-    "distinct_users_by_type",
-    "sales_cube",
-    "users_purchase_and_error",
-    "orders_by_month",
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "events_sliding",
-    "users_purchase_no_refund_day",
-    "customer_name_ids",
-    "docs_hash_split",
-    "token_histogram",
-    "docs_mixture_sample",
-    "user_spend_quartiles",
-    "orders_above_customer_avg",
-    "nation_customer_counts",
-    "events_sessionize",
-    "user_state_intervals",
-    "events_latest_state",
-    "customer_snapshot_diff",
-    # --- new in round 3 (TPC-H shapes, training-mix ops, tolerance
-    # checks): first 6 fit the 50-row window; the final 3 sit just past
-    # it (pytest + full local sweep verified) and rotate in next round ---
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_inactive_rich",
-    "docs_source_budget_cap",
-    "docs_difficulty_quartiles",
-    "embedding_label_centroids",
-    "vocab_build",
+    # --- oracle-backed, never driver-checked before ---
     "events_value_quantile_check",
-    # --- re-verify: reference surface (r2-green, code unchanged) ---
+    "dedup_minhash_recall_check",  # new in r4: LSH recall tolerance face
+    # --- reference surface (r1+r2 green, judge re-verified r3) ---
     "q1_delay",
     "q2_late",
     "q3_wordcount",
     "q4_repeat_visits",
     "q5_dup_dates",
-    "revenue_by_nation",
-    "tpch_q3_shipping_priority",
+    # --- oracle-backed queries whose last driver row is r1 or r2 ---
     "ann_cosine_topk",
+    "revenue_by_nation",
+    "multimodal_stats",
+    "corpus_prepare_cc",
+    "text_pii_scrub",
+    "tpch_q3_shipping_priority",
+    "customer_running_spend",
+    "events_interval_join",
+    "purchases_asof_error",
+    "events_session_window",
+    "events_salted_stats",
+    "orders_grouping_sets",
+    "tpch_q4_priority_semijoin",
+    "tpch_q5_local_supplier_volume",
+    "parties_union",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "events_stream_interval_join",
+    "dedup_components",
+    "top_terms",
+    "multimodal_frame_sample",
+    "multimodal_features_ann",
+    "text_repetition",
+    "text_decontaminate",
+    "dedup_ngram_jaccard_ppjoin",
+    "events_funnel",
+    "events_purchase_gaps",
+    "events_retention_cohorts",
+    "users_error_no_recovery",
+    "revenue_decimal_by_flag",
+    "lineitem_price_qty_corr",
+    "docs_chunk_overlap",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_orders",
+    "events_value_zscore_outliers",
+    "text_bigram_lm",
+    "events_trailing_7d_spend",
+    # --- rows-only (weaker rows check), no r3 row: 4 fit the window ---
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "events_user_sketch_rollup",
+    # --- past the 50-row window: remaining rows-only without r3 rows
+    # (their *_check / recall_check companions ARE in the window) ---
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    "corpus_prepare",
+    "events_user_overlap_sketch",
 ]
 
 

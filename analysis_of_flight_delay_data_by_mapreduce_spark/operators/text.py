@@ -204,24 +204,57 @@ def language_id_trigram(
     'und'. Better than stopword matching on real text: no tokenizer
     dependency, morphology-sensitive, works for unsegmented scripts.
     """
-    p = _norm_for_trigrams(F.col(text_col))
-    best_lang, best_score = None, None
-    for lang in sorted(LANG_TRIGRAMS):
-        score = F.lit(0).cast("long")
-        for tri, w in LANG_TRIGRAMS[lang].items():
-            cnt = (
-                (F.length(p) - F.length(F.replace(p, F.lit(tri), F.lit(""))))
-                / F.lit(len(tri))
-            ).cast("long")
-            score = score + F.lit(w).cast("long") * cnt
-        if best_lang is None:
-            best_lang, best_score = F.lit(lang), score
-        else:
-            better = score > best_score
-            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(better, score).otherwise(best_score)
-    pred = F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
-    return df.withColumn(out, pred)
+    # Codegen-surface note: the naive form (50 unrolled count expressions,
+    # each inlining the normalized-text regexp twice, chained through a
+    # nested when-argmax) exceeds Janino's 64 KB method limit — Spark
+    # logged InternalCompilerException and fell back to interpreted
+    # execution every run. This form projects the normalized text ONCE,
+    # folds each language's (trigram, weight) literal array with
+    # ``aggregate`` (loop codegen, not unrolled), and takes the argmax as
+    # ``greatest`` over (score, -index, lang) structs — struct comparison
+    # is lexicographic, so ties break toward the earlier language code,
+    # exactly the strict-> chain's behavior. Same integer math, compiles.
+    langs = sorted(LANG_TRIGRAMS)
+    pcol = F.col("__lidp")
+
+    def lang_score(lang: str) -> Column:
+        tris = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.lit(w).cast("long").alias("w"),
+                    F.lit(len(t)).cast("long").alias("n"),
+                )
+                for t, w in LANG_TRIGRAMS[lang].items()
+            ]
+        )
+        return F.aggregate(
+            tris,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + x["w"]
+            * (
+                (F.length(pcol) - F.length(F.replace(pcol, x["t"], F.lit(""))))
+                / x["n"]
+            ).cast("long"),
+        )
+
+    best = F.greatest(
+        *[
+            F.struct(
+                lang_score(lang).alias("s"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    pred = F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return (
+        df.withColumn("__lidp", _norm_for_trigrams(F.col(text_col)))
+        .withColumn(out, pred)
+        .drop("__lidp")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:

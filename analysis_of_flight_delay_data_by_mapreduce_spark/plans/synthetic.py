@@ -337,6 +337,72 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Driver-checkable face of the MinHash-LSH dedup (the sketch-tolerance
+# pattern of events_value_quantile_check, VERDICT r3 item 6): one row with
+# the EXACT number of j>=0.3 near-dup pairs (DuckDB replicates it from the
+# shingle inverted index) plus a recall boolean the oracle asserts TRUE.
+# The verified LSH output is a subset of the exact pair set by
+# construction (every emitted pair passed the exact-Jaccard verify), so
+# recall = |lsh| / |exact|. Floor 0.95: the 1-(1-j^r)^b S-curve at the
+# corpus's near-dup operating point (j→1, r=4, b=8) is ≈1, and pytest pins
+# strict set-equality at sf0.001; 0.95 leaves room for hash-family
+# coin-flips on borderline-j pairs at other SFs without weakening the
+# drift signal (a banding/signature bug collapses recall far below 0.95).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_recall_check",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+    """,
+)
+def dedup_minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lsh = minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        mode="word",
+        verify_jaccard=0.3,
+    )
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, mode="word", threshold=0.3
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    # two 1-row aggregates — the join is a broadcast of single rows
+    return n_exact.join(F.broadcast(n_lsh)).select(
+        "n_exact",
+        (F.col("n_lsh") >= F.ceil(F.lit(0.95) * F.col("n_exact"))).alias(
+            "recall_ok"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup candidates (64-bit fingerprint, 16-bit bands → hamming≤3
 # by pigeonhole). Rows-only (xxhash64-based).
 # ---------------------------------------------------------------------------

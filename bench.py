@@ -7,10 +7,20 @@ JSON line::
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1_delay": sec, ...}, "sf": 0.1}
 
-Protocol (BASELINE.md): per query, 1 warm-up then median of N timed runs
+Protocol (BASELINE.md): per query, 2 warm-ups then median of N timed runs
 (default 3; override BENCH_RUNS). Timing includes plan + execution; results
 are consumed with a count-style action (no driver collect of full results —
 we measure engine throughput, not toPandas serialization).
+
+Cold vs warm (VERDICT r3 item 5): the FIRST execution of each query is
+additionally recorded as its cold time — first-run numbers carry the
+Janino/whole-stage-codegen JIT and driver-side analysis warmup, and on a
+contended host they absorb most of the interference. ``queries`` in the
+output stays the warm median (the BASELINE.md ledger protocol);
+``cold``/``cold_total`` make contention-vs-regression machine-separable
+without a judge re-measure session. The stdout line carries only the
+scalars (long lines got clipped in round 1); the full per-query cold map
+is in BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -35,6 +45,7 @@ def main() -> None:
 
     warmups = int(os.environ.get("BENCH_WARMUPS", "2"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in synthetic.QUERIES.items():
         samples = []
         for i in range(runs + warmups):
@@ -42,10 +53,15 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
+            if i == 0:  # first-ever execution: JIT + analysis warmup
+                cold[name] = round(dt, 4)
             if i >= warmups:  # drop warm-ups (codegen JIT needs 2 passes)
                 samples.append(dt)
         timings[name] = round(statistics.median(samples), 4)
-        print(f"# {name}: {timings[name]:.3f}s (n={n})", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s, n={n})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -53,6 +69,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
+        "cold_total": round(sum(cold.values()), 4),
         "sf": sf,
     }
     # The round-1 artifact was clipped mid-line (79 queries make a long
@@ -63,7 +81,9 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps(payload, separators=(",", ":")))
+    # stdout line: keep it parseable — per-query cold map only in the file
+    slim = {k: v for k, v in payload.items() if k != "cold"}
+    print(json.dumps(slim, separators=(",", ":")))
     spark.stop()
 
 

@@ -123,6 +123,7 @@ def test_no_forced_broadcast_of_scaling_tables():
         "type_moments",  # one row per event_type (bounded cardinality agg)
         "maxd",         # 1-row global MAX aggregate
         "mx",           # 1-row revenue MAX (tpch_q15 argmax)
+        "n_lsh",        # 1-row COUNT aggregate (dedup_minhash_recall_check)
         "thr",          # 1-row AVG threshold (tpch_q22)
         "nat",          # fixed 25-row nation dim (tpch_q22)
     }
