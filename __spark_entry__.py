@@ -25,19 +25,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registered
 # entries; registry order is ours to choose. Round-4 rotation (VERDICT r3
-# item 2): the window is exactly the 54 queries with NO round-3 driver
-# row — all 46 oracle-backed ones (including the new
-# dedup_minhash_recall_check and the never-driver-checked
-# events_value_quantile_check, which goes first) plus 4 of the 8
-# rows-only ones. After this round every oracle-backed query has a
-# driver-green row from r3 or r4. The 50 queries past the window are
-# precisely the CORRECTNESS_r03 green set; their code paths are
-# re-verified by the full local check_oracle sweep each round and by
-# pytest oracle replicas at sf0.001.
+# item 2): the window is the queries with NO round-3 driver row — every
+# oracle-backed one (including the new dedup_minhash_recall_check /
+# dedup_simhash_check / ann_ivf_recall_check faces, the never-driver-
+# checked events_value_quantile_check first, and ann_cosine_topk_lsh +
+# dedup_embedding, upgraded in r4 from rows-only to fully hash-checked
+# via engine-shared literal hyperplanes). After this round every
+# oracle-backed query has a driver-green row from r3 or r4. The three
+# rows-only queries whose driver row would be a weak rows-count check
+# (dedup_minhash, dedup_simhash, events_user_sketch_rollup) sit just past
+# the window — each has its oracle-asserted check face IN the window. The
+# 50+ queries past the window are precisely the CORRECTNESS_r03 green
+# set; their code paths are re-verified by the full local check_oracle
+# sweep each round and by pytest oracle replicas at sf0.001.
 _CHECK_FIRST = [
     # --- oracle-backed, never driver-checked before ---
     "events_value_quantile_check",
     "dedup_minhash_recall_check",  # new in r4: LSH recall tolerance face
+    "dedup_simhash_check",  # new in r4: sampled banding-exactness audit
+    "ann_ivf_recall_check",  # new in r4: IVF recall + prune tolerance face
+    "ann_cosine_topk_lsh",  # r4: upgraded rows-only → full hash check
     # --- reference surface (r1+r2 green, judge re-verified r3) ---
     "q1_delay",
     "q2_late",
@@ -84,14 +91,16 @@ _CHECK_FIRST = [
     "events_value_zscore_outliers",
     "text_bigram_lm",
     "events_trailing_7d_spend",
-    # --- rows-only (weaker rows check), no r3 row: 4 fit the window ---
+    # --- upgraded to oracle-backed in r4, last slot of the window ---
+    "dedup_embedding",
+    # --- past the 50-row window: rows-only queries (each one's
+    # oracle-asserted check face / companion IS in the window or was
+    # r3-green: dedup_minhash_recall_check, dedup_simhash_check,
+    # ann_ivf_recall_check, events_user_sketch_check, corpus_prepare_cc,
+    # events_user_overlap_check) ---
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_embedding",
     "events_user_sketch_rollup",
-    # --- past the 50-row window: remaining rows-only without r3 rows
-    # (their *_check / recall_check companions ARE in the window) ---
-    "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "corpus_prepare",
     "events_user_overlap_sketch",

@@ -61,11 +61,15 @@ def cosine_topk(
     query_vec: list[float],
     k: int = 10,
     out: str = "score",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k by cosine similarity (ties broken by id so
     results are deterministic). Plans as TakeOrderedAndProject: no global
-    sort, no full shuffle."""
+    sort, no full shuffle. ``round_to`` rounds before ordering (see
+    ``cosine_topk_lsh``)."""
     scored = cosine_scores(df, vec_col, query_vec, out)
+    if round_to is not None:
+        scored = scored.withColumn(out, F.round(F.col(out), round_to))
     return (
         scored.select(id_col, out)
         .orderBy(F.col(out).desc(), F.col(id_col).asc())
@@ -153,6 +157,7 @@ def cosine_topk_lsh(
     k: int = 10,
     probe_radius: int = 1,
     out: str = "score",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: prune to LSH buckets near the query's bucket, then
     exact cosine within the candidates.
@@ -160,6 +165,10 @@ def cosine_topk_lsh(
     The bucket filter is a literal IN-list → pushed down to the scan
     (partition pruning when the table is written partitioned by bucket).
     Recall improves with ``probe_radius`` at linear candidate cost.
+
+    ``round_to`` rounds the score BEFORE the top-k ordering — pass it when
+    the result must hash-match an independent engine (ties then break on
+    ``id_col`` identically everywhere instead of on sub-ulp double noise).
     """
 
 
@@ -173,6 +182,8 @@ def cosine_topk_lsh(
     bucketed = bucketize_hyperplane(df, vec_col, hyperplanes)
     cands = bucketed.filter(F.col("bucket").isin(probes))
     scored = cosine_scores(cands, vec_col, query_vec, out)
+    if round_to is not None:
+        scored = scored.withColumn(out, F.round(F.col(out), round_to))
     return (
         scored.select(id_col, out)
         .orderBy(F.col(out).desc(), F.col(id_col).asc())

@@ -250,6 +250,40 @@ _WS_TOKENS_SQL = r"list_filter(string_split_regex({col}, '\s+'), t -> t <> '')"
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS["en"]) + "]"
 
 
+def _planes_sql(planes: list[list[float]]) -> str:
+    """Render seeded hyperplanes as a DuckDB nested-list literal.
+
+    ``repr(float)`` emits the shortest string that round-trips the exact
+    IEEE double, and DuckDB parses decimal literals to nearest-double, so
+    the oracle sees bit-identical plane coefficients. This is what lets
+    sign-bit LSH be fully hash-checked rather than rows-only: the buckets
+    are a pure function of (data, planes), both engine-identical. Sign
+    stability across summation orders (numpy matmul vs sequential
+    list_sum) holds because the smallest |dot| on any testdata SF is
+    ~2e-7 while the 64-term double summation-order noise is ~1e-14.
+    """
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+        )
+        + "]"
+    )
+
+
+def _lsh_bucket_sql(vec_expr: str, n_bits: int, plane_offset_expr: str = "0") -> str:
+    """DuckDB expression: sign-bit LSH bucket of ``vec_expr`` (a DOUBLE[]
+    expression) against plane rows ``plane_offset_expr+1 ..
+    plane_offset_expr+n_bits`` of the ``H`` literal from ``_planes_sql``
+    (bit i set ⇔ dot(plane_i, v) ≥ 0 — same convention as
+    ``operators.similarity.bucketize_hyperplane``)."""
+    return f"""CAST(list_sum(list_transform(range(1, {n_bits + 1}),
+      i -> CASE WHEN list_sum(list_transform(
+                  list_zip(H[({plane_offset_expr}) + i], {vec_expr}),
+                  p -> p[1] * p[2])) >= 0.0
+           THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT)"""
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup via canonical fingerprint (md5 of lower+whitespace-collapsed
 # text): one hash-groupBy shuffle, deterministic survivor (min id).
@@ -413,10 +447,102 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs within hyperplane-LSH buckets. Rows-only
-# (approximate by construction); exactness pinned by pytest planted pairs.
+# Driver-checkable face of the SimHash near-dup (VERDICT r3 item 6 pattern):
+# dedup_simhash itself stays rows-only (xxhash64 has no DuckDB twin), but
+# its banding CONTRACT — "banded candidates + bit_count verify emit exactly
+# the hamming≤3 pair set" (pigeonhole over 4×16-bit bands) — is asserted
+# here on a deterministic 1-in-3 doc sample: Spark computes the banded
+# pairs AND the brute-force O(s²) pair set over the sampled fingerprints
+# and emits a boolean the oracle asserts TRUE, next to an oracle-replicable
+# sample count (the differential anchor). The brute side is the AUDIT, not
+# the operator: it broadcast-nested-loops s(s-1)/2 fingerprint pairs, so
+# the sample bound (not the corpus) bounds it: the id-cap keeps the audit
+# ≤ ~33k docs no matter how large the table grows (no-op at test SFs where
+# max doc_id is 4999), so the brute side stays broadcastable while the
+# banded operator stays the production path.
+# max_bucket=None on both sides: the skew cap is deliberately out of scope
+# (capped banding is allowed to drop hot-bucket pairs; the pigeonhole
+# equality being audited holds for the uncapped contract).
 # ---------------------------------------------------------------------------
-@register("dedup_embedding")
+@register(
+    "dedup_simhash_check",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs_sample, TRUE AS banding_exact_ok
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id < 100000
+    """,
+)
+def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 100000)
+    )
+    banded = simhash_near_dup(docs, "doc_id", "text", max_bucket=None)
+    fp = simhash(docs, "doc_id", "text")
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fb"))
+    brute = (
+        fa.join(F.broadcast(fb), F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+    keys = ["id_a", "id_b", "hamming"]
+    diff = banded.join(brute, keys, "left_anti").unionByName(
+        brute.join(banded, keys, "left_anti")
+    )
+    n_bad = diff.agg(F.count(F.lit(1)).alias("__n_bad"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs_sample"))
+    return n_docs.join(F.broadcast(n_bad)).select(
+        "n_docs_sample", (F.col("__n_bad") == 0).alias("banding_exact_ok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs within hyperplane-LSH buckets. Fully
+# hash-checked (upgraded from rows-only in r4): the seeded planes are
+# engine-shared literals (see _planes_sql), so DuckDB replicates the
+# whole pipeline — multi-table sign-bit buckets, hot-bucket prune,
+# distinct candidate pairs, exact-cosine verify — not just a tolerance
+# face. cos_sim is rounded to 6 dp on BOTH engines (sub-ulp summation
+# noise must not reach the hash).
+# ---------------------------------------------------------------------------
+_DEDUP_EMB_PLANES = random_hyperplanes(n_bits=32, dim=64, seed=42)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH planes AS (SELECT {_planes_sql(_DEDUP_EMB_PLANES)} AS H),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    entries AS (
+      SELECT vec_id, t,
+             {_lsh_bucket_sql("ve", 8, "(t - 1) * 8")} AS bucket
+      FROM v, planes, (SELECT unnest(range(1, 5)) AS t)
+    ),
+    pruned AS (
+      SELECT vec_id, t, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY t, bucket) AS bn FROM entries
+      ) WHERE bn <= 500
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM pruned a JOIN pruned b ON a.t = b.t AND a.bucket = b.bucket
+                                 AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             list_sum(list_transform(list_zip(va.ve, vb.ve), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(va.ve, x -> x*x)))
+                * sqrt(list_sum(list_transform(vb.ve, x -> x*x)))) AS cos_raw
+      FROM cand JOIN v va ON cand.id_a = va.vec_id
+                JOIN v vb ON cand.id_b = vb.vec_id
+    )
+    SELECT id_a, id_b, round(cos_raw, 6) AS cos_sim
+    FROM verified WHERE cos_raw >= 0.35
+    """,
+)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # max pairwise cosine in the synthetic embeddings is ~0.51 (p99.9 ~0.38):
@@ -424,10 +550,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-prune + verify path. 4 tables × 8 bits: multi-table recall
     # at the near-dup operating point (cos→1) is ~1-(1-p^8)^4; precision
     # is exact (verified cosine). Deterministic: seeded planes.
-    planes = random_hyperplanes(n_bits=32, dim=64, seed=42)
-    return embedding_near_dup(
-        emb, "vec_id", "embedding", planes, threshold=0.35, n_tables=4
+    pairs = embedding_near_dup(
+        emb, "vec_id", "embedding", _DEDUP_EMB_PLANES, threshold=0.35, n_tables=4
     )
+    return pairs.withColumn("cos_sim", F.round(F.col("cos_sim"), 6))
 
 
 # ---------------------------------------------------------------------------
@@ -476,17 +602,49 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # LSH-bucketed approximate top-k (the scale path: bucket prune → exact
-# cosine on candidates). Rows-only; recall vs brute force pinned in pytest.
+# cosine on candidates). Fully hash-checked (upgraded from rows-only in
+# r4): the probe set "buckets within hamming probe_radius of the query's
+# bucket" is expressed in the oracle as bit_count(xor(bucket, qbucket)) ≤
+# radius over engine-shared literal planes — the same set the Spark side
+# materializes as a pushdown-able IN-list. Scores round to 6 dp BEFORE
+# the top-k ordering on both engines so ties break on vec_id identically.
 # ---------------------------------------------------------------------------
-@register("ann_cosine_topk_lsh")
+_ANN_LSH_PLANES = random_hyperplanes(n_bits=8, dim=64, seed=42)
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=f"""
+    WITH planes AS (SELECT {_planes_sql(_ANN_LSH_PLANES)} AS H),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT {_lsh_bucket_sql("qv", 8)} AS qbucket FROM planes, q),
+    bk AS (
+      SELECT e.vec_id,
+             {_lsh_bucket_sql("list_transform(e.embedding, x -> CAST(x AS DOUBLE))", 8)}
+               AS bucket,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * p[2]))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+               6) AS score
+      FROM embeddings e, planes, q
+    )
+    SELECT vec_id, score FROM bk, qb
+    WHERE bit_count(xor(bucket, qbucket)) <= 1
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # Request acquisition: the probe set is computed from the query vector
     # driver-side — one bounded keyed fetch standing in for the request.
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    planes = random_hyperplanes(n_bits=8, dim=64, seed=42)
     return cosine_topk_lsh(
-        emb, "vec_id", "embedding", qv, planes, k=10, probe_radius=1
+        emb, "vec_id", "embedding", qv, _ANN_LSH_PLANES, k=10, probe_radius=1,
+        round_to=6,
     )
 
 
@@ -958,6 +1116,94 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(emb, "embedding", n_clusters=16, seed=42)
     return cosine_topk_ivf(
         emb, "vec_id", "embedding", qv, centroids, k=10, n_probe=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable face of the IVF ANN (VERDICT r3 item 6 pattern). The IVF
+# query itself must stay rows-only: its centroids come from driver-side
+# seeded k-means (train_ivf_centroids), which no SQL engine replicates.
+# This face emits, in one row:
+#   min_exact_score — min cosine of the TRUE top-10 (rounded 6 dp), the
+#     oracle-replicable differential anchor (brute-force math drift → hash
+#     red);
+#   recall_ok — |ivf_top10 ∩ brute_top10| ≥ 2. Calibrated at the
+#     registered operating point (16 clusters, n_probe=4): measured
+#     recall is 7/10 at sf0.001 and sf0.01, 3/10 at sf0.1 (the synthetic
+#     embeddings are near-isotropic, so 4/16 probed cells is genuinely
+#     approximate). A broken bucketizer/probe degenerates to ~random-25%
+#     candidates → expected overlap ≈ 10·0.25·(10/N) ≈ 0 — the floor
+#     separates "working index" from "garbage index" at every SF without
+#     overfitting to one corpus draw;
+#   prune_ok — the probed-candidate fraction lies in [5%, 60%] (expected
+#     ≈ n_probe/n_clusters = 25%): a filter that silently stops pruning
+#     (scans everything — the 100 TB failure mode) or prunes to nothing
+#     flips it.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_recall_check",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS score
+      FROM embeddings e, q
+    ), topk AS (
+      SELECT score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+    )
+    SELECT MIN(score) AS min_exact_score, TRUE AS recall_ok, TRUE AS prune_ok
+    FROM topk
+    """,
+)
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.similarity import (
+        assign_ivf_cluster,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = train_ivf_centroids(emb, "embedding", n_clusters=16, seed=42)
+    ivf = cosine_topk_ivf(emb, "vec_id", "embedding", qv, centroids, k=10, n_probe=4)
+    brute = cosine_topk(emb, "vec_id", "embedding", qv, k=10, round_to=6)
+
+    # same probe selection as cosine_topk_ivf (nearest-4 centroids)
+    C = np.asarray(centroids, dtype="float64")
+    q = np.asarray(qv, dtype="float64")
+    probes = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:4].tolist()
+    cand = assign_ivf_cluster(emb, "embedding", centroids).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+
+    overlap = brute.join(ivf.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("__n_overlap")
+    )
+    minsc = brute.agg(F.min("score").alias("min_exact_score"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("__n_cand"))
+    n_tot = emb.agg(F.count(F.lit(1)).alias("__n_tot"))
+    # all four sides are 1-row aggregates — broadcast joins of single rows
+    return (
+        minsc.join(F.broadcast(overlap))
+        .join(F.broadcast(n_cand))
+        .join(F.broadcast(n_tot))
+        .select(
+            "min_exact_score",
+            (F.col("__n_overlap") >= 2).alias("recall_ok"),
+            (
+                (F.col("__n_cand") * 20 >= F.col("__n_tot"))
+                & (F.col("__n_cand") * 5 <= F.col("__n_tot") * 3)
+            ).alias("prune_ok"),
+        )
     )
 
 

@@ -126,6 +126,12 @@ def test_no_forced_broadcast_of_scaling_tables():
         "n_lsh",        # 1-row COUNT aggregate (dedup_minhash_recall_check)
         "thr",          # 1-row AVG threshold (tpch_q22)
         "nat",          # fixed 25-row nation dim (tpch_q22)
+        "fb",           # id-capped (≤33k rows) fingerprint sample
+                        # (dedup_simhash_check brute audit side)
+        "n_bad",        # 1-row COUNT aggregate (dedup_simhash_check)
+        "overlap",      # 1-row COUNT aggregate (ann_ivf_recall_check)
+        "n_cand",       # 1-row COUNT aggregate (ann_ivf_recall_check)
+        "n_tot",        # 1-row COUNT aggregate (ann_ivf_recall_check)
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
