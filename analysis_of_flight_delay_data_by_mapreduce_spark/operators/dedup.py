@@ -365,6 +365,7 @@ def simhash_near_dup(
     band_bits: int = 16,
     max_bucket: int | None = 500,
     max_hamming: int | None = 3,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs at hamming distance ≤ ``max_hamming``.
 
@@ -380,10 +381,17 @@ def simhash_near_dup(
     (band collisions at any distance — the pre-WWW'07 shape).
     Output: ``id_a, id_b, hamming``. Same hot-bucket skew guard as
     MinHash-LSH; the verify is one narrow join per side + bit math, all
-    JVM-side.
+    JVM-side. ``fingerprints`` (``id_col, simhash``) lets a caller that
+    already computed/persisted the fingerprint frame (e.g. the
+    dedup_simhash_check audit, which also needs it for its brute side)
+    skip the second shingle-aggregation pass.
     """
-    fp = simhash(df, id_col, text_col)
-    if max_hamming is not None:
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash(df, id_col, text_col)
+    )
+    if max_hamming is not None and fingerprints is None:
         fp = scoped_persist(fp)  # feeds band entries + two verify joins
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
@@ -597,4 +605,74 @@ def embedding_near_dup(
             cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def jaccard_matches_between(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    mode: str = "word",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard matches of ``new_df`` documents AGAINST an
+    existing corpus ``old_df`` — the incremental-ingest shape: a daily
+    crawl increment is deduplicated against the historical index without
+    ever re-pairing the historical corpus with itself.
+
+    Same inverted-index formulation as ``ngram_jaccard_pairs`` (postings
+    join keyed on the shingle, exact int64 intersection counts, one float
+    division), but the postings join is new×old instead of a self-join:
+    candidate volume scales with the increment, not the corpus. At 100 TB
+    the historical shingle side is the big, stable relation — partition it
+    by shingle once and each increment's join re-uses that layout. The
+    stop-shingle guard (``max_doc_freq``, measured over the UNION of both
+    sides so the filtered-Jaccard definition is symmetric) bounds hot
+    postings exactly as in the self-join variant.
+
+    Returns ``new_id, old_id, jaccard`` (``jaccard >= threshold``).
+    """
+    sides = []
+    for frame, alias in ((new_df, "new_id"), (old_df, "old_id")):
+        sides.append(
+            _ensure_parallelism(frame, id_col).select(
+                F.col(id_col).alias(alias),
+                F.explode(
+                    F.array_distinct(_shingles(F.col(text_col), mode, shingle_k))
+                ).alias("__shingle"),
+            )
+        )
+    sh_new, sh_old = sides
+    if max_doc_freq is not None:
+        all_sh = sh_new.select("__shingle").unionAll(sh_old.select("__shingle"))
+        df_counts = all_sh.groupBy("__shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        hot = df_counts.filter(F.col("__df") > max_doc_freq).select("__shingle")
+        sh_new = sh_new.join(hot, "__shingle", "left_anti")
+        sh_old = sh_old.join(hot, "__shingle", "left_anti")
+    sizes_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("__size_n"))
+    sizes_old = sh_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("__size_o"))
+    inter = (
+        sh_new.join(sh_old, "__shingle")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes_new, "new_id")
+        .join(sizes_old, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            (
+                F.col("__inter").cast("double")
+                / (
+                    F.col("__size_n") + F.col("__size_o") - F.col("__inter")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

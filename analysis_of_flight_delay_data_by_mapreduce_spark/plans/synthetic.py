@@ -472,13 +472,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
     from ..operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 100000)
     )
-    banded = simhash_near_dup(docs, "doc_id", "text", max_bucket=None)
-    fp = simhash(docs, "doc_id", "text")
+    # one fingerprint pass feeds the banded operator AND the brute audit
+    fp = scoped_persist(simhash(docs, "doc_id", "text"))
+    banded = simhash_near_dup(
+        docs, "doc_id", "text", max_bucket=None, fingerprints=fp
+    )
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fa"))
     fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fb"))
     brute = (
@@ -496,6 +500,77 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_docs.join(F.broadcast(n_bad)).select(
         "n_docs_sample", (F.col("__n_bad") == 0).alias("banding_exact_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — the daily-ingest shape: a new batch (1-in-5 id
+# slice standing in for "today's crawl") is deduplicated AGAINST the
+# historical corpus without re-pairing the history with itself. Exact
+# stage: fingerprint anti-join (one hash semi-join keyed on md5). Near
+# stage: cross-corpus inverted-index Jaccard (jaccard_matches_between) —
+# candidate volume scales with the increment, not the corpus, which is
+# the property that keeps nightly dedup O(increment) at 100 TB while
+# corpus-wide self-pairing would be O(corpus²) per day. Survivors =
+# new-batch docs with no exact twin and no j≥0.5 near-match in history.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental",
+    oracle=r"""
+    WITH fps AS (
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), exact_clean AS (
+      SELECT n.doc_id
+      FROM fps n
+      WHERE n.doc_id % 5 = 4
+        AND NOT EXISTS (SELECT 1 FROM fps o
+                        WHERE o.doc_id % 5 <> 4 AND o.fp = n.fp)
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT n.doc_id AS nid, o.doc_id AS oid, count(*) AS i
+      FROM sh n JOIN sh o ON n.s = o.s
+      WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 <> 4
+      GROUP BY 1, 2
+    ), near AS (
+      SELECT DISTINCT nid
+      FROM inter
+      JOIN sizes sn ON nid = sn.doc_id
+      JOIN sizes so ON oid = so.doc_id
+      WHERE i / CAST(sn.sz + so.sz - i AS DOUBLE) >= 0.5
+    )
+    SELECT e.doc_id FROM exact_clean e
+    WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.nid = e.doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_matches_between
+    from ..operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    fp_new = fingerprint(new).select("doc_id", "fp")
+    fp_old = fingerprint(old).select("fp").distinct()
+    exact_clean = fp_new.join(fp_old, "fp", "left_anti").select("doc_id")
+    near_ids = (
+        jaccard_matches_between(
+            new, old, "doc_id", "text", shingle_k=3, mode="word", threshold=0.5
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return exact_clean.join(near_ids, "doc_id", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -143,3 +143,54 @@ def test_connected_components_chain_and_singleton(spark):
     # survivor rule: one doc per cluster survives
     survivors = sorted(k for k, v in clusters.items() if k == v)
     assert survivors == [2, 7, 99]
+
+
+def test_jaccard_matches_between_increment_vs_history(spark):
+    """Cross-corpus inverted-index Jaccard: a new batch matches only its
+    true near-twins in the history, never new×new or old×old pairs, and
+    the jaccard value equals the hand-computed shingle overlap."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        jaccard_matches_between,
+    )
+
+    old = spark.createDataFrame(
+        [(1, BASE), (2, FAR), (3, "unrelated history entry about parquet")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, NEAR), (11, "totally fresh content with no twin at all")],
+        ["doc_id", "text"],
+    )
+    got = jaccard_matches_between(
+        new, old, "doc_id", "text", shingle_k=3, mode="word", threshold=0.5
+    ).collect()
+    assert [(r["new_id"], r["old_id"]) for r in got] == [(10, 1)]
+    # hand value: word trigram sets of BASE vs NEAR (one word differs →
+    # exactly 3 of the 18 distinct trigrams change)
+    a = set(zip(BASE.split(), BASE.split()[1:], BASE.split()[2:]))
+    b = set(zip(NEAR.split(), NEAR.split()[1:], NEAR.split()[2:]))
+    expect = len(a & b) / len(a | b)
+    assert math.isclose(got[0]["jaccard"], expect, rel_tol=1e-12)
+
+
+def test_jaccard_matches_between_stop_shingle_cap(spark):
+    """max_doc_freq drops postings measured over the UNION of both sides:
+    a shingle present in every document joins nothing once capped."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        jaccard_matches_between,
+    )
+
+    shared = "alpha beta gamma"
+    old = spark.createDataFrame(
+        [(1, shared), (2, shared)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame([(10, shared)], ["doc_id", "text"])
+    uncapped = jaccard_matches_between(
+        new, old, "doc_id", "text", shingle_k=3, mode="word", threshold=0.5
+    )
+    assert uncapped.count() == 2  # matches both history twins
+    capped = jaccard_matches_between(
+        new, old, "doc_id", "text", shingle_k=3, mode="word",
+        threshold=0.5, max_doc_freq=2,
+    )
+    assert capped.count() == 0  # the only shingle occurs in 3 docs > cap

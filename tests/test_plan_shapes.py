@@ -208,3 +208,19 @@ def test_customer_rfm_no_data_wide_single_partition(spark):
             spec = line.split("windowspecdefinition(", 1)[1]
             first_arg = spec.split(",", 1)[0]
             assert "__pid" in first_arg, f"unpartitioned window:\n{line}"
+
+
+def test_dedup_incremental_scales_with_increment(spark):
+    """Incremental dedup must stay O(increment): the near stage's postings
+    join is keyed on the shingle (hash exchange), there is no cartesian
+    product, and nothing funnels through a single partition. The 1-row
+    aggregates of the check faces are exempt; this plan has none."""
+    df = synthetic.QUERIES["dedup_incremental"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "Exchange SinglePartition" not in txt
+    # the postings join is keyed on the shingle — broadcast at test scale
+    # (size-based planning), hash exchange once both sides outgrow the
+    # broadcast threshold; either way it's an equi-join, never a product
+    simple = plan_text(df, "simple")
+    assert "[__shingle" in simple and "Join" in simple

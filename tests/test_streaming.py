@@ -360,3 +360,34 @@ def test_stream_upsert_sink_matches_batch_and_is_idempotent(spark, tmp_path):
 
     # full replay from a fresh checkpoint: same partitions, same values
     assert run("ckpt2") == want
+
+
+def test_stream_dedup_against_index_matches_batch(spark):
+    """Streaming incremental dedup == batch face: the surviving
+    fingerprint set from the streamed new batch (anti-joined against the
+    static history) equals the same operator applied to batch frames."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        dedup_stream_against_index,
+        read_documents_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch_docs = read_parquet_table(spark, sf_dir, "documents")
+    new_b = batch_docs.filter(F.col("doc_id") % 5 == 4)
+    old_b = batch_docs.filter(F.col("doc_id") % 5 != 4)
+
+    want = {
+        r.fp for r in dedup_stream_against_index(new_b, old_b).collect()
+    }
+    assert want  # fixture sanity: the new batch has exact-new docs
+
+    stream_new = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 4
+    )
+    surv = dedup_stream_against_index(stream_new, old_b)
+    q = run_stream_to_memory(surv, "inc_dedup", mode="append")
+    got = {r.fp for r in spark.sql("SELECT fp FROM inc_dedup").collect()}
+    q.stop()
+    assert got == want
