@@ -224,3 +224,17 @@ def test_dedup_incremental_scales_with_increment(spark):
     # broadcast threshold; either way it's an equi-join, never a product
     simple = plan_text(df, "simple")
     assert "[__shingle" in simple and "Join" in simple
+
+
+def test_word_shingles_tokenizes_once_per_row(spark):
+    """Regression pin for the shingle let-binding: higher-order lambdas
+    don't CSE, so an inlined word_tokens inside the per-shingle slice
+    lambda re-splits the text for every shingle (O(tokens²)/row, measured
+    6× on sf0.1). The let-bound form must mention split(text…) exactly
+    once in the shingle Generate."""
+    df = synthetic.QUERIES["text_decontaminate"](spark, SF_DIR)
+    txt = plan_text(df)
+    gen_lines = [l for l in txt.splitlines() if "explode" in l]
+    assert gen_lines, "expected the shingle explode in the plan"
+    for l in gen_lines:
+        assert l.count("split(") == 1, f"text re-tokenized per element:\n{l}"
