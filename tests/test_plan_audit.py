@@ -1,0 +1,89 @@
+"""Registry-wide physical-plan audit: the 100 TB anti-patterns must not
+appear in ANY registered query, not just the hand-picked ones in
+test_plan_shapes.py.
+
+Two invariants, swept across every entry in the registry (plans are
+built and inspected, never executed, so the sweep stays cheap):
+
+- ``CartesianProduct`` never appears. Broadcast nested-loop joins of
+  1-row/bounded frames are fine (they print as BroadcastNestedLoopJoin);
+  an actual cartesian product of two scaling relations is always a bug.
+- ``Exchange SinglePartition`` only appears where the rows being
+  funneled are already bounded: global 1-row (or few-row) aggregates and
+  explicit LIMIT collection. A SinglePartition exchange of data-scale
+  rows (the round-2 ``customer_rfm`` offender) is the scale-killer this
+  guards against. Queries whose FINAL output is a bounded aggregate get
+  a pass for their last exchange; everything else must justify itself in
+  the allowlist below.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans import synthetic
+from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import plan_text
+
+from conftest import SF_DIR
+
+# Queries allowed to contain Exchange SinglePartition, with the bounded
+# row count that crosses it. Every entry must name WHY it is bounded.
+_SINGLE_PARTITION_OK = {
+    # 1-row check faces: the final join of 1-row aggregates funnels one
+    # partial row per task — bounded by #partitions, not data
+    "dedup_minhash_recall_check",
+    "dedup_simhash_check",
+    "ann_ivf_recall_check",
+    # 1-row global aggregates (no grouping key → single reducer of
+    # per-task partial rows; this is the correct plan for a scalar)
+    "text_tfidf",            # corpus-N count feeding the idf broadcast
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",  # 1-row global revenue MAX (argmax probe)
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_inactive_rich",  # 1-row AVG balance threshold
+    "orders_profile",        # fixed 4-row profile rollup
+    # range-bucketed two-pass rank plans: the only SinglePartition is the
+    # ≤ n_buckets×64-row boundary-sample / bucket-count metadata frame
+    "customer_rfm",          # pinned further by
+                             # test_customer_rfm_no_data_wide_single_partition
+    "user_spend_quartiles",
+    "docs_pack_chunks",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in synthetic.QUERIES.items():
+        out[name] = plan_text(fn(spark, SF_DIR), "simple")
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, txt in plans.items() if "CartesianProduct" in txt]
+    assert not offenders, offenders
+
+
+def test_single_partition_only_on_bounded_aggregates(plans):
+    offenders = {
+        n: txt.count("Exchange SinglePartition")
+        for n, txt in plans.items()
+        if "Exchange SinglePartition" in txt and n not in _SINGLE_PARTITION_OK
+    }
+    assert not offenders, (
+        f"data-wide SinglePartition exchanges (add to allowlist ONLY with "
+        f"a bounded-rows justification): {offenders}"
+    )
+
+
+def test_allowlist_is_not_stale(plans):
+    """Entries whose plans no longer contain SinglePartition should be
+    removed — a stale allowlist hides future regressions."""
+    stale = [
+        n
+        for n in _SINGLE_PARTITION_OK
+        if n in plans and "Exchange SinglePartition" not in plans[n]
+    ]
+    assert not stale, f"remove from _SINGLE_PARTITION_OK: {stale}"
