@@ -48,8 +48,23 @@ def main() -> None:
         ),
         (
             "NEXT.md",
-            r"\d+ registered queries \(\d+ DuckDB\noracle-checked, \d+ rows-only by design\), \d+ pytest cases",
-            f"{nq} registered queries ({no} DuckDB\noracle-checked, {nr} rows-only by design), {nt} pytest cases",
+            r"\d+ registered queries \(\d+ DuckDB\noracle-checked, \d+ rows-only",
+            f"{nq} registered queries ({no} DuckDB\noracle-checked, {nr} rows-only",
+        ),
+        (
+            "NEXT.md",
+            r"\d+ pytest cases",
+            f"{nt} pytest cases",
+        ),
+        (
+            "README.md",
+            r"# \d+ unit/golden/property/oracle tests",
+            f"# {nt} unit/golden/property/oracle tests",
+        ),
+        (
+            "COVERAGE.md",
+            r"\d+ pytest cases \(golden,",
+            f"{nt} pytest cases (golden,",
         ),
     ]
     for fname, pat, rep in subs:
