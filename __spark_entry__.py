@@ -93,10 +93,11 @@ _CHECK_FIRST = [
     "events_trailing_7d_spend",
     # --- upgraded to oracle-backed in r4, last slot of the window ---
     "dedup_embedding",
-    # --- past the 50-row window: dedup_incremental is new in r4 (window
-    # already holds 50 rotation debts); it is sweep- and pytest-oracle-
-    # verified this round and leads the r5 rotation ---
+    # --- past the 50-row window: new in r4 (window already holds 50
+    # rotation debts); sweep- and pytest-oracle-verified this round and
+    # lead the r5 rotation ---
     "dedup_incremental",
+    "docs_top_quality_per_source",
     # --- past the 50-row window: rows-only queries (each one's
     # oracle-asserted check face / companion IS in the window or was
     # r3-green: dedup_minhash_recall_check, dedup_simhash_check,

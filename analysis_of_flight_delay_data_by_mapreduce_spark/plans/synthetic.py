@@ -800,6 +800,63 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Top-k per group over a LOW-cardinality key — the skew case a plain
+# ROW_NUMBER() OVER (PARTITION BY source) plans as one sorting task per
+# source (a handful of tasks sorting a 100 TB corpus). The
+# operators.aggregates.topk_per_group two-phase salted rank keeps the
+# result identical (deterministic quality DESC, doc_id ASC order) while
+# phase 1 runs at |sources|×32 parallelism and phase 2 sorts only
+# ≤ k×32 survivors per source. The oracle is the naive window — same
+# rows, which is exactly the point.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_top_quality_per_source",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_WS_TOKENS_SQL.format(col="text")},
+                      t -> list_contains({_EN_STOP_SQL}, lower(t)))) AS BIGINT) AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             round(0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least(CASE WHEN n_tokens > 0
+                        THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 10.0
+                      + CASE WHEN n_chars > 0
+                        THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)),
+               6) AS quality
+      FROM feats
+    ), ranked AS (
+      SELECT source, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) AS rk
+      FROM scored
+    )
+    SELECT source, doc_id, quality, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def docs_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs).select("source", "doc_id", "quality")
+    top = topk_per_group(scored, ["source"], "quality", 3, tiebreak="doc_id")
+    return top.select(
+        "source", "doc_id", "quality", F.col("rk").cast("long").alias("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stopword-heuristic language ID. The SQL CASE chain replicates the Spark
 # argmax exactly (ties → first language in sorted code order; all-zero →
 # 'und').

@@ -194,3 +194,32 @@ def test_jaccard_matches_between_stop_shingle_cap(spark):
         threshold=0.5, max_doc_freq=2,
     )
     assert capped.count() == 0  # the only shingle occurs in 3 docs > cap
+
+
+def test_topk_per_group_salted_equals_naive(spark):
+    """The two-phase salted rank returns exactly the naive window's rows
+    (phase 1 can't drop a true winner), including on planted ties where
+    only the deterministic tiebreak orders them."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.aggregates import (
+        topk_per_group,
+    )
+
+    rows = [
+        ("a", i, float(v))
+        for i, v in enumerate([5, 9, 9, 9, 1, 7, 3, 9, 2, 8])
+    ] + [("b", 100 + i, float(i % 4)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    salted = topk_per_group(
+        df, ["grp"], "score", 3, tiebreak="id", n_salts=4
+    )
+    naive = topk_per_group(
+        df, ["grp"], "score", 3, tiebreak="id", n_salts=None
+    )
+    key = lambda r: (r["grp"], r["rk"])
+    got = {key(r): r["id"] for r in salted.collect()}
+    want = {key(r): r["id"] for r in naive.collect()}
+    assert got == want and len(want) == 6
+    # ties resolve by ascending id: the three 9s with smallest ids win 'a'
+    assert [want[("a", k)] for k in (1, 2, 3)] == [1, 2, 3]
