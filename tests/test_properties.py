@@ -234,3 +234,78 @@ def test_scrub_pii_matches_python_re_model(spark, texts):
         assert r.scrubbed == cur, (t, r.scrubbed, cur)
         for kind, _, _ in PII_PATTERNS:
             assert getattr(r, f"n_{kind}") == counts[kind], (t, kind)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 4),
+)
+def test_topk_per_group_matches_model(spark, rows, k):
+    """Salted two-phase rank == pure-Python sort model for arbitrary
+    group/score shapes (incl. heavy ties and groups smaller than k)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.aggregates import (
+        topk_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, float(v)) for g, i, v in rows], "grp long, id long, score double"
+    )
+    got = {
+        (r.grp, r.rk): r.id
+        for r in topk_per_group(
+            df, ["grp"], "score", k, tiebreak="id", n_salts=3
+        ).collect()
+    }
+    expected = {}
+    by_group: dict[int, list[tuple[int, int]]] = {}
+    for g, i, v in rows:
+        by_group.setdefault(g, []).append((i, v))
+    for g, members in by_group.items():
+        ranked = sorted(members, key=lambda t: (-t[1], t[0]))[:k]
+        for rk, (i, _) in enumerate(ranked, start=1):
+            expected[(g, rk)] = i
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.floats(0, 100, allow_nan=False)),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_zorder_key_matches_interleave_model(spark, rows):
+    """The Catalyst Morton fold == a pure-Python bit-interleave over the
+    same quantile cells (cells recomputed with an identical >=-count)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.layout import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in rows], "a long, b double"
+    )
+    bits = 3
+    keyed = {
+        (r.a, r.b): r["__z"]
+        for r in zorder_key(df, ["a", "b"], bits=bits).collect()
+    }
+    n_cells = 1 << bits
+    probs = [i / n_cells for i in range(1, n_cells)]
+    bounds = df.stat.approxQuantile(["a", "b"], probs, 1.0 / (4 * n_cells))
+    ba = sorted(set(float(x) for x in bounds[0]))
+    bb = sorted(set(float(x) for x in bounds[1]))
+    for (a, b), z in keyed.items():
+        ca = sum(1 for t in ba if float(a) >= t)
+        cb = sum(1 for t in bb if float(b) >= t)
+        want = 0
+        for bit in range(bits):
+            want |= ((ca >> bit) & 1) << (bit * 2)
+            want |= ((cb >> bit) & 1) << (bit * 2 + 1)
+        assert z == want, (a, b, z, want)
