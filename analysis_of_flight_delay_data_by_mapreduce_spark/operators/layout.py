@@ -35,7 +35,7 @@ def _linear_cell(col: Column, lo: float, hi: float, bits: int) -> Column:
     return F.round(clamped * F.lit(float(cells)), 0).cast("bigint")
 
 
-def _quantile_cell(col: Column, bounds: list[float], bits: int) -> Column:
+def _quantile_cell(col: Column, bounds: list[float]) -> Column:
     """Equi-depth cell id: how many quantile boundaries the value meets.
 
     One fold over the ≤ 2^bits − 1 boundary literals per row (loop
@@ -86,10 +86,7 @@ def zorder_key(
         probs = [i / n_cells for i in range(1, n_cells)]
         per_col = df.stat.approxQuantile(cols, probs, 1.0 / (4 * n_cells))
         cells = F.array(
-            *[
-                _quantile_cell(F.col(c), per_col[i], bits)
-                for i, c in enumerate(cols)
-            ]
+            *[_quantile_cell(F.col(c), per_col[i]) for i, c in enumerate(cols)]
         )
     elif strategy == "linear":
         aggs = []
