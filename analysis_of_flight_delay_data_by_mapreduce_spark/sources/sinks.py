@@ -114,3 +114,51 @@ def upsert_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Compact a small-files parquet directory toward ``target_file_bytes``
+    per output file; returns the new file count.
+
+    The lake-maintenance counterpart of the streaming/upsert sinks: micro-
+    batch and per-partition writers accumulate thousands of tiny files,
+    and at 100 TB the scan's task-scheduling and footer-read overhead
+    (one open + footer parse per file) comes to dominate I/O. Sizing is
+    computed from the existing footers via the Hadoop FileSystem API (a
+    driver-side metadata listing — no data read), then one
+    ``repartition(n)`` round-robin rewrite lands uniform ~target-size
+    files. The rewrite goes to a sibling temp dir first and swaps in via
+    rename, so a failed compaction leaves the original directory intact
+    (rename is atomic per entry on HDFS/local; object stores need a
+    manifest/table format for the same guarantee, which layers behind
+    this same call shape).
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n = max(min_files, -(-total // target_file_bytes))  # ceil
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    spark.read.parquet(path).repartition(int(n)).write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    if not fs.rename(jpath, bak):
+        raise IOError(f"compact_parquet: could not stage {path} aside")
+    if not fs.rename(tmp, jpath):
+        fs.rename(bak, jpath)  # roll back
+        raise IOError(f"compact_parquet: swap failed for {path}")
+    fs.delete(bak, True)
+    return int(n)

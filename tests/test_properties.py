@@ -309,3 +309,46 @@ def test_zorder_key_matches_interleave_model(spark, rows):
             want |= ((ca >> bit) & 1) << (bit * 2)
             want |= ((cb >> bit) & 1) << (bit * 2 + 1)
         assert z == want, (a, b, z, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_jaccard_matches_between_matches_model(spark, new_texts, old_texts):
+    """Cross-corpus inverted-index Jaccard == pure-Python trigram model:
+    only new×old pairs, exact values, threshold 0 keeps every overlap."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        jaccard_matches_between,
+    )
+
+    new_rows = [(i, t) for i, t in enumerate(new_texts)]
+    old_rows = [(100 + i, t) for i, t in enumerate(old_texts)]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    old_df = spark.createDataFrame(old_rows, "doc_id long, text string")
+    got = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in jaccard_matches_between(
+            new_df, old_df, "doc_id", "text",
+            shingle_k=3, mode="word", threshold=0.0,
+        ).collect()
+    }
+    expected = {}
+    for i, a in new_rows:
+        for j, b in old_rows:
+            sa, sb = _py_word_trigrams(a), _py_word_trigrams(b)
+            inter = len(sa & sb)
+            if inter:
+                expected[(i, j)] = inter / len(sa | sb)
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12)

@@ -223,3 +223,30 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
     ptxt = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in ptxt
     assert pruned.count() == 33
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction collapses a many-tiny-files directory to the computed
+    target count, preserves every row, and survives re-reading."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "v")
+    df.repartition(64).write.parquet(p)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{p}/part-*.parquet")) == 64
+    before = df.count()
+    n = compact_parquet(spark, p, target_file_bytes=1 << 30)  # everything fits one
+    files = glob.glob(f"{p}/part-*.parquet")
+    assert n == 1 and len(files) == 1
+    back = spark.read.parquet(p)
+    assert back.count() == before
+    assert back.agg({"v": "sum"}).first()[0] == sum(range(10_000))
+    # no leftover staging dirs
+    import os
+
+    assert not os.path.exists(p + "__compact_tmp")
+    assert not os.path.exists(p + "__compact_old")
