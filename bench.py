@@ -41,6 +41,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    load1_start = round(os.getloadavg()[0], 2)  # host-contention evidence:
+    # sweeps on this box have measured a flat ~1.5× multiplier from
+    # external load (r4 session, two discarded ledger recordings). The
+    # PRE-start load1 is the clean signal (it cannot include this
+    # process's own executors); load1_end necessarily includes them and
+    # is only useful relative to other runs' end values.
     spark = get_spark("bench")
 
     warmups = int(os.environ.get("BENCH_WARMUPS", "2"))
@@ -71,6 +77,8 @@ def main() -> None:
         "queries": timings,
         "cold": cold,
         "cold_total": round(sum(cold.values()), 4),
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
         "sf": sf,
     }
     # The round-1 artifact was clipped mid-line (79 queries make a long
