@@ -25,14 +25,21 @@ from pyspark.sql import functions as F
 __all__ = ["zorder_key", "zorder_write"]
 
 
-def _linear_cell(col: Column, lo: float, hi: float, bits: int) -> Column:
-    """Scale a numeric column to an integer cell id in [0, 2^bits)."""
+def _linear_cell(col: Column, lo: float | None, hi: float | None, bits: int) -> Column:
+    """Scale a numeric column to an integer cell id in [0, 2^bits).
+
+    NULL values land in cell 0 (matching ``_quantile_cell``, whose fold
+    counts zero boundary hits for NULL); an empty / all-NULL column has
+    ``lo is None`` and degenerates to the constant-column case.
+    """
     cells = (1 << bits) - 1
-    if hi <= lo:  # constant column: everything lands in cell 0
+    if lo is None or hi is None or hi <= lo:
+        # constant / empty / all-NULL column: everything lands in cell 0
         return F.lit(0).cast("bigint")
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
-    return F.round(clamped * F.lit(float(cells)), 0).cast("bigint")
+    cell = F.round(clamped * F.lit(float(cells)), 0).cast("bigint")
+    return F.coalesce(cell, F.lit(0).cast("bigint"))
 
 
 def _quantile_cell(col: Column, bounds: list[float]) -> Column:
@@ -93,12 +100,16 @@ def zorder_key(
         for c in cols:
             aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
         ranges = df.agg(*aggs).first()
+
+        def _f(v):  # min/max of an empty or all-NULL column is None
+            return None if v is None else float(v)
+
         cells = F.array(
             *[
                 _linear_cell(
                     F.col(c),
-                    float(ranges[f"__lo_{c}"]),
-                    float(ranges[f"__hi_{c}"]),
+                    _f(ranges[f"__lo_{c}"]),
+                    _f(ranges[f"__hi_{c}"]),
                     bits,
                 )
                 for c in cols

@@ -130,35 +130,70 @@ def compact_parquet(
     and at 100 TB the scan's task-scheduling and footer-read overhead
     (one open + footer parse per file) comes to dominate I/O. Sizing is
     computed from the existing footers via the Hadoop FileSystem API (a
-    driver-side metadata listing — no data read), then one
+    driver-side metadata listing — no data read), then a
     ``repartition(n)`` round-robin rewrite lands uniform ~target-size
-    files. The rewrite goes to a sibling temp dir first and swaps in via
-    rename, so a failed compaction leaves the original directory intact
-    (rename is atomic per entry on HDFS/local; object stores need a
-    manifest/table format for the same guarantee, which layers behind
-    this same call shape).
+    files. Hive-partitioned directories are compacted one partition leaf
+    at a time (each leaf read directly, so partition columns never
+    flatten into the data files and pruning survives); already-compact
+    leaves are skipped, making re-runs cheap and idempotent. Each leaf's
+    rewrite goes to a sibling temp dir first and swaps in via rename, so
+    a failed compaction leaves the original leaf intact (rename is
+    atomic per entry on HDFS/local; object stores need a manifest/table
+    format for the same guarantee, which layers behind this same call
+    shape). A stale temp dir from a crashed run is deleted and redone; a
+    stale backup dir (original data mid-swap) makes the call fail with a
+    recovery message rather than risk nesting it.
     """
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hconf = jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
-    total = 0
+
+    # Group data files by their parent directory: a hive-partitioned table
+    # has one leaf dir per partition (``.../date=2020-01-01``), a flat one
+    # has a single leaf (the root). Each leaf is compacted independently,
+    # reading the leaf directly — so partition columns never flatten into
+    # the data files and the hive layout (and its pruning) is preserved.
+    leaves: dict[str, tuple[int, int]] = {}  # leaf uri -> (bytes, n_files)
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            total += f.getLen()
-    n = max(min_files, -(-total // target_file_bytes))  # ceil
-    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
-    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
-    spark.read.parquet(path).repartition(int(n)).write.mode(
-        "overwrite"
-    ).parquet(str(tmp))
-    if not fs.rename(jpath, bak):
-        raise IOError(f"compact_parquet: could not stage {path} aside")
-    if not fs.rename(tmp, jpath):
-        fs.rename(bak, jpath)  # roll back
-        raise IOError(f"compact_parquet: swap failed for {path}")
-    fs.delete(bak, True)
-    return int(n)
+        name = f.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            parent = str(f.getPath().getParent().toUri())
+            b, c = leaves.get(parent, (0, 0))
+            leaves[parent] = (b + f.getLen(), c + 1)
+
+    new_total = 0
+    for leaf, (total, count) in sorted(leaves.items()):
+        n = max(min_files, -(-total // target_file_bytes))  # ceil
+        if count <= n:  # already compact: idempotent re-runs skip it
+            new_total += count
+            continue
+        tmp = jvm.org.apache.hadoop.fs.Path(leaf.rstrip("/") + "__compact_tmp")
+        bak = jvm.org.apache.hadoop.fs.Path(leaf.rstrip("/") + "__compact_old")
+        # Stale-run guards (Hadoop rename-into-existing-directory NESTS the
+        # source, so a leftover dir from a crashed run would corrupt the
+        # swap): a stale tmp is a partial rewrite of ours — delete and
+        # redo; a stale bak holds ORIGINAL data from a run that died
+        # mid-swap — never delete it, make the operator recover first.
+        if fs.exists(bak):
+            raise IOError(
+                f"compact_parquet: stale {bak} holds data from a crashed "
+                "compaction — restore or remove it manually before re-running"
+            )
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        lpath = jvm.org.apache.hadoop.fs.Path(leaf)
+        spark.read.parquet(leaf).repartition(int(n)).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        if not fs.rename(lpath, bak):
+            raise IOError(f"compact_parquet: could not stage {leaf} aside")
+        if not fs.rename(tmp, lpath):
+            fs.rename(bak, lpath)  # roll back
+            raise IOError(f"compact_parquet: swap failed for {leaf}")
+        fs.delete(bak, True)
+        new_total += int(n)
+    return new_total

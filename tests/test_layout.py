@@ -5,8 +5,10 @@ and the rewrite must be lossless."""
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow.parquet as pq
+import pytest
 
 from analysis_of_flight_delay_data_by_mapreduce_spark.operators.layout import (
     zorder_key,
@@ -41,8 +43,17 @@ def _files_hit(ranges: list[dict], col: str, lo, hi) -> int:
     return sum(1 for r in ranges if not (r[col][1] < lo or r[col][0] > hi))
 
 
+# The ≤8/16 pruning thresholds are calibrated to the sf0.1 events corpus
+# (enough rows that 16 files have tight per-file ranges; smaller SFs are
+# too coarse to discriminate). Derived from SF_DIR's parent so the test
+# follows a relocated testdata root instead of silently testing old data.
+_Z_SF_DIR = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.1")
+
+
 def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
-    ev = read_parquet_table(spark, "/root/testdata/sf0.1", "events").select(
+    if not os.path.exists(os.path.join(_Z_SF_DIR, "events.parquet")):
+        pytest.skip(f"pruning thresholds need the sf0.1 corpus ({_Z_SF_DIR})")
+    ev = read_parquet_table(spark, _Z_SF_DIR, "events").select(
         "event_id", "user_id", "value"
     )
     zpath = str(tmp_path / "zorder")
@@ -102,3 +113,33 @@ def test_zorder_key_constant_column(spark):
     keyed = zorder_key(df, ["c", "v"], bits=4)
     assert keyed.filter(F.col("__z").isNull()).count() == 0
     assert keyed.select("__z").distinct().count() == 10
+
+
+def test_zorder_key_linear_nulls_and_all_null(spark):
+    """Linear strategy: NULL values land in cell 0 (matching the quantile
+    path) and an all-NULL column degenerates to the constant-column case
+    instead of raising on float(None)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("c"),
+        F.lit(None).cast("double").alias("dead"),
+        (F.col("id") % 10).cast("double").alias("v"),
+    )
+    keyed = zorder_key(df, ["c", "dead", "v"], bits=4, strategy="linear")
+    assert keyed.filter(F.col("__z").isNull()).count() == 0
+    assert keyed.count() == 100
+    # NULL c ≡ c = lo (both land in cell 0): replacing the NULLs by the
+    # column minimum (1.0 — id 0 is one of the NULLs) must reproduce the
+    # exact same keys row-for-row.
+    ref = zorder_key(
+        df.withColumn("c", F.coalesce("c", F.lit(1.0))),
+        ["c", "dead", "v"],
+        bits=4,
+        strategy="linear",
+    )
+    got = [r["__z"] for r in keyed.orderBy("v", "c").select("__z").collect()]
+    want = [r["__z"] for r in ref.orderBy("v", "c").select("__z").collect()]
+    assert sorted(got) == sorted(want)

@@ -250,3 +250,71 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
 
     assert not os.path.exists(p + "__compact_tmp")
     assert not os.path.exists(p + "__compact_old")
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Partitioned directories compact one leaf at a time: the hive layout
+    (and its partition pruning) survives, partition columns do NOT
+    flatten into the data files, and rows are preserved."""
+    import glob
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "hive")
+    df = spark.range(0, 6_000).select(
+        F.col("id").alias("v"), (F.col("id") % 3).cast("string").alias("pt")
+    )
+    df.repartition(16).write.partitionBy("pt").parquet(p)
+    assert len(glob.glob(f"{p}/pt=*/part-*.parquet")) > 3
+
+    n = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert n == 3  # one file per partition leaf
+    for k in range(3):
+        leaf = glob.glob(f"{p}/pt={k}/part-*.parquet")
+        assert len(leaf) == 1
+        import pyarrow.parquet as pq
+
+        # partition column stays in the directory name, not the file
+        assert "pt" not in pq.ParquetFile(leaf[0]).schema_arrow.names
+
+    back = spark.read.parquet(p)
+    assert back.count() == 6_000
+    pruned = back.filter(F.col("pt") == "1")
+    ptxt = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in ptxt and pruned.count() == 2_000
+
+    # already-compact: a re-run is a no-op with the same file count
+    assert compact_parquet(spark, p, target_file_bytes=1 << 30) == 3
+
+
+def test_compact_parquet_stale_staging_dirs(spark, tmp_path):
+    """A stale tmp dir (partial rewrite of ours) is cleaned and redone; a
+    stale backup dir (original data from a crashed swap) refuses — Hadoop
+    rename would otherwise NEST the source inside it."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "frag2")
+    df = spark.range(0, 1_000).withColumnRenamed("id", "v")
+    df.repartition(8).write.parquet(p)
+
+    os.makedirs(p + "__compact_tmp/garbage", exist_ok=True)
+    assert compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
+    assert not os.path.exists(p + "__compact_tmp")
+    assert spark.read.parquet(p).count() == 1_000
+
+    q = str(tmp_path / "frag3")
+    df.repartition(8).write.parquet(q)
+    os.makedirs(q + "__compact_old", exist_ok=True)
+    with _pytest.raises(IOError, match="crashed compaction"):
+        compact_parquet(spark, q, target_file_bytes=1 << 30)
+    # original directory untouched
+    assert len(glob.glob(f"{q}/part-*.parquet")) == 8
