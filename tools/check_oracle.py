@@ -52,7 +52,7 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -1,0 +1,140 @@
+"""Measure the cross-engine stability margins behind the hash-checked
+approximate queries (ADVICE r4 item 3; VERDICT r4 item 2).
+
+Spark and DuckDB compute float expressions with different summation
+orders, so the raw values can differ by ~1e-14 relative. A hash check
+stays deterministic only if every DECISION taken on such a value —
+threshold filters, 6-dp rounding, nearest-centroid assignment, probe
+membership — sits farther from its boundary than that noise. This tool
+measures those distances on the actual corpora so the margins are
+verified numbers, not assumptions. Re-run whenever the embeddings table
+is regenerated:
+
+    python tools/measure_margins.py [sf_dir ...]
+
+Checked margins (all must dwarf ~1e-13 abs summation noise; the IVF
+assignment must also dwarf ~1e-9 formula noise — the pandas UDF expands
+||x-c||^2 as ||c||^2 - 2x.c while the oracle folds (x-c)^2 termwise):
+
+- dedup_embedding: min |cos - 0.35| over all LSH candidate pairs
+  (threshold membership), and min distance of any surviving pair's
+  cos*1e6 from a .5 rounding boundary (6-dp hash stability).
+- ann_cosine_topk / _lsh / ann_ivf_probe_topk: min 6-dp rounding-
+  boundary distance over the scored candidates.
+- IVF (ann_ivf_probe_topk): min best-vs-2nd-best centroid distance gap
+  (assignment stability) and the 4th-vs-5th nearest-centroid gap (probe
+  set stability).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (  # noqa: E402
+    random_hyperplanes,
+    train_ivf_centroids_parquet,
+)
+
+# noise floors the margins are compared against (double accumulation over
+# 64 dims at O(1) magnitudes, and the IVF expanded-vs-folded formula gap)
+SUM_NOISE = 1e-12
+FORMULA_NOISE = 1e-8
+
+
+def _round_margin(x: np.ndarray, dp: int = 6) -> float:
+    """Min distance of x*10^dp from a .5 rounding boundary (in units of
+    10^-dp — multiply by 10^-dp for the absolute margin)."""
+    if not len(x):
+        return float("inf")
+    f = np.abs(x * (10.0**dp) - np.floor(x * (10.0**dp)) - 0.5)
+    return float(f.min())
+
+
+def measure(sf_dir: str) -> list[tuple[str, float, float, bool]]:
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vid = np.asarray(t.column("vec_id"))
+    order = np.argsort(vid, kind="stable")
+    X = np.stack(t.column("embedding").to_pylist()).astype("float64")[order]
+    vid = vid[order]
+    norms = np.linalg.norm(X, axis=1)
+    out: list[tuple[str, float, float, bool]] = []
+
+    def check(name: str, margin: float, floor: float) -> None:
+        out.append((name, margin, floor, margin > 10 * floor))
+
+    # --- dedup_embedding: candidate pairs from the 4x8-bit LSH tables ---
+    H = np.asarray(random_hyperplanes(n_bits=32, dim=64, seed=42))
+    bits = (X @ H.T) >= 0.0
+    weights = 1 << np.arange(8, dtype="int64")
+    pair_set: set[tuple[int, int]] = set()
+    for tbl in range(4):
+        buckets = bits[:, tbl * 8 : (tbl + 1) * 8] @ weights
+        for b in np.unique(buckets):
+            members = np.nonzero(buckets == b)[0]
+            if len(members) < 2 or len(members) > 500:
+                continue
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, c = int(members[i]), int(members[j])
+                    pair_set.add((min(a, c), max(a, c)))
+    ia = np.array([p[0] for p in pair_set])
+    ib = np.array([p[1] for p in pair_set])
+    cos = (X[ia] * X[ib]).sum(axis=1) / (norms[ia] * norms[ib])
+    check("dedup_embedding |cos-0.35|", float(np.abs(cos - 0.35).min()), SUM_NOISE)
+    kept = cos[cos >= 0.35]
+    check(
+        "dedup_embedding 6dp boundary (abs)",
+        _round_margin(kept) * 1e-6,
+        SUM_NOISE,
+    )
+
+    # --- query vector (vec_id 0) for the ANN faces ---
+    q = X[np.nonzero(vid == 0)[0][0]]
+    qn = np.linalg.norm(q)
+    all_cos = (X @ q) / (norms * qn)
+    check("ann_cosine_topk 6dp boundary (abs)", _round_margin(all_cos) * 1e-6, SUM_NOISE)
+
+    # --- IVF: assignment, probe set, rounding (ann_ivf_probe_topk) ---
+    C = np.asarray(
+        train_ivf_centroids_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    ds = np.sort(d, axis=1)
+    check("ivf assignment gap", float((ds[:, 1] - ds[:, 0]).min()), FORMULA_NOISE)
+    cd = np.sort(((C - q[None, :]) ** 2).sum(axis=1))
+    check("ivf probe boundary gap (4th vs 5th)", float(cd[4] - cd[3]), FORMULA_NOISE)
+    probed = np.isin(d.argmin(axis=1), np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:4])
+    check(
+        "ann_ivf_probe_topk 6dp boundary (abs)",
+        _round_margin(all_cos[probed]) * 1e-6,
+        SUM_NOISE,
+    )
+    return out
+
+
+def main() -> int:
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    bad = 0
+    for sf_dir in dirs:
+        print(f"== {sf_dir}")
+        for name, margin, floor, ok in measure(sf_dir):
+            flag = "OK " if ok else "THIN"
+            bad += 0 if ok else 1
+            print(f"  {flag} {name}: margin={margin:.3e} (floor {floor:.0e})")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
