@@ -2131,12 +2131,18 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-then-join: aggregate the fact side FIRST (map-side partial
+    # count, the exchange carries ≤ |nation| rows per task), then left-
+    # join the 25-row dim against the broadcast counts. The naive
+    # dim-preserved left join can't broadcast its build side, so it
+    # shuffled every customer row — wrong posture at 100 TB (VERDICT r4).
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    counts = c.groupBy("c_nationkey").agg(F.count("c_custkey").alias("__n"))
     return (
-        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        n.join(F.broadcast(counts), n.n_nationkey == counts.c_nationkey, "left")
         .groupBy("n_name")
-        .agg(F.count("c_custkey").alias("n_customers"))
+        .agg(F.sum(F.coalesce(F.col("__n"), F.lit(0).cast("long"))).alias("n_customers"))
     )
 
 
