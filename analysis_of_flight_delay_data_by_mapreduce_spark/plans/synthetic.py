@@ -589,6 +589,82 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Driver-checkable face of the MinHash-LSH incremental dedup (the
+# streaming.dedup.dedup_stream_against_index_minhash batch stage; VERDICT
+# r4 item 5). The banded matcher itself is xxhash64-based (no DuckDB
+# twin), so the oracle asserts its CONTRACT differentially: the verified
+# banded matches of new (doc_id%5==4) against old must be a subset of the
+# exact inverted-index matches (precision is exact by construction —
+# subset_ok), recover ≥95% of them (recall_ok; measured 1.0 at sf0.001/
+# 0.01/0.1 with 32 hashes × 8 bands at j≥0.3), and the exact-match count
+# n_exact is the oracle-replicable differential anchor.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_minhash_check",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT n.doc_id AS nid, o.doc_id AS oid, count(*) AS i
+      FROM sh n JOIN sh o ON n.s = o.s
+      WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 <> 4
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS subset_ok, TRUE AS recall_ok
+    FROM inter
+    JOIN sizes sn ON nid = sn.doc_id
+    JOIN sizes so ON oid = so.doc_id
+    WHERE i / CAST(sn.sz + so.sz - i AS DOUBLE) >= 0.3
+    """,
+)
+def dedup_incremental_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_matches_between, minhash_matches_between
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    lsh = minhash_matches_between(
+        new, old, "doc_id", "text", num_hashes=32, bands=8,
+        shingle_k=3, mode="word", verify_jaccard=0.3,
+    )
+    exact = jaccard_matches_between(
+        new, old, "doc_id", "text", shingle_k=3, mode="word", threshold=0.3
+    ).select("new_id", "old_id")
+    from ..operators.cache import scoped_persist
+
+    lsh = scoped_persist(lsh)
+    exact = scoped_persist(exact)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("__n_lsh"))
+    n_inter = lsh.join(exact, ["new_id", "old_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__n_inter")
+    )
+    # three 1-row aggregates — broadcast joins of single rows
+    return (
+        n_exact.join(F.broadcast(n_lsh))
+        .join(F.broadcast(n_inter))
+        .select(
+            "n_exact",
+            (F.col("__n_inter") == F.col("__n_lsh")).alias("subset_ok"),
+            (
+                F.col("__n_inter") >= F.ceil(F.lit(0.95) * F.col("n_exact"))
+            ).alias("recall_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs within hyperplane-LSH buckets. Fully
 # hash-checked (upgraded from rows-only in r4): the seeded planes are
 # engine-shared literals (see _planes_sql), so DuckDB replicates the

@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from ..operators.text import fingerprint
 
-__all__ = ["read_documents_stream", "dedup_stream_against_index"]
+__all__ = [
+    "read_documents_stream",
+    "dedup_stream_against_index",
+    "dedup_stream_against_index_minhash",
+    "run_minhash_dedup_stream",
+]
 
 
 def read_documents_stream(spark, sf_dir: str) -> DataFrame:
@@ -71,3 +76,78 @@ def dedup_stream_against_index(
         .drop("__seen")
     )
     return fresh.dropDuplicates(["fp"])
+
+
+def dedup_stream_against_index_minhash(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    mode: str = "word",
+) -> DataFrame:
+    """NEAR-dup variant of the incremental stream dedup (VERDICT r4 item
+    5): survivors are the ``new_docs`` rows with no verified MinHash-LSH
+    match (exact Jaccard ≥ ``threshold``) in the static historical
+    corpus — ``operators.dedup.minhash_matches_between``'s band-bucket
+    join per micro-batch.
+
+    The plan needs aggregations on the increment side (signature mins,
+    band buckets), which Structured Streaming cannot run ahead of a join
+    in append mode — so this stage is BATCH-shaped and runs inside
+    ``foreachBatch`` (see :func:`run_minhash_dedup_stream`), the standard
+    recipe for composite per-epoch logic. Per-epoch cost scales with the
+    increment: at 100 TB the history's signatures/band index are content
+    hashes — materialize them once, partitioned by (band, bucket), and
+    every epoch joins against that layout instead of re-hashing history
+    (the same pre-materialized-index posture as the exact-fp variant).
+    Decisions are per-document against the static index, so any
+    micro-batch split yields the same union of survivors as one batch —
+    the parity contract the tests pin.
+    """
+    from ..operators.dedup import minhash_matches_between
+
+    hits = (
+        minhash_matches_between(
+            new_docs,
+            index_docs,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            mode=mode,
+            verify_jaccard=threshold,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(hits, id_col, "left_anti")
+
+
+def run_minhash_dedup_stream(
+    stream_docs: DataFrame,
+    index_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Drive the near-dup incremental dedup over a document stream:
+    every micro-batch is filtered against the static index and the
+    survivors appended to a parquet sink. ``availableNow`` drains the
+    backlog and stops (bounded replay); the checkpoint makes re-runs
+    exactly-once at the sink."""
+
+    def _epoch(batch_df: DataFrame, _epoch_id: int) -> None:
+        out = dedup_stream_against_index_minhash(batch_df, index_docs, **kwargs)
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -33,6 +33,7 @@ _SINGLE_PARTITION_OK = {
     # partial row per task — bounded by #partitions, not data
     "dedup_minhash_recall_check",
     "dedup_simhash_check",
+    "dedup_incremental_minhash_check",
     "ann_ivf_recall_check",
     # 1-row global aggregates (no grouping key → single reducer of
     # per-task partial rows; this is the correct plan for a scalar)

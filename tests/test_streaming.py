@@ -391,3 +391,81 @@ def test_stream_dedup_against_index_matches_batch(spark):
     got = {r.fp for r in spark.sql("SELECT fp FROM inc_dedup").collect()}
     q.stop()
     assert got == want
+
+
+def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH incremental dedup == batch stage, including
+    across a micro-batch split: the union of per-epoch survivors equals
+    the whole-batch survivors (decisions are per-document against the
+    static index), and survivors are exactly the docs with no verified
+    near-dup in the index."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        dedup_stream_against_index_minhash,
+        run_minhash_dedup_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    new_b = docs.filter(F.col("doc_id") % 5 == 4)
+    old_b = docs.filter(F.col("doc_id") % 5 != 4)
+
+    batch_surv = dedup_stream_against_index_minhash(
+        new_b, old_b, threshold=0.3
+    )
+    want = {r.doc_id for r in batch_surv.select("doc_id").collect()}
+    n_new = new_b.count()
+    assert 0 < len(want) < n_new  # fixture sanity: some dupes, some new
+
+    # two-file landing dir -> two micro-batches (maxFilesPerTrigger=1)
+    land = str(tmp_path / "land")
+    new_b.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        land, mode="overwrite"
+    )
+    new_b.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    stream = (
+        spark.readStream.schema(new_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    out = str(tmp_path / "surv")
+    q = run_minhash_dedup_stream(
+        stream, old_b, out, str(tmp_path / "ckpt"), threshold=0.3
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == want
+
+
+def test_minhash_matches_between_subset_and_recall(spark):
+    """The banded between-matcher's verified pairs are a subset of the
+    exact inverted-index matches (precision exact by construction) and
+    recover all of them at this operating point."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        jaccard_matches_between,
+        minhash_matches_between,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    lsh = {
+        (r.new_id, r.old_id)
+        for r in minhash_matches_between(
+            new, old, "doc_id", "text", verify_jaccard=0.3
+        ).collect()
+    }
+    exact = {
+        (r.new_id, r.old_id)
+        for r in jaccard_matches_between(
+            new, old, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert exact  # fixture sanity
+    assert lsh <= exact
+    assert len(lsh) >= -(-95 * len(exact) // 100)  # ceil(0.95 * n)
