@@ -48,6 +48,7 @@ _CHECK_FIRST = [
     "docs_top_quality_per_source",
     "ann_ivf_probe_topk",  # new in r5: IVF assignment+probe+topk, full hash
     "dedup_incremental_minhash_check",  # new in r5: streaming dedup batch face
+    "dedup_semantic",  # new in r5: SemDeDup via trained-centroid literals
     # --- never driver-checked: rows-only by design (check faces green) ---
     "dedup_minhash",
     "dedup_simhash",
@@ -95,12 +96,12 @@ _CHECK_FIRST = [
     "text_language_id_trigram",
     "text_quality",
     "text_tfidf",
-    "text_token_counts",
     # --- remaining r3-set queries (simple, heavily pytest-covered
     # shapes) sit just past the window and rotate back in r6:
-    # customer_name_ids, distinct_users_by_type, events_value_stats,
-    # orders_by_month, token_histogram, text_language_id, sales_rollup,
-    # events_windowed, events_sliding, top_parts_by_brand ---
+    # text_token_counts, customer_name_ids, distinct_users_by_type,
+    # events_value_stats, orders_by_month, token_histogram,
+    # text_language_id, sales_rollup, events_windowed, events_sliding,
+    # top_parts_by_brand ---
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "simhash_near_dup",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
+    "semantic_dedup",
 ]
 
 
@@ -290,6 +291,66 @@ def minhash_lsh_dedup(
             .select("id_a", "id_b")
         )
     return pairs
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.35,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    keep one representative per near-duplicate semantic neighborhood.
+
+    Abbas et al.'s SemDeDup recipe (arXiv:2303.09540), Spark-first: rows
+    are assigned to their nearest k-means centroid
+    (``similarity.assign_ivf_cluster`` — one vectorized matmul per Arrow
+    batch, zero shuffle), pairwise cosine runs ONLY within a cluster (the
+    equi-join on the cluster id bounds candidates at O(Σ|cluster|²) — at
+    100 TB, centroid count scales with the corpus so clusters stay
+    bounded), and a row is dropped iff a lower-id row of the same cluster
+    sits at cosine ≥ ``threshold`` (deterministic survivor, same
+    min-id convention as ``exact_dedup``). ``max_cluster`` skips pair
+    generation inside degenerate hot clusters (their members all
+    survive — the documented cap semantics of ``_prune_hot_buckets``).
+
+    Returns the SURVIVORS: ``id_col, cluster``.
+    """
+    from .similarity import assign_ivf_cluster
+
+    assigned = scoped_persist(
+        assign_ivf_cluster(df.select(id_col, vec_col), vec_col, centroids)
+    )
+    pair_src = assigned
+    if max_cluster is not None:
+        counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__cn"))
+        pair_src = (
+            assigned.join(
+                counts.filter(F.col("__cn") > max_cluster).select("cluster"),
+                "cluster",
+                "left_anti",
+            )
+        )
+    a = pair_src.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = pair_src.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, id_col, "left_anti").select(id_col, "cluster")
 
 
 def minhash_matches_between(

@@ -1481,13 +1481,19 @@ def _ivf_shared_cached(sf_dir: str):
     return _ivf_shared_cache[sf_dir]
 
 
-def _ann_ivf_probe_oracle(sf_dir: str) -> str:
-    C, _qv, probes = _ivf_shared_cached(sf_dir)
-    cents = (
+def _cents_sql(C: list[list[float]]) -> str:
+    """Centroids as a DuckDB list-of-lists double literal (repr round-trips
+    each float exactly, so both engines parse the identical bit pattern)."""
+    return (
         "["
         + ",".join("[" + ",".join(repr(float(v)) for v in c) + "]" for c in C)
         + "]"
     )
+
+
+def _ann_ivf_probe_oracle(sf_dir: str) -> str:
+    C, _qv, probes = _ivf_shared_cached(sf_dir)
+    cents = _cents_sql(C)
     in_list = ",".join(str(p) for p in probes)
     return f"""
     WITH cents AS (SELECT {cents} AS C),
@@ -1525,6 +1531,54 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, "vec_id", "embedding", qv, C, k=10, n_probe=4, round_to=6
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+# cluster embeddings on the trained centroids, drop every row with a
+# lower-id same-cluster neighbor at cosine ≥ 0.35, keep the survivors.
+# Fully hash-checked via the same engine-shared trained-centroid
+# literals as ann_ivf_probe_topk — the oracle replicates assignment,
+# within-cluster pairing, and the threshold decision. Output includes
+# the cluster id, so every surviving row also asserts assignment parity.
+# τ = 0.35 sits at a verified gap of the within-cluster cosine
+# distribution: min |cos − 0.35| ≥ 4.7e-5 on all three corpora
+# (tools/measure_margins.py) vs the ~1e-12 summation-noise floor.
+# ---------------------------------------------------------------------------
+def _dedup_semantic_oracle(sf_dir: str) -> str:
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    return f"""
+    WITH cents AS (SELECT {_cents_sql(C)} AS C),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    assigned AS (
+      SELECT v.vec_id, v.ve,
+             list_position(d.dists, list_min(d.dists)) - 1 AS cluster
+      FROM v, cents,
+           LATERAL (SELECT list_transform(cents.C, c ->
+                      list_sum(list_transform(list_zip(v.ve, c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists) d
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+            / (sqrt(list_sum(list_transform(a.ve, x -> x*x)))
+               * sqrt(list_sum(list_transform(b.ve, x -> x*x)))) >= 0.35
+    )
+    SELECT vec_id, cluster FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """
+
+
+@register("dedup_semantic", oracle=_dedup_semantic_oracle)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_dedup
+
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", C, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------

@@ -117,6 +117,20 @@ def measure(sf_dir: str) -> list[tuple[str, float, float, bool]]:
         _round_margin(all_cos[probed]) * 1e-6,
         SUM_NOISE,
     )
+
+    # --- dedup_semantic: within-cluster cosine vs the tau=0.35 threshold ---
+    assign = d.argmin(axis=1)
+    taus = []
+    for j in range(len(C)):
+        idx = np.nonzero(assign == j)[0]
+        if len(idx) < 2:
+            continue
+        M = X[idx] / norms[idx][:, None]
+        G = M @ M.T
+        taus.append(G[np.triu_indices(len(idx), 1)])
+    within = np.concatenate(taus) if taus else np.array([])
+    if len(within):
+        check("dedup_semantic |cos-0.35|", float(np.abs(within - 0.35).min()), SUM_NOISE)
     return out
 
 
