@@ -49,6 +49,7 @@ _CHECK_FIRST = [
     "ann_ivf_probe_topk",  # new in r5: IVF assignment+probe+topk, full hash
     "dedup_incremental_minhash_check",  # new in r5: streaming dedup batch face
     "dedup_semantic",  # new in r5: SemDeDup via trained-centroid literals
+    "dedup_semantic_incremental",  # new in r5: its new-vs-corpus face
     # --- never driver-checked: rows-only by design (check faces green) ---
     "dedup_minhash",
     "dedup_simhash",
@@ -95,10 +96,9 @@ _CHECK_FIRST = [
     "vocab_build",
     "text_language_id_trigram",
     "text_quality",
-    "text_tfidf",
     # --- remaining r3-set queries (simple, heavily pytest-covered
     # shapes) sit just past the window and rotate back in r6:
-    # text_token_counts, customer_name_ids, distinct_users_by_type,
+    # text_tfidf, text_token_counts, customer_name_ids, distinct_users_by_type,
     # events_value_stats, orders_by_month, token_histogram,
     # text_language_id, sales_rollup, events_windowed, events_sliding,
     # top_parts_by_brand ---

@@ -42,6 +42,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "semantic_dedup",
+    "semantic_matches_between",
 ]
 
 
@@ -351,6 +352,43 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dups, id_col, "left_anti").select(id_col, "cluster")
+
+
+def semantic_matches_between(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic near-dup matches of ``new_df`` AGAINST an existing corpus
+    — the incremental-ingest face of :func:`semantic_dedup`: both sides
+    are assigned to their nearest centroid and cosine runs only across
+    same-cluster (new, old) pairs, so candidate volume scales with the
+    increment × cluster occupancy, never |new| × |old|. At 100 TB the
+    corpus side's assignment is content-derived — materialize it once,
+    partitioned by cluster, and every increment joins that layout.
+
+    Returns ``new_id, old_id`` (cosine ≥ ``threshold``).
+    """
+    from .similarity import assign_ivf_cluster
+
+    a = assign_ivf_cluster(
+        new_df.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("__va")),
+        "__va",
+        centroids,
+    )
+    b = assign_ivf_cluster(
+        old_df.select(F.col(id_col).alias("old_id"), F.col(vec_col).alias("__vb")),
+        "__vb",
+        centroids,
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("new_id", "old_id")
+    )
 
 
 def minhash_matches_between(

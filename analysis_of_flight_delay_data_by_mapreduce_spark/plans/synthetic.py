@@ -1582,6 +1582,46 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental-ingest face of the semantic dedup: new embeddings
+# (vec_id%5==4) matched against the historical corpus, same-cluster
+# pairs only. Fully hash-checked via the shared trained-centroid
+# literals (same margins as dedup_semantic — τ at a verified gap).
+# ---------------------------------------------------------------------------
+def _dedup_semantic_incr_oracle(sf_dir: str) -> str:
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    return f"""
+    WITH cents AS (SELECT {_cents_sql(C)} AS C),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    assigned AS (
+      SELECT v.vec_id, v.ve,
+             list_position(d.dists, list_min(d.dists)) - 1 AS cluster
+      FROM v, cents,
+           LATERAL (SELECT list_transform(cents.C, c ->
+                      list_sum(list_transform(list_zip(v.ve, c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists) d
+    )
+    SELECT n.vec_id AS new_id, o.vec_id AS old_id
+    FROM assigned n JOIN assigned o ON n.cluster = o.cluster
+    WHERE n.vec_id % 5 = 4 AND o.vec_id % 5 <> 4
+      AND list_sum(list_transform(list_zip(n.ve, o.ve), p -> p[1]*p[2]))
+          / (sqrt(list_sum(list_transform(n.ve, x -> x*x)))
+             * sqrt(list_sum(list_transform(o.ve, x -> x*x)))) >= 0.35
+    """
+
+
+@register("dedup_semantic_incremental", oracle=_dedup_semantic_incr_oracle)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_matches_between
+
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    return semantic_matches_between(new, old, "vec_id", "embedding", C, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
 # Beyond the reference: semi-structured JSON column. events.props is a JSON
 # string; extract a typed field and aggregate. from_json gives a typed
 # struct at scan time — the pattern for sidecar-metadata columns.

@@ -223,3 +223,69 @@ def test_topk_per_group_salted_equals_naive(spark):
     assert got == want and len(want) == 6
     # ties resolve by ascending id: the three 9s with smallest ids win 'a'
     assert [want[("a", k)] for k in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_semantic_dedup_planted_neighborhoods(spark):
+    """Planted clusters: near-identical vectors inside a cluster collapse
+    to the min-id representative; cross-cluster near-parallel vectors do
+    NOT pair (candidates are within-cluster only); max_cluster skips pair
+    generation in hot clusters (their members all survive)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # two well-separated centroids in 4-d
+    C = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]]
+    rows = [
+        # cluster 0: ids 1,2 nearly parallel (cos ~1) -> 2 dropped; id 3 orthogonal-ish
+        (1, [9.0, 0.1, 0.0, 0.0]),
+        (2, [9.1, 0.1, 0.0, 0.0]),
+        (3, [8.0, 0.0, 5.0, 0.0]),
+        # cluster 1: ids 4,5 nearly parallel -> 5 dropped
+        (4, [0.1, 9.0, 0.0, 0.2]),
+        (5, [0.1, 9.2, 0.0, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        (r.id, r.cluster)
+        for r in semantic_dedup(df, "id", "v", C, threshold=0.9).collect()
+    }
+    assert got == {(1, 0), (3, 0), (4, 1)}
+
+    # hot-cluster cap: cluster 0 (3 members) exceeds cap=2 -> no pairs
+    # generated there, every member survives; cluster 1 still dedups
+    capped = {
+        r.id
+        for r in semantic_dedup(
+            df, "id", "v", C, threshold=0.9, max_cluster=2
+        ).collect()
+    }
+    assert capped == {1, 2, 3, 4}
+
+
+def test_semantic_matches_between_increment_only(spark):
+    """The incremental matcher pairs new-vs-old within a cluster only:
+    never new-vs-new, never cross-cluster."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        semantic_matches_between,
+    )
+
+    C = [[10.0, 0.0], [0.0, 10.0]]
+    old = spark.createDataFrame(
+        [(1, [9.0, 0.1]), (2, [0.1, 9.0])], "id long, v array<double>"
+    )
+    new = spark.createDataFrame(
+        # 10: near-dup of old 1 (cluster 0); 11: near-dup of old 2
+        # (cluster 1); 12: cluster 0 but angled away (cos ~0.79 vs old 1)
+        [(10, [9.2, 0.1]), (11, [0.1, 9.3]), (12, [5.0, 4.0])],
+        "id long, v array<double>",
+    )
+    got = {
+        (r.new_id, r.old_id)
+        for r in semantic_matches_between(
+            new, old, "id", "v", C, threshold=0.999
+        ).collect()
+    }
+    assert got == {(10, 1), (11, 2)}

@@ -132,6 +132,9 @@ def test_no_forced_broadcast_of_scaling_tables():
         "overlap",      # 1-row COUNT aggregate (ann_ivf_recall_check)
         "n_cand",       # 1-row COUNT aggregate (ann_ivf_recall_check)
         "n_tot",        # 1-row COUNT aggregate (ann_ivf_recall_check)
+        "n_inter",      # 1-row COUNT aggregate (dedup_incremental_minhash_check)
+        "counts",       # per-nationkey counts — bounded by the fixed
+                        # 25-value nation-key domain (nation_customer_counts)
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
