@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     "dedup_incremental_minhash_check",  # new in r5: streaming dedup batch face
     "dedup_semantic",  # new in r5: SemDeDup via trained-centroid literals
     "dedup_semantic_incremental",  # new in r5: its new-vs-corpus face
+    "corpus_prepare_semantic",  # new in r5: composed pipeline, semantic stage
     # --- never driver-checked: rows-only by design (check faces green) ---
     "dedup_minhash",
     "dedup_simhash",
@@ -95,10 +96,11 @@ _CHECK_FIRST = [
     "users_purchase_no_refund_day",
     "vocab_build",
     "text_language_id_trigram",
-    "text_quality",
-    # --- remaining r3-set queries (simple, heavily pytest-covered
-    # shapes) sit just past the window and rotate back in r6:
-    # text_tfidf, text_token_counts, customer_name_ids, distinct_users_by_type,
+    # --- remaining r3-set queries (simple or redundantly exercised
+    # shapes — corpus_prepare_semantic's oracle replays the full
+    # text_quality formula) sit just past the window, rotate back r6:
+    # text_quality, text_tfidf, text_token_counts, customer_name_ids,
+    # distinct_users_by_type,
     # events_value_stats, orders_by_month, token_histogram,
     # text_language_id, sales_rollup, events_windowed, events_sliding,
     # top_parts_by_brand ---

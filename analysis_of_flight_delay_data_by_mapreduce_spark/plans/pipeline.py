@@ -21,7 +21,7 @@ from ..operators.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_pair
 from ..operators.graph import dedup_clusters
 from ..operators.text import fingerprint, quality_score
 
-__all__ = ["prepare_corpus", "prepare_corpus_cc"]
+__all__ = ["prepare_corpus", "prepare_corpus_cc", "prepare_corpus_semantic"]
 
 
 def prepare_corpus(
@@ -97,3 +97,53 @@ def prepare_corpus_cc(
     return kept.join(survivors, id_col, "left_semi").select(
         id_col, text_col, "quality"
     )
+
+
+def prepare_corpus_semantic(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_quality: float = 0.4,
+    cos_threshold: float = 0.35,
+) -> DataFrame:
+    """``prepare_corpus`` with a SEMANTIC near-dedup stage: quality gate →
+    exact fingerprint dedup → SemDeDup over the joined embedding column
+    (``operators.dedup.semantic_dedup`` — within-centroid-cluster cosine,
+    min-id survivor).
+
+    Embeddings join the text survivors by id (LEFT: a document without an
+    embedding row cannot be compared, so it survives the semantic stage —
+    at 100 TB the embedding table typically trails the crawl, and
+    silently dropping unembedded docs would be a correctness bug).
+    Output: ``id_col, quality, cluster`` (cluster NULL for unembedded
+    survivors). Every stage is deterministic and — with trained-centroid
+    literals — SQL-expressible, so the composed pipeline is value-hash-
+    checked end-to-end like ``prepare_corpus_cc``.
+    """
+    from ..operators.dedup import semantic_dedup
+
+    scored = quality_score(docs, text_col).filter(F.col("quality") >= min_quality)
+    scored = fingerprint(scored, text_col)
+    exact_survivors = exact_dedup(scored, ["fp"], id_col)
+    kept = scoped_persist(
+        scored.join(exact_survivors, [id_col, "fp"], "left_semi").select(
+            id_col, "quality"
+        )
+    )
+
+    vecs = kept.join(
+        embeddings.select(
+            F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("__vec")
+        ),
+        id_col,
+    )
+    sem = semantic_dedup(vecs, id_col, "__vec", centroids, threshold=cos_threshold)
+    no_vec = kept.join(
+        embeddings.select(F.col(vec_id_col).alias(id_col)), id_col, "left_anti"
+    ).select(id_col, F.lit(None).cast("int").alias("cluster"))
+    survivors = sem.unionByName(no_vec)
+    return kept.join(survivors, id_col).select(id_col, "quality", "cluster")

@@ -1813,6 +1813,86 @@ def corpus_prepare_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The composed pipeline with the SEMANTIC near-dedup stage: quality gate
+# → exact fingerprint dedup → SemDeDup over the joined embedding column.
+# Documents without an embedding row survive the semantic stage with a
+# NULL cluster (LEFT-join semantics — exercised for real at sf0.1, where
+# only 2,000 of 5,000 docs have vectors). Trained-centroid literals make
+# the whole composition value-hash-checked end-to-end.
+# ---------------------------------------------------------------------------
+def _corpus_prepare_semantic_oracle(sf_dir: str) -> str:
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    return rf"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_WS_TOKENS_SQL.format(col="text")},
+                      t -> list_contains({_EN_STOP_SQL}, lower(t)))) AS BIGINT) AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             round(0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least(CASE WHEN n_tokens > 0
+                        THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 10.0
+                      + CASE WHEN n_chars > 0
+                        THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)),
+               6) AS quality
+      FROM feats
+    ), qual AS (
+      SELECT * FROM scored WHERE quality >= 0.4
+    ), fps AS (
+      SELECT doc_id, quality,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM qual
+    ), keep1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), kept AS (
+      SELECT f.doc_id, f.quality FROM fps f JOIN keep1 USING (doc_id)
+    ), cents AS (SELECT {_cents_sql(C)} AS C),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    kv AS (
+      SELECT k.doc_id, v.ve,
+             list_position(d.dists, list_min(d.dists)) - 1 AS cluster
+      FROM kept k JOIN v ON k.doc_id = v.vec_id, cents,
+           LATERAL (SELECT list_transform(cents.C, c ->
+                      list_sum(list_transform(list_zip(v.ve, c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists) d
+    ),
+    dups AS (
+      SELECT DISTINCT b.doc_id
+      FROM kv a JOIN kv b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+      WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
+            / (sqrt(list_sum(list_transform(a.ve, x -> x*x)))
+               * sqrt(list_sum(list_transform(b.ve, x -> x*x)))) >= 0.35
+    )
+    SELECT k.doc_id, k.quality, kv.cluster
+    FROM kept k LEFT JOIN kv ON k.doc_id = kv.doc_id
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM dups)
+    """
+
+
+@register("corpus_prepare_semantic", oracle=_corpus_prepare_semantic_oracle)
+def corpus_prepare_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import prepare_corpus_semantic
+
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return prepare_corpus_semantic(
+        docs, emb, C, min_quality=0.4, cos_threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing (pretraining-corpus hygiene). The synthetic corpus is
 # clean, so the query PLANTS deterministic PII derived from doc_id — on
 # both engines identically — then scrubs it; the oracle replicates the
