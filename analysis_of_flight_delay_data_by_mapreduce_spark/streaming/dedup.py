@@ -34,6 +34,8 @@ __all__ = [
     "dedup_stream_against_index",
     "dedup_stream_against_index_minhash",
     "run_minhash_dedup_stream",
+    "dedup_stream_against_index_semantic",
+    "run_semantic_dedup_stream",
 ]
 
 
@@ -143,6 +145,65 @@ def run_minhash_dedup_stream(
 
     def _epoch(batch_df: DataFrame, _epoch_id: int) -> None:
         out = dedup_stream_against_index_minhash(batch_df, index_docs, **kwargs)
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_stream_against_index_semantic(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SEMANTIC variant of the incremental stream dedup, completing the
+    exact-fingerprint / MinHash-LSH / embedding triad: survivors are the
+    ``new_docs`` rows with no same-cluster corpus neighbor at cosine ≥
+    ``threshold`` (``operators.dedup.semantic_matches_between``).
+
+    Batch-shaped for ``foreachBatch`` like the MinHash face (the
+    assignment is a stateless vectorized projection, but the survivors
+    anti-join needs batch semantics). The corpus side's cluster
+    assignment is content-derived — materialize it once, partitioned by
+    cluster, and each epoch joins that layout. Per-document decisions
+    against the static index ⇒ any micro-batch split yields the same
+    union of survivors (the parity contract the tests pin).
+    """
+    from ..operators.dedup import semantic_matches_between
+
+    hits = (
+        semantic_matches_between(
+            new_docs, index_docs, id_col, vec_col, centroids, threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(hits, id_col, "left_anti")
+
+
+def run_semantic_dedup_stream(
+    stream_docs: DataFrame,
+    index_docs: DataFrame,
+    centroids: list[list[float]],
+    out_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Drive the semantic incremental dedup over an embedding stream —
+    same foreachBatch/availableNow/checkpoint contract as
+    :func:`run_minhash_dedup_stream`."""
+
+    def _epoch(batch_df: DataFrame, _epoch_id: int) -> None:
+        out = dedup_stream_against_index_semantic(
+            batch_df, index_docs, centroids, **kwargs
+        )
         out.write.mode("append").parquet(out_path)
 
     return (

@@ -469,3 +469,53 @@ def test_minhash_matches_between_subset_and_recall(spark):
     assert exact  # fixture sanity
     assert lsh <= exact
     assert len(lsh) >= -(-95 * len(exact) // 100)  # ceil(0.95 * n)
+
+
+def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming semantic incremental dedup == batch stage across a
+    micro-batch split (per-document decisions against the static index),
+    with centroids from the engine-independent pyarrow trainer."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        train_ivf_centroids_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        dedup_stream_against_index_semantic,
+        run_semantic_dedup_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    C = train_ivf_centroids_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    new_b = emb.filter(F.col("vec_id") % 5 == 4)
+    old_b = emb.filter(F.col("vec_id") % 5 != 4)
+
+    want = {
+        r.vec_id
+        for r in dedup_stream_against_index_semantic(new_b, old_b, C)
+        .select("vec_id")
+        .collect()
+    }
+    n_new = new_b.count()
+    assert 0 < len(want) <= n_new
+
+    land = str(tmp_path / "land")
+    new_b.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        land, mode="overwrite"
+    )
+    new_b.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    stream = (
+        spark.readStream.schema(new_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    out = str(tmp_path / "surv")
+    q = run_semantic_dedup_stream(
+        stream, old_b, C, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()}
+    assert got == want
