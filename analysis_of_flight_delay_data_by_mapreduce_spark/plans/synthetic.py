@@ -1546,15 +1546,21 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/measure_margins.py) vs the ~1e-12 summation-noise floor.
 # ---------------------------------------------------------------------------
 def _dedup_semantic_oracle(sf_dir: str) -> str:
+    # Pair test = dot of per-row unit vectors (normalized ONCE per row),
+    # mirroring semantic_dedup's Spark shape element-for-element so the
+    # float op order — and therefore the hash — matches.
     C, _qv, _probes = _ivf_shared_cached(sf_dir)
     return f"""
     WITH cents AS (SELECT {_cents_sql(C)} AS C),
     v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings),
     assigned AS (
-      SELECT v.vec_id, v.ve,
+      SELECT v.vec_id, n.nrm,
+             list_transform(v.ve, x -> x / n.nrm) AS ue,
              list_position(d.dists, list_min(d.dists)) - 1 AS cluster
       FROM v, cents,
+           LATERAL (SELECT sqrt(list_sum(list_transform(v.ve, x -> x*x)))
+                      AS nrm) n,
            LATERAL (SELECT list_transform(cents.C, c ->
                       list_sum(list_transform(list_zip(v.ve, c),
                         p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists) d
@@ -1563,9 +1569,9 @@ def _dedup_semantic_oracle(sf_dir: str) -> str:
       SELECT DISTINCT b.vec_id
       FROM assigned a JOIN assigned b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
-            / (sqrt(list_sum(list_transform(a.ve, x -> x*x)))
-               * sqrt(list_sum(list_transform(b.ve, x -> x*x)))) >= 0.35
+      WHERE a.nrm <> 0 AND b.nrm <> 0
+        AND list_sum(list_transform(list_zip(a.ue, b.ue), p -> p[1]*p[2]))
+            >= 0.35
     )
     SELECT vec_id, cluster FROM assigned
     WHERE vec_id NOT IN (SELECT vec_id FROM dups)
@@ -1594,9 +1600,12 @@ def _dedup_semantic_incr_oracle(sf_dir: str) -> str:
     v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings),
     assigned AS (
-      SELECT v.vec_id, v.ve,
+      SELECT v.vec_id, n.nrm,
+             list_transform(v.ve, x -> x / n.nrm) AS ue,
              list_position(d.dists, list_min(d.dists)) - 1 AS cluster
       FROM v, cents,
+           LATERAL (SELECT sqrt(list_sum(list_transform(v.ve, x -> x*x)))
+                      AS nrm) n,
            LATERAL (SELECT list_transform(cents.C, c ->
                       list_sum(list_transform(list_zip(v.ve, c),
                         p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists) d
@@ -1604,9 +1613,9 @@ def _dedup_semantic_incr_oracle(sf_dir: str) -> str:
     SELECT n.vec_id AS new_id, o.vec_id AS old_id
     FROM assigned n JOIN assigned o ON n.cluster = o.cluster
     WHERE n.vec_id % 5 = 4 AND o.vec_id % 5 <> 4
-      AND list_sum(list_transform(list_zip(n.ve, o.ve), p -> p[1]*p[2]))
-          / (sqrt(list_sum(list_transform(n.ve, x -> x*x)))
-             * sqrt(list_sum(list_transform(o.ve, x -> x*x)))) >= 0.35
+      AND n.nrm <> 0 AND o.nrm <> 0
+      AND list_sum(list_transform(list_zip(n.ue, o.ue), p -> p[1]*p[2]))
+          >= 0.35
     """
 
 
@@ -1860,9 +1869,12 @@ def _corpus_prepare_semantic_oracle(sf_dir: str) -> str:
     v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings),
     kv AS (
-      SELECT k.doc_id, v.ve,
+      SELECT k.doc_id, n.nrm,
+             list_transform(v.ve, x -> x / n.nrm) AS ue,
              list_position(d.dists, list_min(d.dists)) - 1 AS cluster
       FROM kept k JOIN v ON k.doc_id = v.vec_id, cents,
+           LATERAL (SELECT sqrt(list_sum(list_transform(v.ve, x -> x*x)))
+                      AS nrm) n,
            LATERAL (SELECT list_transform(cents.C, c ->
                       list_sum(list_transform(list_zip(v.ve, c),
                         p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists) d
@@ -1870,9 +1882,9 @@ def _corpus_prepare_semantic_oracle(sf_dir: str) -> str:
     dups AS (
       SELECT DISTINCT b.doc_id
       FROM kv a JOIN kv b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
-      WHERE list_sum(list_transform(list_zip(a.ve, b.ve), p -> p[1]*p[2]))
-            / (sqrt(list_sum(list_transform(a.ve, x -> x*x)))
-               * sqrt(list_sum(list_transform(b.ve, x -> x*x)))) >= 0.35
+      WHERE a.nrm <> 0 AND b.nrm <> 0
+        AND list_sum(list_transform(list_zip(a.ue, b.ue), p -> p[1]*p[2]))
+            >= 0.35
     )
     SELECT k.doc_id, k.quality, kv.cluster
     FROM kept k LEFT JOIN kv ON k.doc_id = kv.doc_id
