@@ -27,21 +27,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; registry order is ours to choose. Round-5 rotation (VERDICT r4
 # item 1): lead with the queries that have never had a driver row — the
 # two r4 additions (dedup_incremental, docs_top_quality_per_source, full
-# oracles, sweep- and pytest-verified in r4), this round's two new faces
-# (ann_ivf_probe_topk — the IVF path upgraded to a full hash check via
-# engine-shared trained-centroid literals — and
-# dedup_incremental_minhash_check, the streaming near-dup dedup's batch
-# face), and the six rows-only-by-design queries whose first driver stamp
-# is deliberately the weaker rows-count check (each one's oracle-asserted
-# check face is r3/r4 driver-green: dedup_minhash_recall_check,
-# dedup_simhash_check, ann_ivf_recall_check, events_user_sketch_check,
-# events_user_overlap_check, corpus_prepare_cc). After these 10, the
-# window refills with the CORRECTNESS_r03 green set (their rows are now
-# the oldest), including nation_customer_counts whose join side was
-# re-planned this round (hash unchanged — the driver row re-stamps it).
-# The r4-green set rotates out; every rotated-out query is re-verified
-# each round by the full local check_oracle sweep and the pytest oracle
-# replicas at sf0.001.
+# oracles, sweep- and pytest-verified in r4), the six queries NEW in r5
+# (ann_ivf_probe_topk / dedup_semantic / dedup_semantic_incremental /
+# corpus_prepare_semantic / text_bm25 — all fully hash-checked via
+# engine-shared trained-centroid / corpus-stat literals — plus
+# dedup_incremental_minhash_check, the streaming near-dup dedup's
+# oracle-asserted batch face), and the six rows-only-by-design queries
+# whose first driver stamp is deliberately the weaker rows-count check
+# (each one's oracle-asserted check face is r3/r4 driver-green:
+# dedup_minhash_recall_check, dedup_simhash_check, ann_ivf_recall_check,
+# events_user_sketch_check, events_user_overlap_check,
+# corpus_prepare_cc). After these 14, the window refills with the
+# CORRECTNESS_r03 green set (their rows are now the oldest), including
+# nation_customer_counts whose join side was re-planned this round
+# (hash unchanged — the driver row re-stamps it). The r4-green set
+# rotates out; every rotated-out query is re-verified each round by the
+# full local check_oracle sweep and the pytest oracle replicas at
+# sf0.001.
 _CHECK_FIRST = [
     # --- never driver-checked: full oracles ---
     "dedup_incremental",
@@ -51,6 +53,7 @@ _CHECK_FIRST = [
     "dedup_semantic",  # new in r5: SemDeDup via trained-centroid literals
     "dedup_semantic_incremental",  # new in r5: its new-vs-corpus face
     "corpus_prepare_semantic",  # new in r5: composed pipeline, semantic stage
+    "text_bm25",  # new in r5: Okapi BM25 with literal corpus stats
     # --- never driver-checked: rows-only by design (check faces green) ---
     "dedup_minhash",
     "dedup_simhash",
@@ -79,7 +82,6 @@ _CHECK_FIRST = [
     "events_user_overlap_check",
     "events_user_sketch_check",
     "orders_above_customer_avg",
-    "orders_profile",
     "pivot_status_revenue",
     "sales_cube",
     "tpch_q15_top_supplier",
@@ -99,8 +101,8 @@ _CHECK_FIRST = [
     # --- remaining r3-set queries (simple or redundantly exercised
     # shapes — corpus_prepare_semantic's oracle replays the full
     # text_quality formula) sit just past the window, rotate back r6:
-    # text_quality, text_tfidf, text_token_counts, customer_name_ids,
-    # distinct_users_by_type,
+    # orders_profile, text_quality, text_tfidf, text_token_counts,
+    # customer_name_ids, distinct_users_by_type,
     # events_value_stats, orders_by_month, token_histogram,
     # text_language_id, sales_rollup, events_windowed, events_sliding,
     # top_parts_by_brand ---

@@ -378,3 +378,48 @@ def scrub_pii(
         prev = F.col(f"__s_{kind}")
     result = result.withColumn(out, prev)
     return result.drop(*[f"__s_{k}" for k, _, _ in PII_PATTERNS])
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    out: str = "bm25",
+) -> DataFrame:
+    """BM25 relevance of every document for a fixed query-term set, with
+    the corpus statistics (per-term idf, average document length)
+    supplied as precomputed constants.
+
+    Okapi BM25 (Robertson/Spärck Jones):
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))``.
+
+    Passing the statistics in (instead of aggregating in-plan) is the
+    production posture at 100 TB — idf/avgdl come from the previous
+    corpus snapshot or a separate stats pass — and makes scoring a pure
+    narrow projection: scan-speed, no shuffle, no join. It also keeps
+    the query engine-deterministic: the log lives in the driver-side idf
+    computation, so no transcendental libm call (whose last ulp differs
+    across engines) executes inside the query. Term counts re-reference
+    the token split per term, but whole-stage codegen's subexpression
+    elimination evaluates the split once per row (top-level Project —
+    NOT the HOF-lambda no-CSE trap).
+    """
+    toks = word_tokens(F.col(text_col))
+    dl = F.size(toks).cast("double")
+    k1p1 = float(k1 + 1.0)
+    one_minus_b = float(1.0 - b)
+    score = None
+    for t in terms:
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        num = F.lit(float(idf[t])) * (tf * F.lit(k1p1))
+        den = tf + F.lit(float(k1)) * (
+            F.lit(one_minus_b) + F.lit(float(b)) * (dl / F.lit(float(avgdl)))
+        )
+        s = num / den
+        score = s if score is None else score + s
+    return df.select(F.col(id_col), F.round(score, 6).alias(out))

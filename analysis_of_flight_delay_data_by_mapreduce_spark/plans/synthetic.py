@@ -1631,6 +1631,94 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Okapi; the classic lexical-retrieval ranking a
+# training-data pipeline uses for eval-set mining and query-based corpus
+# slicing). The corpus statistics — per-term idf and average document
+# length — are computed engine-independently (pyarrow scan, exact int
+# counts, the log runs in the DRIVER) and rendered as shared literals in
+# both plans, so no transcendental libm call (whose last ulp differs
+# across engines) executes inside either query: scoring is pure rational
+# arithmetic in identical op order → fully hash-checked. In-plan this is
+# a narrow projection — scan-speed, no shuffle, no join.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "window", "sort", "merge"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_shared(sf_dir: str) -> tuple[dict[str, float], float]:
+    """(idf per term, avgdl) from {sf_dir}/documents.parquet — one bounded
+    pyarrow scan; token semantics match word_tokens/_WS_TOKENS_SQL
+    (split on whitespace runs, drop empties)."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/documents.parquet", columns=["text"])
+    texts = t.column("text").to_pylist()
+    n_docs, total_len = len(texts), 0
+    dfreq = dict.fromkeys(_BM25_TERMS, 0)
+    for x in texts:
+        toks = [w for w in re.split(r"\s+", x) if w]
+        total_len += len(toks)
+        for term in set(toks) & set(_BM25_TERMS):
+            dfreq[term] += 1
+    idf = {
+        term: math.log(1.0 + (n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        for term in _BM25_TERMS
+    }
+    return idf, total_len / n_docs
+
+
+_bm25_cache: dict[str, tuple] = {}
+
+
+def _bm25_shared_cached(sf_dir: str):
+    if sf_dir not in _bm25_cache:
+        _bm25_cache[sf_dir] = _bm25_shared(sf_dir)
+    return _bm25_cache[sf_dir]
+
+
+def _text_bm25_oracle(sf_dir: str) -> str:
+    idf, avgdl = _bm25_shared_cached(sf_dir)
+    k1p1 = repr(_BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - _BM25_B)
+    parts = []
+    for term in _BM25_TERMS:
+        tf = (
+            f"CAST(len(list_filter({_WS_TOKENS_SQL.format(col='text')},"
+            f" x -> x = '{term}')) AS DOUBLE)"
+        )
+        num = f"{repr(idf[term])} * ({tf} * {k1p1})"
+        den = (
+            f"{tf} + {repr(_BM25_K1)} * ({one_minus_b} + {repr(_BM25_B)}"
+            f" * (dl / {repr(avgdl)}))"
+        )
+        parts.append(f"({num}) / ({den})")
+    total = " + ".join(parts)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS DOUBLE) AS dl
+      FROM documents
+    )
+    SELECT doc_id, round({total}, 6) AS bm25 FROM d
+    """
+
+
+@register("text_bm25", oracle=_text_bm25_oracle)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_scores
+
+    idf, avgdl = _bm25_shared_cached(sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, idf, avgdl,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Beyond the reference: semi-structured JSON column. events.props is a JSON
 # string; extract a typed field and aggregate. from_json gives a typed
 # struct at scan time — the pattern for sidecar-metadata columns.

@@ -45,6 +45,7 @@ from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity impor
 # 64 dims at O(1) magnitudes, and the IVF expanded-vs-folded formula gap)
 SUM_NOISE = 1e-12
 FORMULA_NOISE = 1e-8
+ULP_NOISE = 1e-15  # bit-identical-class queries: same-order rational math
 
 
 def _round_margin(x: np.ndarray, dp: int = 6) -> float:
@@ -131,6 +132,41 @@ def measure(sf_dir: str) -> list[tuple[str, float, float, bool]]:
     within = np.concatenate(taus) if taus else np.array([])
     if len(within):
         check("dedup_semantic |cos-0.35|", float(np.abs(within - 0.35).min()), SUM_NOISE)
+
+    # --- text_bm25: 6-dp rounding boundary. This query is in the
+    # bit-identical class (idf/avgdl are shared literals; the in-plan
+    # arithmetic is rational, same op order, no folds over data-length
+    # arrays, no transcendentals), so the floor is ulp-scale, not
+    # summation-scale.
+    import re as _re
+
+    dt = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).column("text").to_pylist()
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _bm25_shared,
+    )
+
+    idf, avgdl = _bm25_shared(sf_dir)
+    scores = []
+    for x in dt:
+        toks = [w for w in _re.split(r"\s+", x) if w]
+        dl = float(len(toks))
+        s = 0.0
+        for term in _BM25_TERMS:
+            tf = float(toks.count(term))
+            s += (idf[term] * (tf * (_BM25_K1 + 1.0))) / (
+                tf + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dl / avgdl))
+            )
+        scores.append(s)
+    check(
+        "text_bm25 6dp boundary (abs, ulp-class)",
+        _round_margin(np.array(scores)) * 1e-6,
+        ULP_NOISE,
+    )
     return out
 
 
