@@ -241,3 +241,16 @@ def test_word_shingles_tokenizes_once_per_row(spark):
     assert gen_lines, "expected the shingle explode in the plan"
     for l in gen_lines:
         assert l.count("split(") == 1, f"text re-tokenized per element:\n{l}"
+
+
+def test_bm25_is_shuffle_free_narrow_projection(spark):
+    """text_bm25's selling point: corpus stats are literals, so scoring
+    is one scan + projection — zero exchanges, zero joins, pruned read
+    schema (doc_id + text only)."""
+    df = synthetic.QUERIES["text_bm25"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert "Exchange" not in txt
+    assert "Join" not in txt
+    m = [l for l in txt.splitlines() if "ReadSchema" in l]
+    assert m and "doc_id" in m[0] and "text" in m[0]
+    assert "lang" not in m[0]  # unused columns pruned
