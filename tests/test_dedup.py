@@ -235,6 +235,9 @@ def test_semantic_dedup_planted_neighborhoods(spark):
     from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
         semantic_dedup,
     )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
 
     # two well-separated centroids in 4-d
     C = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]]
@@ -289,3 +292,52 @@ def test_semantic_matches_between_increment_only(spark):
         ).collect()
     }
     assert got == {(10, 1), (11, 2)}
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """Property-style hardening: on the real sf0.001 embeddings, the
+    operator's survivor set equals an independent numpy brute-force
+    implementation of the same spec (assign to nearest trained centroid,
+    drop rows with a lower-id same-cluster neighbor at cos >= tau)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        train_ivf_centroids_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    C = train_ivf_centroids_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup(emb, "vec_id", "embedding", C, 0.35).collect()
+    }
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id"))
+    X = np.stack(t.column("embedding").to_pylist()).astype("float64")
+    Ca = np.asarray(C)
+    d = ((X[:, None, :] - Ca[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    norms = np.linalg.norm(X, axis=1)
+    want = set()
+    order = np.argsort(vid, kind="stable")
+    for i in order:
+        dup = False
+        for j in order:
+            if vid[j] >= vid[i] or assign[j] != assign[i]:
+                continue
+            cos = float(X[i] @ X[j]) / (norms[i] * norms[j])
+            if cos >= 0.35:
+                dup = True
+                break
+        if not dup:
+            want.add((int(vid[i]), int(assign[i])))
+    assert got == want

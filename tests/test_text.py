@@ -163,3 +163,49 @@ def test_scrub_pii_null_text(spark):
     assert got[1].scrubbed is None
     assert (got[1].n_email, got[1].n_ip, got[1].n_phone, got[1].n_number) == (0, 0, 0, 0)
     assert got[2].scrubbed == "mail <EMAIL>" and got[2].n_email == 1
+
+
+def test_bm25_scores_match_python_reference(spark):
+    """bm25_scores == a direct python Okapi BM25 on the same tokens and
+    shared corpus stats (6-dp rounded), on the real sf0.001 corpus."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        bm25_scores,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _bm25_shared,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    idf, avgdl = _bm25_shared(sf_dir)
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(
+            docs, "doc_id", "text", _BM25_TERMS, idf, avgdl,
+            k1=_BM25_K1, b=_BM25_B,
+        ).collect()
+    }
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = [w for w in re.split(r"\s+", text) if w]
+        dl = float(len(toks))
+        s = 0.0
+        for term in _BM25_TERMS:
+            tf = float(toks.count(term))
+            s += (idf[term] * (tf * (_BM25_K1 + 1.0))) / (
+                tf + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dl / avgdl))
+            )
+        assert abs(got[doc_id] - round(s, 6)) <= 1e-6, doc_id
