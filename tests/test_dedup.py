@@ -235,9 +235,6 @@ def test_semantic_dedup_planted_neighborhoods(spark):
     from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
         semantic_dedup,
     )
-    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
-        read_parquet_table,
-    )
 
     # two well-separated centroids in 4-d
     C = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]]
