@@ -27,17 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; registry order is ours to choose. Round-5 rotation (VERDICT r4
 # item 1): lead with the queries that have never had a driver row — the
 # two r4 additions (dedup_incremental, docs_top_quality_per_source, full
-# oracles, sweep- and pytest-verified in r4), the six queries NEW in r5
-# (ann_ivf_probe_topk / dedup_semantic / dedup_semantic_incremental /
-# corpus_prepare_semantic / text_bm25 — all fully hash-checked via
-# engine-shared trained-centroid / corpus-stat literals — plus
-# dedup_incremental_minhash_check, the streaming near-dup dedup's
-# oracle-asserted batch face), and the six rows-only-by-design queries
-# whose first driver stamp is deliberately the weaker rows-count check
-# (each one's oracle-asserted check face is r3/r4 driver-green:
-# dedup_minhash_recall_check, dedup_simhash_check, ann_ivf_recall_check,
-# events_user_sketch_check, events_user_overlap_check,
-# corpus_prepare_cc). After these 14, the window refills with the
+# oracles, sweep- and pytest-verified in r4), the seven queries NEW in
+# r5 (ann_ivf_probe_topk / dedup_semantic / dedup_semantic_incremental /
+# corpus_prepare_semantic / text_bm25 / corpus_prepare_audit — all fully
+# hash-checked, several via engine-shared trained-centroid / corpus-stat
+# literals — plus dedup_incremental_minhash_check, the streaming
+# near-dup dedup's oracle-asserted batch face), and the six
+# rows-only-by-design queries whose first driver stamp is deliberately
+# the weaker rows-count check (each one's oracle-asserted check face is
+# r3/r4 driver-green: dedup_minhash_recall_check, dedup_simhash_check,
+# ann_ivf_recall_check, events_user_sketch_check,
+# events_user_overlap_check, corpus_prepare_cc). After these 15, the
+# window refills with the
 # CORRECTNESS_r03 green set (their rows are now the oldest), including
 # nation_customer_counts whose join side was re-planned this round
 # (hash unchanged — the driver row re-stamps it). The r4-green set
@@ -54,6 +55,7 @@ _CHECK_FIRST = [
     "dedup_semantic_incremental",  # new in r5: its new-vs-corpus face
     "corpus_prepare_semantic",  # new in r5: composed pipeline, semantic stage
     "text_bm25",  # new in r5: Okapi BM25 with literal corpus stats
+    "corpus_prepare_audit",  # new in r5: lineage face of the pipeline
     # --- never driver-checked: rows-only by design (check faces green) ---
     "dedup_minhash",
     "dedup_simhash",
@@ -97,11 +99,11 @@ _CHECK_FIRST = [
     "users_purchase_and_error",
     "users_purchase_no_refund_day",
     "vocab_build",
-    "text_language_id_trigram",
     # --- remaining r3-set queries (simple or redundantly exercised
     # shapes — corpus_prepare_semantic's oracle replays the full
     # text_quality formula) sit just past the window, rotate back r6:
-    # orders_profile, text_quality, text_tfidf, text_token_counts,
+    # text_language_id_trigram, orders_profile, text_quality,
+    # text_tfidf, text_token_counts,
     # customer_name_ids, distinct_users_by_type,
     # events_value_stats, orders_by_month, token_histogram,
     # text_language_id, sales_rollup, events_windowed, events_sliding,

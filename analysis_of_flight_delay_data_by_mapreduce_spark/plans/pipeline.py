@@ -5,10 +5,11 @@ Composes the extension operators into the canonical pretraining-data flow:
     score → filter → exact-dedup → near-dedup → select survivors
 
 One declarative plan: Catalyst fuses the narrow stages (scoring, filtering,
-fingerprinting run in the scan pass), and the only shuffles are the two
-dedup aggregations/joins. The output is the cleaned corpus plus a lineage
-column recording why rows were dropped — the shape a 100 TB data-curation
-job materializes back to Parquet, partitioned by shard.
+fingerprinting run in the scan pass), and the only shuffles are the dedup
+aggregations/joins. ``prepare_corpus*`` return the cleaned corpus;
+``prepare_corpus_audit`` returns the lineage face — every input document
+with the reason it survived or fell — the pair a 100 TB data-curation job
+materializes back to Parquet, partitioned by shard.
 """
 
 from __future__ import annotations
@@ -21,7 +22,12 @@ from ..operators.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_pair
 from ..operators.graph import dedup_clusters
 from ..operators.text import fingerprint, quality_score
 
-__all__ = ["prepare_corpus", "prepare_corpus_cc", "prepare_corpus_semantic"]
+__all__ = [
+    "prepare_corpus",
+    "prepare_corpus_cc",
+    "prepare_corpus_semantic",
+    "prepare_corpus_audit",
+]
 
 
 def prepare_corpus(
@@ -147,3 +153,53 @@ def prepare_corpus_semantic(
     ).select(id_col, F.lit(None).cast("int").alias("cluster"))
     survivors = sem.unionByName(no_vec)
     return kept.join(survivors, id_col).select(id_col, "quality", "cluster")
+
+
+def prepare_corpus_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_jaccard: float = 0.5,
+) -> DataFrame:
+    """Lineage face of :func:`prepare_corpus_cc`: EVERY input document
+    with the reason it survived or fell — the audit table a curation run
+    materializes next to the cleaned corpus (drop-rate monitoring,
+    appeal/debug of individual documents, stage-level regression diffs).
+
+    ``status`` ∈ ``kept`` / ``low_quality`` (quality gate) /
+    ``exact_dup`` (same normalized fingerprint as a smaller-id doc) /
+    ``near_dup`` (its near-dup cluster's min id is another doc). Stages
+    apply in that order, matching prepare_corpus_cc exactly: the kept
+    set here equals its survivor set row-for-row. Same shuffles as the
+    pipeline itself plus one marker join per stage — the audit costs a
+    constant factor, not a new algorithm.
+    """
+    scored = fingerprint(quality_score(docs, text_col), text_col)
+    qual_ok = scored.filter(F.col("quality") >= min_quality)
+    exact_surv = exact_dedup(qual_ok, ["fp"], id_col)
+    kept1 = scoped_persist(
+        qual_ok.join(exact_surv, [id_col, "fp"], "left_semi")
+    )
+    pairs = ngram_jaccard_pairs(
+        kept1, id_col, text_col, shingle_k=3, mode="word",
+        threshold=near_dup_jaccard,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(kept1, pairs, id_col)
+    near_losers = clusters.filter(F.col("cluster") != F.col(id_col)).select(
+        F.col(id_col), F.lit(True).alias("__near_loser")
+    )
+    kept1_ids = kept1.select(F.col(id_col), F.lit(True).alias("__kept1"))
+    return (
+        scored.join(kept1_ids, id_col, "left")
+        .join(near_losers, id_col, "left")
+        .select(
+            id_col,
+            "quality",
+            F.when(F.col("quality") < min_quality, F.lit("low_quality"))
+            .when(F.col("__kept1").isNull(), F.lit("exact_dup"))
+            .when(F.col("__near_loser").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

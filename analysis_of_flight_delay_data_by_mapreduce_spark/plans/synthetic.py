@@ -1910,6 +1910,100 @@ def corpus_prepare_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lineage face of the flagship pipeline: EVERY input document with the
+# reason it survived or fell (kept / low_quality / exact_dup /
+# near_dup), stages applied in corpus_prepare_cc's exact order — the
+# audit table a curation run materializes next to the cleaned corpus.
+# Oracle = the corpus_prepare_cc CTE chain extended to tag instead of
+# filter, so the kept rows here must equal its survivor set.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_prepare_audit",
+    oracle=rf"""
+    WITH RECURSIVE feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_WS_TOKENS_SQL.format(col="text")},
+                      t -> list_contains({_EN_STOP_SQL}, lower(t)))) AS BIGINT) AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             round(0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least(CASE WHEN n_tokens > 0
+                        THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 10.0
+                      + CASE WHEN n_chars > 0
+                        THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)),
+               6) AS quality
+      FROM feats
+    ), qual AS (
+      SELECT * FROM scored WHERE quality >= 0.4
+    ), fps AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM qual
+    ), keep1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), kept AS (
+      SELECT f.doc_id, f.text FROM fps f JOIN keep1 USING (doc_id)
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM kept
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ), comp AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT s.doc_id, s.quality,
+           CASE WHEN s.quality < 0.4 THEN 'low_quality'
+                WHEN k.doc_id IS NULL THEN 'exact_dup'
+                WHEN COALESCE(c.component, s.doc_id) <> s.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM scored s
+    LEFT JOIN kept k ON s.doc_id = k.doc_id
+    LEFT JOIN comp c ON s.doc_id = c.id
+    """,
+)
+def corpus_prepare_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import prepare_corpus_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_corpus_audit(docs, min_quality=0.4, near_dup_jaccard=0.5)
+
+
+# ---------------------------------------------------------------------------
 # The composed pipeline with the SEMANTIC near-dedup stage: quality gate
 # → exact fingerprint dedup → SemDeDup over the joined embedding column.
 # Documents without an embedding row survive the semantic stage with a

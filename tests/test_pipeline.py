@@ -63,3 +63,50 @@ def test_prepare_corpus_cc_collapses_clusters(spark):
     assert pairs == {(2, 5), (3, 5)}
     assert pair_rule == {2, 3, 9}  # drops only the larger id of each pair
     assert closure == {2, 9}  # one survivor per cluster {2,3,5}
+
+
+def test_prepare_corpus_audit_statuses_and_kept_parity(spark):
+    """Planted fixture hits all four lineage statuses; the kept rows must
+    equal prepare_corpus_cc's survivor set on the same inputs."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.pipeline import (
+        prepare_corpus_audit,
+        prepare_corpus_cc,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun and the light wind "
+        "moves the tall grass near the quiet river bank all day"
+    )
+    near = good.replace("afternoon", "morning")
+    rows = [
+        (1, good),
+        (2, good),            # exact dup of 1 (same fingerprint)
+        (3, near),            # near dup of 1 (one-word edit)
+        (4, "#### 12345 !!"),  # low quality: punct/digit-heavy, tiny
+        (5, "completely different content about catalyst optimizer internals and shuffle partitioning strategies in the modern query engine with many plain words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    aud = {
+        r.doc_id: r.status
+        for r in prepare_corpus_audit(
+            docs, min_quality=0.4, near_dup_jaccard=0.5
+        ).collect()
+    }
+    assert aud == {
+        1: "kept",
+        2: "exact_dup",
+        3: "near_dup",
+        4: "low_quality",
+        5: "kept",
+    }
+    kept = {k for k, v in aud.items() if v == "kept"}
+    surv = {
+        r.doc_id
+        for r in prepare_corpus_cc(
+            docs, min_quality=0.4, near_dup_jaccard=0.5
+        ).collect()
+    }
+    assert kept == surv
