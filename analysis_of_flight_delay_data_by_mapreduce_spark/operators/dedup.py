@@ -44,6 +44,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_dedup",
     "minhash_matches_between",
+    "build_band_index",
+    "minhash_candidates_against_index",
     "simhash",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
@@ -520,6 +522,84 @@ def minhash_matches_between(
             .select("new_id", "old_id")
         )
     return pairs
+
+
+def build_band_index(
+    df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    mode: str = "word",
+    n_buckets: int = 8,
+) -> None:
+    """Materialize a corpus's MinHash band index as a BUCKETED table —
+    the write-once half of the incremental near-dup posture.
+
+    Signatures and band buckets are content hashes: computing them per
+    increment against a 100 TB history would re-hash the history every
+    day. This writes them once, bucketed (``bucketBy``) on the composite
+    band key, so every increment's candidate join
+    (:func:`minhash_candidates_against_index`) reads co-located buckets
+    and the HISTORY side joins with no Exchange — only the (small)
+    increment shuffles. Append new survivors periodically; the band key
+    of a document never changes.
+    """
+    from .bucketing import write_bucketed
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df.withColumnRenamed(id_col, "old_id"), "old_id", text_col,
+        num_hashes, shingle_k, mode,
+    )
+    entries = (
+        _band_entries(sig, "old_id", bands, rows_per_band)
+        .withColumn("bkey", F.xxhash64("band", "bucket"))
+        .select("old_id", "bkey")
+    )
+    write_bucketed(entries, table, key="bkey", n_buckets=n_buckets)
+
+
+def minhash_candidates_against_index(
+    spark,
+    new_df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    mode: str = "word",
+) -> DataFrame:
+    """Near-dup candidate pairs of an increment against a
+    :func:`build_band_index` table: band-hash the increment (parameters
+    MUST match the index build), join on the composite band key.
+
+    The bucketed history side satisfies the join's required
+    distribution from its layout — no Exchange, no re-hash; the
+    increment side shuffles into the same bucketing. Verify candidates
+    with the exact-Jaccard stage of :func:`minhash_matches_between` (the
+    index stores only ids + band keys, not text). The ``merge`` hint
+    pins the sort-merge path a fact-scale history takes (at test scale
+    Catalyst would otherwise broadcast the increment — also shuffle-free
+    for the history, but the SMJ plan is the one worth asserting).
+
+    Returns distinct ``new_id, old_id`` candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        new_df.withColumnRenamed(id_col, "new_id"), "new_id", text_col,
+        num_hashes, shingle_k, mode,
+    )
+    e_new = (
+        _band_entries(sig, "new_id", bands, rows_per_band)
+        .withColumn("bkey", F.xxhash64("band", "bucket"))
+        .select("new_id", "bkey")
+    )
+    idx = spark.table(table).hint("merge")
+    return e_new.join(idx, "bkey").select("new_id", "old_id").distinct()
 
 
 def simhash(
