@@ -31,6 +31,13 @@ __all__ = [
     "bucketize_hyperplane",
     "bucketize_hyperplane_tables",
     "cosine_topk_lsh",
+    "train_ivf_centroids",
+    "train_ivf_centroids_parquet",
+    "assign_ivf_cluster",
+    "cosine_topk_ivf",
+    "build_ann_table",
+    "upsert_ann_table",
+    "query_ann_table",
 ]
 
 
@@ -334,6 +341,51 @@ def build_ann_table(
         "cluster"
     ).parquet(path)
     return centroids
+
+
+def upsert_ann_table(
+    new_df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add (or replace, by ``id_col``) a vector batch in a
+    ``build_ann_table`` index without rebuilding it: assign the batch to
+    the EXISTING centroids, then dynamic-partition-overwrite exactly the
+    cluster directories the batch touches, each rewritten as
+    (old rows minus the batch's ids) ∪ new rows — re-running a failed
+    day replaces the same partitions with the same content, and a
+    re-embedded vector supersedes its old row.
+
+    The IVF maintenance recipe: coarse centroids describe the
+    distribution, not the rows, so increments reuse them (retrain only
+    on drift — a rebuild, not an upsert). Cost scales with the touched
+    clusters, not the index: at 100 TB a daily batch lands in a handful
+    of partition rewrites while every other cluster's files are
+    untouched — the same idempotent-increment contract as
+    ``sinks.upsert_partitions`` (re-running a failed day replaces the
+    same partitions with the same content).
+    """
+    from ..sources.sinks import upsert_partitions
+
+    spark = new_df.sparkSession
+    assigned = assign_ivf_cluster(new_df, vec_col, centroids)
+    touched = [int(r["cluster"]) for r in assigned.select("cluster").distinct().collect()]
+    # Spark refuses to overwrite a path its plan is reading
+    # (InsertIntoHadoopFsRelation input-path check), so the touched
+    # partitions are materialized off-path first. localCheckpoint keeps
+    # only those partitions (bounded by the batch's cluster spread) in
+    # block storage; an object-store deployment stages them to a temp
+    # prefix instead — same two-step, different medium.
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(touched))
+        .join(assigned.select(id_col), id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    merged = existing.unionByName(assigned)
+    upsert_partitions(merged, path, ["cluster"])
 
 
 def query_ann_table(

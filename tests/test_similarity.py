@@ -108,3 +108,67 @@ def test_ann_table_partition_pruning(spark, tmp_path):
     # materialized index returns the same ids as the in-memory IVF path
     live = cosine_topk_ivf(emb, "vec_id", "embedding", qv, centroids, n_probe=3)
     assert {r.vec_id for r in df.collect()} == {r.vec_id for r in live.collect()}
+
+
+def test_upsert_ann_table_touches_only_batch_clusters(spark, tmp_path):
+    """Incremental IVF maintenance: a new batch lands via dynamic
+    partition overwrite in exactly the clusters it belongs to — rows
+    preserved, untouched cluster directories' files byte-identical, and
+    a subsequent probe sees the new vectors."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        assign_ivf_cluster,
+        build_ann_table,
+        query_ann_table,
+        upsert_ann_table,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+    from conftest import SF_DIR
+
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 100 != 4)
+    batch = emb.filter(F.col("vec_id") % 100 == 4)  # 5 vectors: <= 5 of 8 clusters
+    path = str(tmp_path / "ann")
+    centroids = build_ann_table(base, path, n_clusters=8, seed=42)
+
+    batch_clusters = {
+        r.cluster
+        for r in assign_ivf_cluster(batch, "embedding", centroids)
+        .select("cluster")
+        .distinct()
+        .collect()
+    }
+    untouched = set(range(8)) - batch_clusters
+    assert untouched, "fixture: the batch should not touch every cluster"
+
+    def files_of(c):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/cluster={c}/part-*.parquet")
+        }
+
+    before = {c: files_of(c) for c in untouched}
+    upsert_ann_table(batch, path, centroids)
+    after = {c: files_of(c) for c in untouched}
+    assert after == before, "untouched cluster partitions were rewritten"
+
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    assert back.select("vec_id").distinct().count() == emb.count()
+
+    # a probe against the updated index can now return batch vectors
+    qv = [float(x) for x in batch.first()["embedding"]]
+    top = query_ann_table(
+        spark, path, "vec_id", "embedding", qv, centroids, k=5, n_probe=8
+    ).collect()
+    assert any(r.vec_id % 100 == 4 for r in top)
+
+    # idempotence: re-running the same day's upsert changes nothing
+    upsert_ann_table(batch, path, centroids)
+    assert spark.read.parquet(path).count() == emb.count()
