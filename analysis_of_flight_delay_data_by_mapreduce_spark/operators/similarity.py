@@ -260,14 +260,24 @@ def train_ivf_centroids_parquet(
     can be rendered as engine-shared SQL literals — the same trick the
     LSH hyperplanes use — which turns IVF assignment + probe + top-k into
     a fully DuckDB-replicable (hash-checkable) plan. Stays bounded at any
-    table size: only ``sample_rows`` vectors are materialized.
+    table size: the full scan touches only the fixed-width ``id_col``;
+    the (wide) vectors are fetched for just the ``sample_rows`` selected
+    row indices via ``pyarrow.dataset.take`` (row-group-pruned read).
     """
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
-    order = np.argsort(np.asarray(t.column(id_col)), kind="stable")[:sample_rows]
+    ids = np.asarray(
+        pq.read_table(parquet_path, columns=[id_col]).column(id_col)
+    )
+    order = np.argsort(ids, kind="stable")[:sample_rows]
+    sample = (
+        pads.dataset(parquet_path)
+        .take(np.sort(order), columns=[id_col, vec_col])
+        .sort_by(id_col)
+    )
     X = np.stack(
-        [np.asarray(v, dtype="float64") for v in np.asarray(t.column(vec_col).to_pylist(), dtype=object)[order]]
+        [np.asarray(v, dtype="float64") for v in sample.column(vec_col).to_pylist()]
     )
     return _kmeans(X, n_clusters, iters, seed).tolist()
 

@@ -1646,9 +1646,15 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 
 
 def _bm25_shared(sf_dir: str) -> tuple[dict[str, float], float]:
-    """(idf per term, avgdl) from {sf_dir}/documents.parquet — one bounded
-    pyarrow scan; token semantics match word_tokens/_WS_TOKENS_SQL
-    (split on whitespace runs, drop empties)."""
+    """(idf per term, avgdl) from {sf_dir}/documents.parquet.
+
+    A driver-side full scan of the text column — a TEST-SCALE
+    convenience standing in for the production stats pass: at 100 TB
+    these statistics come from a Spark aggregation over the previous
+    corpus snapshot (or rolling counters), and ``bm25_scores`` takes
+    them as plain inputs either way. Token semantics match
+    word_tokens/_WS_TOKENS_SQL (split on whitespace runs, drop empties).
+    """
     import math
     import re
 
