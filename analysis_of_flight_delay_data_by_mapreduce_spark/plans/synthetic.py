@@ -1712,6 +1712,41 @@ def _text_bm25_oracle(sf_dir: str) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprints (Rabin-Karp / winnowing family).
+# The Spark side is the true O(n) rolling fold (struct accumulator,
+# window rolled by subtracting the outgoing char's B^k term); the oracle
+# recomputes each window independently — different algorithm, same exact
+# integer values, so the hash check verifies the rolling recurrence
+# itself. ord('') guard: DuckDB ord('')=-1 vs Spark ascii('')=0.
+# ---------------------------------------------------------------------------
+_ROLL_ORD = "CAST(CASE WHEN {c} = '' THEN 0 ELSE ord({c}) END AS BIGINT)"
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(text, ''),
+               c -> {_ROLL_ORD.format(c='c')}),
+             (a, b) -> (a * 131 + b) % 1000000007) AS fp_hash,
+           CASE WHEN length(text) >= 32 THEN
+             list_min(list_transform(range(1, length(text) - 32 + 2),
+               i -> list_reduce(list_transform(
+                      string_split(substr(text, CAST(i AS INT), 32), ''),
+                      c -> {_ROLL_ORD.format(c='c')}),
+                    (a, b) -> (a * 131 + b) % 1000000007)))
+           END AS winnow_min
+    FROM documents
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return rolling_fingerprint(docs, "doc_id", "text", window=32)
+
+
 @register("text_bm25", oracle=_text_bm25_oracle)
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bm25_scores

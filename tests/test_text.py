@@ -209,3 +209,42 @@ def test_bm25_scores_match_python_reference(spark):
                 tf + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dl / avgdl))
             )
         assert abs(got[doc_id] - round(s, 6)) <= 1e-6, doc_id
+
+
+def test_rolling_fingerprint_matches_python_reference(spark):
+    """The O(n) rolling fold (full hash + min windowed hash) equals a
+    direct python Rabin-Karp computation, including the shorter-than-
+    window NULL case and an append-overlap collision: a document sharing
+    a long run with another shares its window minimum."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        ROLL_B,
+        ROLL_M,
+        rolling_fingerprint,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = ["abc xy", "a", base, base + " at noon", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.fp_hash, r.winnow_min)
+        for r in rolling_fingerprint(df, "doc_id", "text", window=8).collect()
+    }
+
+    def full(t):
+        h = 0
+        for ch in t:
+            h = (h * ROLL_B + ord(ch)) % ROLL_M
+        return h
+
+    def winmin(t, k=8):
+        if len(t) < k:
+            return None
+        return min(full(t[i : i + k]) for i in range(len(t) - k + 1))
+
+    for i, t in enumerate(texts):
+        assert got[i] == (full(t), winmin(t)), (i, t)
+    # appending text can only lower the window minimum; here the shared
+    # prefix contains both documents' minimum window, so they collide
+    assert got[3][1] <= got[2][1]
