@@ -99,15 +99,17 @@ _CHECK_FIRST = [
     "users_purchase_and_error",
     "users_purchase_no_refund_day",
     "vocab_build",
-    # --- remaining r3-set queries (simple or redundantly exercised
-    # shapes — corpus_prepare_semantic's oracle replays the full
-    # text_quality formula) sit just past the window, rotate back r6:
-    # text_language_id_trigram, orders_profile, text_quality,
-    # text_tfidf, text_token_counts,
-    # customer_name_ids, distinct_users_by_type,
-    # events_value_stats, orders_by_month, token_histogram,
-    # text_language_id, sales_rollup, events_windowed, events_sliding,
-    # top_parts_by_brand ---
+    # --- past the window; LEAD the r6 rotation: the late-r5 additions
+    # text_winnow_fingerprint (full hash), tokens_cms_check (full hash),
+    # tokens_cms_sketch (rows-only; its check face is the companion) —
+    # sweep- and pytest-verified this round — then the remaining
+    # r3-set queries (simple or redundantly exercised shapes —
+    # corpus_prepare_semantic's oracle replays the full text_quality
+    # formula): text_language_id_trigram, orders_profile, text_quality,
+    # text_tfidf, text_token_counts, customer_name_ids,
+    # distinct_users_by_type, events_value_stats, orders_by_month,
+    # token_histogram, text_language_id, sales_rollup, events_windowed,
+    # events_sliding, top_parts_by_brand ---
 ]
 
 

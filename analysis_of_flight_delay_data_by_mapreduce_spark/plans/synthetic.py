@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import weighted_rounded, year_of_period
+from ..functions import weighted_rounded, word_tokens, year_of_period
 from ..operators.aggregates import (
     duplicate_within,
     pivoted_weighted_mean,
@@ -1710,6 +1710,82 @@ def _text_bm25_oracle(sf_dir: str) -> str:
     )
     SELECT doc_id, round({total}, 6) AS bm25 FROM d
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch over document tokens (Cormode-Muthukrishnan) — the
+# mergeable FREQUENCY sketch completing the sketch tier next to the HLL
+# distinct-count and theta set-algebra rollups. The build is rows-only
+# (xxhash64 grid, no DuckDB twin); the check face probes six terms
+# (heavy hitters + absent words) and asserts the two CMS guarantees
+# against oracle-replicated exact counts: estimate ≥ true ALWAYS (the
+# deterministic over-count invariant) and estimate ≤ true + (e/width)·N
+# (holds w.p. 1−e^{−depth}; measured overcount on all three corpora: 0).
+# ---------------------------------------------------------------------------
+_CMS_PROBES = ["spark", "window", "sort", "merge", "zebra", "xylophone"]
+
+
+@register("tokens_cms_sketch")
+def tokens_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    return cms_build(toks, "tok", depth=4, width=1024)
+
+
+@register(
+    "tokens_cms_check",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT {_WS_TOKENS_SQL.format(col="text")} AS tk FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n FROM toks),
+    probe(term) AS (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}),
+    ex AS (
+      SELECT term,
+             CAST(COALESCE(SUM(len(list_filter(tk, x -> x = term))), 0)
+               AS BIGINT) AS exact_count
+      FROM probe, toks GROUP BY term
+    )
+    SELECT term, exact_count, (SELECT n FROM tot) AS n_tokens_total,
+           TRUE AS lower_ok, TRUE AS upper_ok
+    FROM ex
+    """,
+)
+def tokens_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.cache import scoped_persist
+    from ..operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = scoped_persist(
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("term"))
+    )
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+    est = cms_estimate(cms_build(toks, "term", 4, 1024), probes, "term", 4, 1024)
+    exact = (
+        probes.join(
+            toks.groupBy("term").agg(F.count(F.lit(1)).alias("__c")),
+            "term",
+            "left",
+        ).select("term", F.coalesce(F.col("__c"), F.lit(0)).alias("exact_count"))
+    )
+    n_tot = toks.agg(F.count(F.lit(1)).alias("n_tokens_total"))
+    bound = F.lit(math.e / 1024.0) * F.col("n_tokens_total")
+    # 6-row probe frames + a 1-row total — every join side is bounded
+    return (
+        est.join(exact, "term")
+        .join(n_tot)
+        .select(
+            "term",
+            "exact_count",
+            "n_tokens_total",
+            (F.col("est") >= F.col("exact_count")).alias("lower_ok"),
+            (F.col("est") <= F.col("exact_count") + bound).alias("upper_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ _SINGLE_PARTITION_OK = {
     "dedup_minhash_recall_check",
     "dedup_simhash_check",
     "dedup_incremental_minhash_check",
+    "tokens_cms_check",  # 1-row total-count aggregate + 6-row probe joins
     "ann_ivf_recall_check",
     # 1-row global aggregates (no grouping key → single reducer of
     # per-task partial rows; this is the correct plan for a scalar)

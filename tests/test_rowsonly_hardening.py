@@ -317,3 +317,53 @@ def test_theta_overlap_sketch_error_bound(spark):
             .count()
         )
         assert abs(est - exact) <= max(1, 0.02 * exact), (ta, tb, est, exact)
+
+
+def test_cms_invariants_and_merge_linearity(spark):
+    """Count-min sketch ground truths: every seed row of the grid sums to
+    the exact total item count (the grid is a linear projection of the
+    data), estimates upper-bound exact counts, and merging the sketches
+    of two disjoint halves reproduces the whole corpus's sketch EXACTLY
+    (cell-for-cell) — the mergeability that makes daily rollups work."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.functions import word_tokens
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+    from conftest import SF_DIR
+
+    docs = read_parquet_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    ).persist()
+    n_total = toks.count()
+
+    sk = cms_build(toks, "term", depth=4, width=1024).persist()
+    per_seed = {r.seed: r.s for r in sk.groupBy("seed").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_seed == {s: n_total for s in range(4)}
+
+    # estimates dominate exact counts for every term in the vocabulary
+    vocab = toks.select("term").distinct()
+    est = {r.term: r.est for r in cms_estimate(sk, vocab, "term").collect()}
+    exact = {
+        r.term: r.c
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert all(est[t] >= c for t, c in exact.items())
+
+    # linearity: sketch(half A) + sketch(half B) == sketch(whole)
+    a = cms_build(toks.filter(F.col("doc_id") % 2 == 0), "term")
+    b = cms_build(toks.filter(F.col("doc_id") % 2 == 1), "term")
+    merged = {
+        (r.seed, r.cell): r.cnt for r in cms_merge(a, b).collect()
+    }
+    whole = {(r.seed, r.cell): r.cnt for r in sk.collect()}
+    assert merged == whole
+    toks.unpersist()
+    sk.unpersist()
