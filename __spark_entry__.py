@@ -24,92 +24,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-5 rotation (VERDICT r4
-# item 1): lead with the queries that have never had a driver row — the
-# two r4 additions (dedup_incremental, docs_top_quality_per_source, full
-# oracles, sweep- and pytest-verified in r4), the seven queries NEW in
-# r5 (ann_ivf_probe_topk / dedup_semantic / dedup_semantic_incremental /
-# corpus_prepare_semantic / text_bm25 / corpus_prepare_audit — all fully
-# hash-checked, several via engine-shared trained-centroid / corpus-stat
-# literals — plus dedup_incremental_minhash_check, the streaming
-# near-dup dedup's oracle-asserted batch face), and the six
-# rows-only-by-design queries whose first driver stamp is deliberately
-# the weaker rows-count check (each one's oracle-asserted check face is
-# r3/r4 driver-green: dedup_minhash_recall_check, dedup_simhash_check,
-# ann_ivf_recall_check, events_user_sketch_check,
-# events_user_overlap_check, corpus_prepare_cc). After these 15, the
-# window refills with the
-# CORRECTNESS_r03 green set (their rows are now the oldest), including
-# nation_customer_counts whose join side was re-planned this round
-# (hash unchanged — the driver row re-stamps it). The r4-green set
-# rotates out; every rotated-out query is re-verified each round by the
-# full local check_oracle sweep and the pytest oracle replicas at
-# sf0.001.
+# entries; registry order is ours to choose. Round-6 rotation (VERDICT r5
+# item 2): lead with the only three registered queries that have never
+# had a driver row — text_winnow_fingerprint (full hash; the fold is
+# let-bound this round, output bit-identical — the driver row stamps the
+# fixed form), tokens_cms_check (full hash) and tokens_cms_sketch
+# (rows-only by design; the check face is its oracle-asserted
+# companion). With these, all registered queries are driver-stamped at
+# least once. Then any queries NEW in r6, then the refill: the 15
+# r3-stamped queries that were named-but-past-the-window in the r5
+# rotation (their rows are the oldest), then the oldest slice of the
+# r4-stamped set (q1–q5 headliners and the rows-only queries' check
+# faces first). The rest of the r4 set rotates back in next round;
+# every rotated-out query is re-verified each round by the full local
+# check_oracle sweep and the pytest oracle replicas at sf0.001.
 _CHECK_FIRST = [
-    # --- never driver-checked: full oracles ---
-    "dedup_incremental",
-    "docs_top_quality_per_source",
-    "ann_ivf_probe_topk",  # new in r5: IVF assignment+probe+topk, full hash
-    "dedup_incremental_minhash_check",  # new in r5: streaming dedup batch face
-    "dedup_semantic",  # new in r5: SemDeDup via trained-centroid literals
-    "dedup_semantic_incremental",  # new in r5: its new-vs-corpus face
-    "corpus_prepare_semantic",  # new in r5: composed pipeline, semantic stage
-    "text_bm25",  # new in r5: Okapi BM25 with literal corpus stats
-    "corpus_prepare_audit",  # new in r5: lineage face of the pipeline
-    # --- never driver-checked: rows-only by design (check faces green) ---
-    "dedup_minhash",
-    "dedup_simhash",
-    "events_user_sketch_rollup",
-    "ann_cosine_topk_ivf",
-    "corpus_prepare",
-    "events_user_overlap_sketch",
+    # --- never driver-checked (last of the 118) ---
+    "text_winnow_fingerprint",  # let-bound fold this round (21x at 2k chars)
+    "tokens_cms_check",  # CMS estimate vs exact counts, tolerance oracle
+    "tokens_cms_sketch",  # rows-only: the mergeable sketch grid itself
+    # --- new in r6 ---
+    "docs_quantile_sketch",  # mergeable HDR-bucket quantile sketch grid
+    "docs_quantile_sketch_check",  # sketch P50/P90/P99 vs exact, tolerance
+    "events_quantile_merge_check",  # sketch(A)+sketch(B) == sketch(A∪B)
+    "docs_reservoir_sample",  # deterministic bottom-k-by-hash per source
     # --- last driver row r3 (oldest green rows; re-stamp) ---
-    "nation_customer_counts",  # join side re-planned r5, hash unchanged
-    "customer_rfm",
-    "customer_snapshot_diff",
-    "customers_without_orders",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "docs_difficulty_quartiles",
-    "docs_hash_split",
-    "docs_mixture_sample",
-    "docs_pack_chunks",
-    "docs_source_budget_cap",
-    "embedding_label_centroids",
-    "events_asof_signup",
-    "events_json_props",
-    "events_latest_state",
-    "events_segment_spend",
+    "text_language_id_trigram",
+    "orders_profile",
+    "text_quality",
+    "text_tfidf",
+    "text_token_counts",
+    "customer_name_ids",
+    "distinct_users_by_type",
+    "events_value_stats",
+    "orders_by_month",
+    "token_histogram",
+    "text_language_id",
+    "sales_rollup",
+    "events_windowed",
+    "events_sliding",
+    "top_parts_by_brand",
+    # --- last driver row r4 (next-oldest; headliners + check faces first) ---
+    "q1_delay",
+    "q2_late",
+    "q3_wordcount",
+    "q4_repeat_visits",
+    "q5_dup_dates",
+    "dedup_minhash_recall_check",
+    "dedup_simhash_check",
+    "ann_ivf_recall_check",
+    "events_value_quantile_check",
+    "corpus_prepare_cc",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "dedup_embedding",
+    "dedup_components",
+    "dedup_ngram_jaccard_ppjoin",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_bigram_lm",
+    "top_terms",
+    "multimodal_stats",
+    "multimodal_frame_sample",
+    "multimodal_features_ann",
+    "revenue_by_nation",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "events_funnel",
     "events_sessionize",
-    "events_user_overlap_check",
-    "events_user_sketch_check",
-    "orders_above_customer_avg",
-    "pivot_status_revenue",
-    "sales_cube",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q22_inactive_rich",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit_by_nation_year",
-    "user_spend_quartiles",
-    "user_state_intervals",
-    "users_purchase_and_error",
-    "users_purchase_no_refund_day",
-    "vocab_build",
-    # --- past the window; LEAD the r6 rotation: the late-r5 additions
-    # text_winnow_fingerprint (full hash), tokens_cms_check (full hash),
-    # tokens_cms_sketch (rows-only; its check face is the companion) —
-    # sweep- and pytest-verified this round — then the remaining
-    # r3-set queries (simple or redundantly exercised shapes —
-    # corpus_prepare_semantic's oracle replays the full text_quality
-    # formula): text_language_id_trigram, orders_profile, text_quality,
-    # text_tfidf, text_token_counts, customer_name_ids,
-    # distinct_users_by_type, events_value_stats, orders_by_month,
-    # token_histogram, text_language_id, sales_rollup, events_windowed,
-    # events_sliding, top_parts_by_brand ---
+    # --- past the window: the remaining r4-stamped set (events_*,
+    # tpch_q2/q4/q8/q10/q13/q14/q18, parties_union, revenue_decimal…)
+    # leads the r7 refill ---
 ]
 
 

@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_estimate", "cms_merge"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
+    "qsketch_build",
+    "qsketch_merge",
+    "qsketch_quantiles",
+    "QSKETCH_PREC",
+]
 
 
 def _cell(seed: Column, item: Column, width: int) -> Column:
@@ -77,3 +85,118 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("seed", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: HDR-histogram-style log-linear buckets
+# (Tene's HdrHistogram; the same bucket family DDSketch/HdrHistogram use)
+# over NON-NEGATIVE integers, with PURE-INTEGER bucket math — bit-length
+# via bin(), shifts via integer ops — so the grid AND the quantile
+# estimates are bit-identical on any engine (DuckDB replicates with
+# length(bin(x)) and <<), unlike float log-bucketing whose boundaries
+# drift in the last ulp.
+# ---------------------------------------------------------------------------
+
+#: sub-bucket precision bits: each power-of-two octave splits into
+#: 2^QSKETCH_PREC linear sub-buckets, so any value's bucket brackets it
+#: within relative error <= 2^-QSKETCH_PREC (6.25%); values below
+#: 2^(QSKETCH_PREC+1) = 32 are bucketed EXACTLY (shift 0).
+QSKETCH_PREC = 4
+
+
+def _qbucket(x: Column) -> tuple[Column, Column]:
+    """(value, shift) pre-bucket columns of a non-negative bigint value.
+
+    ``shift = max(bitlength(x) - (PREC+1), 0)``; ``sub = x >> shift``.
+    The bucket covers ``[sub << shift, ((sub+1) << shift) - 1]``. All
+    integer: ``bitlength`` is ``length(bin(x))`` (no leading zeros in
+    either engine) and the shift is ANSI ``div`` by ``shiftleft(1, shift)``.
+    """
+    xl = x.cast("bigint")
+    shift = F.greatest(
+        F.length(F.bin(xl)) - F.lit(QSKETCH_PREC + 1), F.lit(0)
+    ).cast("int")
+    return xl, shift
+
+
+def qsketch_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Sketch a non-negative integer column into the (shift, sub, cnt)
+    bucket grid. One narrow projection + one partial-aggregated shuffle on
+    the bucket key; the grid is <= a few hundred rows no matter the input
+    size (64 octaves x 16 sub-buckets caps it). NULLs are dropped (they
+    have no rank). Mergeable: the grid is linear in the data, so
+    cell-wise summing grids of disjoint inputs IS the grid of the union
+    (``qsketch_merge``) — per-day sketches roll up into any window
+    without rescanning, the 100 TB pattern shared with the CMS/HLL tiers.
+    """
+    xl, shift = _qbucket(F.col(value_col))
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(xl.alias("__qs_x"), shift.alias("__qs_shift"))
+        .select(
+            F.col("__qs_shift").alias("shift"),
+            F.expr("__qs_x div shiftleft(cast(1 as bigint), __qs_shift)")
+            .cast("bigint")
+            .alias("sub"),
+        )
+    )
+    return b.groupBy("shift", "sub").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of bucket grids — exactly the grid of the
+    concatenated inputs (linearity, same contract as ``cms_merge``)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("shift", "sub").agg(F.sum("cnt").alias("cnt"))
+
+
+def qsketch_quantiles(sketch: DataFrame, permille: list[int]) -> DataFrame:
+    """Quantile brackets from the bucket grid: for each requested
+    quantile q = p/1000, the bucket containing the rank-``ceil(q*n)``
+    element (ascending, 1-based) — emitted as ``(p, est_lo, est_hi)``
+    with ``est_lo <= true_quantile <= est_hi`` a DETERMINISTIC invariant
+    (the element at that rank lies inside its own bucket), and
+    ``est_hi - est_lo < est_lo / 2^PREC`` by construction.
+
+    Rank is pure integer — ``(n*p + 999) div 1000`` — never a float
+    ``q*n`` product, whose decimal-vs-double literal typing differs
+    across engines. The cumulative walk is a window over the GRID (<=
+    ~1k rows however large the data), so its SinglePartition sort is
+    bounded by the sketch size, not the data — the point of sketching.
+    """
+    from pyspark.sql import Window as W
+
+    lo = F.expr("sub * shiftleft(cast(1 as bigint), shift)").cast("bigint")
+    hi = F.expr(
+        "(sub + 1) * shiftleft(cast(1 as bigint), shift) - 1"
+    ).cast("bigint")
+    w = W.orderBy("__lo").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        sketch.select(
+            lo.alias("__lo"), hi.alias("__hi"), F.col("cnt").cast("bigint").alias("cnt")
+        )
+        .withColumn("__cum", F.sum("cnt").over(w))
+    )
+    n = cum.agg(F.sum("cnt").alias("__n"))
+    ps = F.explode(
+        F.array(*[F.lit(int(p)).cast("bigint") for p in permille])
+    ).alias("p")
+    ranks = n.select(ps, F.col("__n")).select(
+        "p", F.expr("(__n * p + 999) div 1000").cast("bigint").alias("__rank")
+    )
+    # ranks is |permille| rows — broadcast it against the tiny grid; the
+    # containing bucket is the unique one with cum-cnt < rank <= cum
+    return (
+        cum.join(
+            F.broadcast(ranks),
+            (F.col("__cum") >= F.col("__rank"))
+            & (F.col("__cum") - F.col("cnt") < F.col("__rank")),
+        )
+        .select(
+            F.col("p"),
+            F.col("__lo").alias("est_lo"),
+            F.col("__hi").alias("est_hi"),
+        )
+    )

@@ -1836,6 +1836,193 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable quantile sketch (HDR-histogram log-linear buckets) — the
+# QUANTILE member of the sketch tier next to HLL (distinct), theta (set
+# algebra) and CMS (frequency). Unlike percentile_approx/GK, the bucket
+# math is PURE INTEGER (bit-length via bin(), shifts), so the grid and
+# the quantile brackets are bit-identical in DuckDB — full hash checks,
+# no tolerance rows needed. Three faces: the grid itself, the
+# P50/P90/P99 brackets vs exact rank elements (bracket containment is a
+# deterministic invariant), and the mergeability law sketch(A)+sketch(B)
+# == sketch(A ∪ B) — the property that lets per-day grids answer any
+# window's quantile question at 100 TB without rescanning raw data.
+# ---------------------------------------------------------------------------
+_QSK_GRID_SQL = r"""
+      SELECT greatest(length(bin(x)) - 5, 0) AS shift,
+             x // (CAST(1 AS BIGINT) << greatest(length(bin(x)) - 5, 0)) AS sub,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2
+"""
+_QSK_DOCS_V_SQL = rf"""
+      SELECT CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS x
+      FROM documents
+"""
+
+
+@register(
+    "docs_quantile_sketch",
+    oracle=f"""
+    WITH v AS ({_QSK_DOCS_V_SQL}),
+    g AS ({_QSK_GRID_SQL})
+    SELECT CAST(shift AS INTEGER) AS shift, CAST(sub AS BIGINT) AS sub, cnt
+    FROM g
+    """,
+)
+def docs_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import qsketch_build
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(text_ops.token_count_ws("text").alias("x"))
+    return qsketch_build(vals, "x")
+
+
+_QSK_PERMILLE = [500, 900, 990]
+
+
+@register(
+    "docs_quantile_sketch_check",
+    oracle=f"""
+    WITH v AS ({_QSK_DOCS_V_SQL}),
+    g AS ({_QSK_GRID_SQL}),
+    c AS (
+      SELECT sub * (CAST(1 AS BIGINT) << shift) AS lo,
+             (sub + 1) * (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+             cnt,
+             CAST(SUM(cnt) OVER (
+               ORDER BY sub * (CAST(1 AS BIGINT) << shift)) AS BIGINT) AS cum
+      FROM g
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+    p(p) AS (VALUES {", ".join(f"({p})" for p in _QSK_PERMILLE)}),
+    r AS (SELECT CAST(p AS BIGINT) AS p,
+                 CAST((n.n * p + 999) // 1000 AS BIGINT) AS rank
+          FROM p, n),
+    est AS (
+      SELECT p, lo AS est_lo, hi AS est_hi, rank
+      FROM r JOIN c ON cum >= rank AND cum - cnt < rank
+    ),
+    xr AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+    SELECT est.p AS p, est_lo, est_hi, xr.x AS exact_q,
+           (est_lo <= xr.x AND xr.x <= est_hi) AS bracket_ok
+    FROM est JOIN xr ON xr.rn = est.rank
+    """,
+)
+def docs_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch brackets vs the EXACT rank element, same integer rank
+    definition on both sides (``(n*p + 999) div 1000``, 1-based
+    ascending — never a float q*n product, whose decimal-vs-double
+    literal typing differs across engines). ``bracket_ok`` is TRUE by a
+    deterministic invariant: the rank element lies inside the bucket the
+    cumulative walk picked. The exact side's global row_number is
+    check-face-only (validation at test SF, not the production path —
+    the production answer IS the bracket)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import scoped_persist
+    from ..operators.sketch import qsketch_build, qsketch_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = scoped_persist(
+        docs.select(text_ops.token_count_ws("text").alias("x"))
+    )
+    sk = scoped_persist(qsketch_build(vals, "x"))
+    est = qsketch_quantiles(sk, _QSK_PERMILLE)
+    n = sk.agg(F.sum("cnt").cast("bigint").alias("__n"))
+    ranks = n.select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("bigint") for p in _QSK_PERMILLE])
+        ).alias("p"),
+        "__n",
+    ).select("p", F.expr("(__n * p + 999) div 1000").cast("bigint").alias("__rank"))
+    xr = vals.withColumn("rn", F.row_number().over(W.orderBy("x")))
+    exact = ranks.join(xr, xr["rn"] == ranks["__rank"]).select(
+        "p", F.col("x").alias("exact_q")
+    )
+    return est.join(exact, "p").select(
+        "p",
+        "est_lo",
+        "est_hi",
+        "exact_q",
+        (
+            (F.col("est_lo") <= F.col("exact_q"))
+            & (F.col("exact_q") <= F.col("est_hi"))
+        ).alias("bracket_ok"),
+    )
+
+
+@register(
+    "events_quantile_merge_check",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+    ),
+    g AS ({_QSK_GRID_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, TRUE AS merge_ok
+    FROM g
+    """,
+)
+def events_quantile_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability law, asserted: the cell-wise sum of the grids of two
+    disjoint halves (even/odd event_id) equals the grid of the whole —
+    exact linearity, the property that makes per-partition sketches roll
+    up. The oracle replicates the whole-table grid and asserts TRUE; a
+    merge bug shows up as merge_ok=false or a bucket-count drift."""
+    from ..operators.cache import scoped_persist
+    from ..operators.sketch import qsketch_build, qsketch_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("bigint").alias("x")
+    )
+    whole = qsketch_build(ev, "x")
+    half_a = qsketch_build(ev.filter(F.col("event_id") % 2 == 0), "x")
+    half_b = qsketch_build(ev.filter(F.col("event_id") % 2 == 1), "x")
+    merged = scoped_persist(qsketch_merge(half_a, half_b))
+    j = whole.join(merged.withColumnRenamed("cnt", "m_cnt"), ["shift", "sub"], "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.count(F.lit(1))
+            == F.sum((F.col("cnt") == F.col("m_cnt")).cast("long"))
+        ).alias("merge_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed "reservoir" sample: the bottom-k-by-hash
+# sketch (k smallest md5(id) per source). Mergeable — the bottom-k of a
+# union is computable from per-partition bottom-ks — and stable across
+# runs, engines and partitionings (never rand()/TABLESAMPLE, whose
+# draws reshuffle between runs): the property a 100 TB eval-set or
+# inspection sample needs. Rank via the skew-safe two-phase salted
+# topk_per_group, ascending by hash.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_reservoir_sample",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rk
+      FROM h
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 4
+    """,
+)
+def docs_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    h = docs.withColumn("__hx", F.md5(F.col("doc_id").cast("string")))
+    top = topk_per_group(
+        h, ["source"], "__hx", 4, tiebreak="doc_id", descending=False
+    )
+    return top.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
 # Beyond the reference: semi-structured JSON column. events.props is a JSON
 # string; extract a typed field and aggregate. from_json gives a typed
 # struct at scan time — the pattern for sidecar-metadata columns.

@@ -35,6 +35,13 @@ _SINGLE_PARTITION_OK = {
     "dedup_simhash_check",
     "dedup_incremental_minhash_check",
     "tokens_cms_check",  # 1-row total-count aggregate + 6-row probe joins
+    "events_quantile_merge_check",  # 1-row grid-equality aggregate; both
+                                    # join sides are <=~1k-row bucket grids
+    "docs_quantile_sketch_check",   # grid cumsum + 3-row rank frame are
+                                    # sketch-bounded; the exact-side global
+                                    # row_number is check-face-only (the
+                                    # production answer is the bracket —
+                                    # see the query docstring)
     "ann_ivf_recall_check",
     # 1-row global aggregates (no grouping key → single reducer of
     # per-task partial rows; this is the correct plan for a scalar)
