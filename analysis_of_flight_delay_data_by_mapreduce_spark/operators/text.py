@@ -409,6 +409,11 @@ def bm25_scores(
     elimination evaluates the split once per row (top-level Project —
     NOT the HOF-lambda no-CSE trap).
     """
+    if not terms:
+        raise ValueError("bm25_scores: terms must be non-empty")
+    missing = [t for t in terms if t not in idf]
+    if missing:
+        raise ValueError(f"bm25_scores: terms missing from idf: {missing}")
     toks = word_tokens(F.col(text_col))
     dl = F.size(toks).cast("double")
     k1p1 = float(k1 + 1.0)

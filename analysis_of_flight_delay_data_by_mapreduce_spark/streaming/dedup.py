@@ -139,13 +139,20 @@ def run_minhash_dedup_stream(
 ):
     """Drive the near-dup incremental dedup over a document stream:
     every micro-batch is filtered against the static index and the
-    survivors appended to a parquet sink. ``availableNow`` drains the
-    backlog and stops (bounded replay); the checkpoint makes re-runs
-    exactly-once at the sink."""
+    survivors written to an ``epoch``-partitioned parquet sink via
+    idempotent partition overwrite. ``availableNow`` drains the backlog
+    and stops (bounded replay). foreachBatch alone is AT-LEAST-once — a
+    crash after the write but before the checkpoint commit replays the
+    epoch — so a blind append would duplicate survivors, defeating the
+    dedup; partitioning by the epoch id and overwriting exactly that
+    partition (``sources.sinks.upsert_partitions``) makes the replay
+    rewrite the same partition with the same rows: exactly-once at the
+    sink, same recipe as ``streaming.sinks``."""
+    from ..sources.sinks import upsert_partitions
 
-    def _epoch(batch_df: DataFrame, _epoch_id: int) -> None:
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
         out = dedup_stream_against_index_minhash(batch_df, index_docs, **kwargs)
-        out.write.mode("append").parquet(out_path)
+        upsert_partitions(out.withColumn("epoch", F.lit(epoch_id)), out_path, ["epoch"])
 
     return (
         stream_docs.writeStream.foreachBatch(_epoch)
@@ -197,14 +204,16 @@ def run_semantic_dedup_stream(
     **kwargs,
 ):
     """Drive the semantic incremental dedup over an embedding stream —
-    same foreachBatch/availableNow/checkpoint contract as
-    :func:`run_minhash_dedup_stream`."""
+    same foreachBatch/availableNow contract and epoch-partitioned
+    idempotent sink as :func:`run_minhash_dedup_stream` (blind append
+    would be at-least-once under epoch replay)."""
+    from ..sources.sinks import upsert_partitions
 
-    def _epoch(batch_df: DataFrame, _epoch_id: int) -> None:
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
         out = dedup_stream_against_index_semantic(
             batch_df, index_docs, centroids, **kwargs
         )
-        out.write.mode("append").parquet(out_path)
+        upsert_partitions(out.withColumn("epoch", F.lit(epoch_id)), out_path, ["epoch"])
 
     return (
         stream_docs.writeStream.foreachBatch(_epoch)

@@ -87,6 +87,25 @@ def test_single_partition_only_on_bounded_aggregates(plans):
     )
 
 
+def test_no_embedded_split_recompute_in_hof_folds(plans):
+    """Lint for the word_shingles/winnow trap class (VERDICT r5 item 5):
+    HOF lambda bodies don't common-subexpression-eliminate, so an O(n)
+    expression like split(text…) referenced inside an aggregate() fold
+    re-evaluates once per ELEMENT. In plan text that reads as a fold
+    marker (aggregate(lambdafunction) sharing a line with ≥3 split(
+    occurrences (the let-bound forms show ≤2 — one per output column
+    ref, CSE'd at the top-level Project). Audited r6: every other fold
+    in the package iterates literals or materialized column refs, which
+    this lint leaves untouched."""
+    offenders = {
+        n: line.strip()[:160]
+        for n, txt in plans.items()
+        for line in txt.splitlines()
+        if "aggregate(lambdafunction" in line and line.count("split(") >= 3
+    }
+    assert not offenders, f"per-element split( recompute inside a fold: {offenders}"
+
+
 def test_allowlist_is_not_stale(plans):
     """Entries whose plans no longer contain SinglePartition should be
     removed — a stale allowlist hides future regressions."""

@@ -367,3 +367,69 @@ def test_cms_invariants_and_merge_linearity(spark):
     assert merged == whole
     toks.unpersist()
     sk.unpersist()
+
+
+def test_qsketch_invariants_brackets_and_merge_linearity(spark):
+    """Quantile-sketch ground truths, mirroring the CMS test: the grid
+    conserves total count; every value lies inside its own bucket with
+    relative bucket width <= 2^-PREC (values < 32 bucket EXACTLY);
+    quantile brackets contain the exact rank element for every probed
+    permille including both edges; and merging the grids of two disjoint
+    halves reproduces the whole input's grid cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        QSKETCH_PREC,
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    # deterministic values spanning octaves: 0, exact small, and wide
+    vals = spark.range(2000).select(
+        ((F.col("id") * F.col("id") * 37 + F.col("id")) % 1_000_003).alias("x")
+    ).persist()
+    n = vals.count()
+
+    sk = qsketch_build(vals, "x").persist()
+    assert sk.agg(F.sum("cnt")).first()[0] == n
+
+    # every value inside its bucket; width bound; small values exact
+    xs = [r.x for r in vals.collect()]
+    prec = QSKETCH_PREC
+
+    def bucket(x: int) -> tuple[int, int]:
+        shift = max(x.bit_length() - (prec + 1), 0)
+        return shift, x >> shift
+
+    grid = {(r.shift, r.sub): r.cnt for r in sk.collect()}
+    from collections import Counter
+
+    expect = Counter(bucket(x) for x in xs)
+    assert grid == dict(expect)
+    for x in xs:
+        shift, sub = bucket(x)
+        lo, hi = sub << shift, ((sub + 1) << shift) - 1
+        assert lo <= x <= hi
+        if x >= (1 << (prec + 1)):
+            assert (hi - lo) <= lo / (1 << prec)
+        else:
+            assert lo == hi == x
+
+    # quantile brackets contain the exact rank element (integer rank def)
+    permille = [1, 250, 500, 900, 990, 1000]
+    est = {r.p: (r.est_lo, r.est_hi) for r in qsketch_quantiles(sk, permille).collect()}
+    ordered = sorted(xs)
+    for p in permille:
+        rank = (n * p + 999) // 1000
+        exact = ordered[rank - 1]
+        lo, hi = est[p]
+        assert lo <= exact <= hi, (p, lo, exact, hi)
+
+    # merge linearity
+    a = qsketch_build(vals.filter(F.col("x") % 2 == 0), "x")
+    b = qsketch_build(vals.filter(F.col("x") % 2 == 1), "x")
+    merged = {(r.shift, r.sub): r.cnt for r in qsketch_merge(a, b).collect()}
+    assert merged == grid
+    vals.unpersist()
+    sk.unpersist()

@@ -172,3 +172,14 @@ def test_upsert_ann_table_touches_only_batch_clusters(spark, tmp_path):
     # idempotence: re-running the same day's upsert changes nothing
     upsert_ann_table(batch, path, centroids)
     assert spark.read.parquet(path).count() == emb.count()
+
+    # bootstrap (ADVICE r5): the FIRST increment against a not-yet-
+    # existing path creates the table instead of raising PATH_NOT_FOUND
+    fresh = str(tmp_path / "ann-bootstrap")
+    upsert_ann_table(batch, fresh, centroids)
+    boot = spark.read.parquet(fresh)
+    assert boot.count() == batch.count()
+    assert "cluster" in boot.columns
+    # and the second increment over it follows the normal merge path
+    upsert_ann_table(base.limit(7), fresh, centroids)
+    assert spark.read.parquet(fresh).count() == batch.count() + 7

@@ -439,6 +439,18 @@ def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert got == want
 
+    # epoch replay must NOT duplicate survivors (ADVICE r5): a fresh
+    # checkpoint reprocesses every epoch against the same sink — the
+    # epoch-partitioned idempotent overwrite rewrites the same
+    # partitions, where a blind append would double every row
+    q2 = run_minhash_dedup_stream(
+        stream, old_b, out, str(tmp_path / "ckpt-replay"), threshold=0.3
+    )
+    q2.awaitTermination(120)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == len(want)
+    assert {r.doc_id for r in replayed.select("doc_id").collect()} == want
+
 
 def test_minhash_matches_between_subset_and_recall(spark):
     """The banded between-matcher's verified pairs are a subset of the
