@@ -48,6 +48,8 @@ _CHECK_FIRST = [
     "docs_quantile_sketch_check",  # sketch P50/P90/P99 vs exact, tolerance
     "events_quantile_merge_check",  # sketch(A)+sketch(B) == sketch(A∪B)
     "docs_reservoir_sample",  # deterministic bottom-k-by-hash per source
+    "dedup_winnow_pairs",  # winnow-fingerprint bucket join (MOSS-style)
+    "vocab_bpe_pair_counts",  # BPE merge scoring pass, trained-merge literals
     # --- last driver row r3 (oldest green rows; re-stamp) ---
     "text_language_id_trigram",
     "orders_profile",
@@ -91,11 +93,9 @@ _CHECK_FIRST = [
     "revenue_by_nation",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "events_funnel",
-    "events_sessionize",
-    # --- past the window: the remaining r4-stamped set (events_*,
-    # tpch_q2/q4/q8/q10/q13/q14/q18, parties_union, revenue_decimal…)
-    # leads the r7 refill ---
+    # --- past the window: the remaining r4-stamped set (events_funnel,
+    # events_* interval/retention shapes, tpch_q2/q4/q8/q10/q13/q14/q18,
+    # parties_union, revenue_decimal…) leads the r7 refill ---
 ]
 
 

@@ -511,3 +511,146 @@ def rolling_fingerprint(
         acc["full"].alias(out_full),
         acc["minw"].alias(out_min),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair-merge statistics (Sennrich et al., ACL 2016 — the tokenizer-
+# training primitive). Merge TRAINING is a tiny sequential loop over
+# corpus-wide pair counts, so it runs out-of-band in an engine-
+# independent twin (train_bpe_merges_parquet, same posture as the IVF
+# centroid trainer) and the learned merges enter the distributed plan as
+# literals; pair COUNTING given those merges is the heavy part and is
+# pure DataFrame work — one narrow merge-application projection + one
+# explode + one partially-aggregated shuffle. Everything is integer/
+# string — no float anywhere, so the whole face is bit-replicable in SQL
+# with no measured-margin caveats.
+#
+# Merge application is defined as SPACE-DELIMITED LEFT-TO-RIGHT
+# NON-OVERLAPPING string replacement: symbols live in " a b c " form and
+# merge (a, b) rewrites " a b " → " ab ". Consuming the shared delimiter
+# makes replacement order deterministic and identical across Java
+# (Spark replace), DuckDB replace, and Python str.replace — the three
+# implementations agree by construction rather than by luck. One
+# documented deviation from classic greedy BPE: on a RUN of the same
+# symbol (" a a a a "), the consumed delimiter blocks the immediately
+# following overlap, so one pass yields (aa, a, a) where classic BPE
+# gives (aa, aa) — acceptable for a merge-STATISTICS face (the contract
+# is bit-identical cross-engine scoring, and the same rule trains the
+# twin's merges).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_symbolize(tok: Column) -> Column:
+    """A token as a space-wrapped symbol string: 'abc' → ' a b c '."""
+    return F.concat(F.lit(" "), F.regexp_replace(tok, "(.)", "$1 "))
+
+
+def bpe_apply_merges(tok: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply learned merges (in training order) to one token's symbol
+    string. A chain of len(merges) literal replaces — a top-level narrow
+    projection, whole-stage-codegen'd, zero shuffle."""
+    s = _bpe_symbolize(tok)
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return s
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol-pair counts AFTER applying ``merges``
+    — i.e. the scoring pass that picks merge ``len(merges)+1`` during
+    BPE training. Top-``k`` by (cnt DESC, pair ASC): the deterministic
+    tie-break makes the output engine-stable. Scale posture: the merge
+    application is a narrow projection; the count is one explode + one
+    partial-agg shuffle on the pair key; the final top-k orders ≤ the
+    distinct-pair set (vocabulary-bounded, not corpus-bounded).
+
+    Output: ``pair`` (space-joined symbol pair), ``cnt``.
+    """
+    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("__tok"))
+    sym = toks.select(
+        F.filter(
+            F.split(F.trim(bpe_apply_merges(F.col("__tok"), merges)), " "),
+            lambda x: x != "",
+        ).alias("__sym")
+    )
+    # sequence(1, 0) counts DOWN in Spark, so single-symbol tokens need an
+    # explicit empty-array branch rather than a greatest() clamp
+    pairs = sym.select(
+        F.explode(
+            F.when(
+                F.size("__sym") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__sym") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("__sym", i.cast("int")),
+                        F.element_at("__sym", (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(k)
+
+
+def train_bpe_merges_parquet(
+    parquet_path: str,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[str, str]]:
+    """Engine-independent BPE merge trainer (the pyarrow twin, same
+    contract as ``train_ivf_centroids_parquet``): learn ``n_merges``
+    merges by repeatedly taking the most frequent adjacent symbol pair
+    (ties broken by pair text ascending) and applying it with the SAME
+    space-delimited replace rule the Spark/SQL faces use. Token
+    frequencies are aggregated first, so each round is O(vocabulary),
+    not O(corpus) — and the corpus scan reads only ``text_col``.
+    All integer counts + exact string ops: bit-deterministic, no margins.
+    """
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+    import re
+
+    word_freq: Counter = Counter()
+    ds = pads.dataset(parquet_path)
+    for batch in ds.scanner(columns=[text_col], batch_size=1 << 14).to_batches():
+        for txt in batch.column(0).to_pylist():
+            if txt:
+                word_freq.update(t for t in re.split(r"\s+", txt) if t)
+
+    sym_freq = {
+        " " + "".join(ch + " " for ch in w): n for w, n in word_freq.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for s, n in sym_freq.items():
+            parts = s.split()
+            for a, b in zip(parts, parts[1:]):
+                pair_counts[(a, b)] += n
+        if not pair_counts:
+            break
+        mx = max(pair_counts.values())
+        best = min(
+            (p for p, c in pair_counts.items() if c == mx),
+            key=lambda p: f"{p[0]} {p[1]}",
+        )
+        merges.append(best)
+        a, b = best
+        sym_freq = {
+            s.replace(f" {a} {b} ", f" {a}{b} "): n for s, n in sym_freq.items()
+        }
+        # re-merge colliding keys (two words can map to one symbol string
+        # only if they were equal pre-merge, but stay defensive)
+        merged: dict = {}
+        for s, n in sym_freq.items():
+            merged[s] = merged.get(s, 0) + n
+        sym_freq = merged
+    return merges

@@ -25,6 +25,7 @@ date ≙ ``date(ts)``), ``documents.text`` for the word-count corpus.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1821,6 +1822,122 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return rolling_fingerprint(docs, "doc_id", "text", window=32)
+
+
+#: the winnow_min expression alone (shared by the bucket-join face below)
+_WINNOW_MIN_SQL = f"""CASE WHEN length(text) >= 32 THEN
+             list_min(list_transform(range(1, length(text) - 32 + 2),
+               i -> list_reduce(list_transform(
+                      string_split(substr(text, CAST(i AS INT), 32), ''),
+                      c -> {_ROLL_ORD.format(c='c')}),
+                    (a, b) -> (a * 131 + b) % 1000000007)))
+           END"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing put to work as a dedup face: documents sharing a minimum
+# windowed fingerprint are near-dup candidates (Schleimer et al.'s MOSS
+# usage). The fingerprint is a CONTENT-derived bucket key, so the
+# candidate join is an equi-join on the fingerprint — the same
+# bucket-bounded posture as the MinHash/SimHash bands, never all-pairs;
+# at 100 TB the fingerprint column is materialized once (it is an
+# integer) and the join co-partitions on it.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_WINNOW_MIN_SQL} AS winnow_min FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.winnow_min AS winnow_min
+    FROM fp a JOIN fp b ON a.winnow_min = b.winnow_min AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = rolling_fingerprint(docs, "doc_id", "text", window=32).select(
+        "doc_id", "winnow_min"
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.winnow_min") == F.col("b.winnow_min"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.winnow_min").alias("winnow_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair-merge statistics — the tokenizer-training primitive. Merge
+# TRAINING is a tiny sequential loop over vocabulary-sized pair counts,
+# so it runs in the engine-independent pyarrow twin
+# (operators.text.train_bpe_merges_parquet) and the learned merges enter
+# both plans as literals (the trained-constants technique from the IVF
+# tier); the heavy part — corpus-wide pair COUNTING given the merges —
+# is the registered distributed query. All integer/string: the whole
+# face is bit-replicable, no measured-margin caveats.
+# ---------------------------------------------------------------------------
+_BPE_N_MERGES = 8
+_bpe_merges_cache: dict[str, list] = {}
+
+
+def _bpe_merges_cached(sf_dir: str) -> list[tuple[str, str]]:
+    if sf_dir not in _bpe_merges_cache:
+        from ..operators.text import train_bpe_merges_parquet
+
+        _bpe_merges_cache[sf_dir] = train_bpe_merges_parquet(
+            os.path.join(sf_dir, "documents.parquet"), n_merges=_BPE_N_MERGES
+        )
+    return _bpe_merges_cache[sf_dir]
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote escape for symbol literals (tokens may contain ')."""
+    return s.replace("'", "''")
+
+
+def _vocab_bpe_oracle(sf_dir: str) -> str:
+    merges = _bpe_merges_cached(sf_dir)
+    applied = r"' ' || regexp_replace(tok, '(.)', '\1 ', 'g')"
+    for a, b in merges:
+        applied = (
+            f"replace({applied}, ' {_sq(a)} {_sq(b)} ', ' {_sq(a)}{_sq(b)} ')"
+        )
+    return rf"""
+    WITH toks AS (
+      SELECT unnest({_WS_TOKENS_SQL.format(col="text")}) AS tok
+      FROM documents
+    ),
+    sym AS (
+      SELECT list_filter(string_split(trim({applied}), ' '), x -> x <> '') AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, greatest(len(s), 1)),
+                    i -> s[CAST(i AS INT)] || ' ' || s[CAST(i + 1 AS INT)]))
+        AS pair
+      FROM sym
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt FROM c ORDER BY cnt DESC, pair ASC LIMIT 20
+    """
+
+
+@register("vocab_bpe_pair_counts", oracle=_vocab_bpe_oracle)
+def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol-pair counts after the first 8 learned BPE merges —
+    exactly the scoring pass that would pick merge 9. Top-20 by
+    (cnt DESC, pair ASC); the deterministic tie-break plus unique pair
+    keys make the LIMIT cutoff engine-stable."""
+    from ..operators.text import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", _bpe_merges_cached(sf_dir), k=20)
 
 
 @register("text_bm25", oracle=_text_bm25_oracle)

@@ -248,3 +248,62 @@ def test_rolling_fingerprint_matches_python_reference(spark):
     # appending text can only lower the window minimum; here the shared
     # prefix contains both documents' minimum window, so they collide
     assert got[3][1] <= got[2][1]
+
+
+def test_bpe_apply_merges_replace_semantics(spark):
+    """The space-delimited replace rule is the operator's DEFINED merge
+    semantics: left-to-right non-overlapping, consuming the shared
+    delimiter — identical in Java, DuckDB and Python by construction.
+    'aaa' with merge (a,a) becomes (aa, a); 'aaaa' becomes (aa, a, a) —
+    the delimiter consumed by a replacement blocks the immediately
+    following overlap, a DOCUMENTED deviation from classic greedy BPE on
+    same-symbol runs (all three engines implement the identical rule);
+    and a merge never fires INSIDE a multi-char symbol."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        bpe_apply_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("ab",), ("ba",)], "tok string"
+    )
+    got = {
+        r.tok: r.s
+        for r in df.select(
+            "tok", bpe_apply_merges(F.col("tok"), [("a", "a")]).alias("s")
+        ).collect()
+    }
+    assert got["aaa"] == " aa a "
+    assert got["aaaa"] == " aa a a "
+    assert got["ab"] == " a b "
+    assert got["ba"] == " b a "
+    # chained merges apply in training order: (a,a) then (aa,b)
+    got2 = df.select(
+        "tok", bpe_apply_merges(F.col("tok"), [("a", "a"), ("aa", "b")]).alias("s")
+    ).collect()
+    m = {r.tok: r.s for r in got2}
+    assert m["ab"] == " a b "  # (a,a) never fired, so (aa,b) cannot
+    assert m["aaa"] == " aa a "
+
+
+def test_bpe_twin_consistent_with_engine_scoring(spark):
+    """The pyarrow twin's merge k+1 choice must equal the top-1 of the
+    ENGINE's pair-count scoring pass given merges[:k] — the same
+    twin-vs-engine consistency contract as the IVF centroid trainer."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        bpe_pair_counts,
+        train_bpe_merges_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+    from conftest import SF_DIR
+
+    merges = train_bpe_merges_parquet(
+        f"{SF_DIR}/documents.parquet", n_merges=5
+    )
+    docs = read_parquet_table(spark, SF_DIR, "documents")
+    for k in (0, 2, 4):
+        top = bpe_pair_counts(docs, "text", merges[:k], k=1).first()
+        assert tuple(top.pair.split(" ")) == merges[k], (k, top.pair, merges[k])
