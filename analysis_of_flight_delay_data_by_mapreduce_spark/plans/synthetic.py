@@ -1854,11 +1854,17 @@ _WINNOW_MIN_SQL = f"""CASE WHEN length(text) >= 32 THEN
     """,
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
     from ..operators.text import rolling_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    fp = rolling_fingerprint(docs, "doc_id", "text", window=32).select(
-        "doc_id", "winnow_min"
+    # materialize the fingerprint ONCE: the raw self-join re-evaluates the
+    # O(n)-per-doc fold in each side's Filter AND Project (no cross-
+    # operator CSE) — 4 evaluations, measured 6.6s vs 0.5s at sf0.1
+    fp = scoped_persist(
+        rolling_fingerprint(docs, "doc_id", "text", window=32)
+        .select("doc_id", "winnow_min")
+        .filter(F.col("winnow_min").isNotNull())
     )
     a, b = fp.alias("a"), fp.alias("b")
     return a.join(
