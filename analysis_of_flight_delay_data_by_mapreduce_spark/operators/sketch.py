@@ -28,6 +28,7 @@ __all__ = [
     "qsketch_build",
     "qsketch_merge",
     "qsketch_quantiles",
+    "with_qsketch_bucket",
     "QSKETCH_PREC",
 ]
 
@@ -119,6 +120,29 @@ def _qbucket(x: Column) -> tuple[Column, Column]:
     return xl, shift
 
 
+def with_qsketch_bucket(
+    df: DataFrame, value_col: str, shift_col: str = "shift", sub_col: str = "sub"
+) -> DataFrame:
+    """Append the (shift, sub) bucket-key columns for a non-negative
+    integer column, dropping NULL values (they have no rank). Narrow —
+    shared by the batch build and the streaming grid face (a streaming
+    aggregation needs the bucket key NEXT TO the event-time column, not
+    projected away)."""
+    xl, shift = _qbucket(F.col(value_col))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__qs_x", xl)
+        .withColumn("__qs_shift", shift)
+        .withColumn(shift_col, F.col("__qs_shift"))
+        .withColumn(
+            sub_col,
+            F.expr("__qs_x div shiftleft(cast(1 as bigint), __qs_shift)")
+            .cast("bigint"),
+        )
+        .drop("__qs_x", "__qs_shift")
+    )
+
+
 def qsketch_build(df: DataFrame, value_col: str) -> DataFrame:
     """Sketch a non-negative integer column into the (shift, sub, cnt)
     bucket grid. One narrow projection + one partial-aggregated shuffle on
@@ -129,17 +153,7 @@ def qsketch_build(df: DataFrame, value_col: str) -> DataFrame:
     (``qsketch_merge``) — per-day sketches roll up into any window
     without rescanning, the 100 TB pattern shared with the CMS/HLL tiers.
     """
-    xl, shift = _qbucket(F.col(value_col))
-    b = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(xl.alias("__qs_x"), shift.alias("__qs_shift"))
-        .select(
-            F.col("__qs_shift").alias("shift"),
-            F.expr("__qs_x div shiftleft(cast(1 as bigint), __qs_shift)")
-            .cast("bigint")
-            .alias("sub"),
-        )
-    )
+    b = with_qsketch_bucket(df, value_col).select("shift", "sub")
     return b.groupBy("shift", "sub").agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stream_daily_type_counts_upsert"]
+__all__ = [
+    "stream_daily_type_counts_upsert",
+    "stream_daily_quantile_grid_upsert",
+]
 
 
 def stream_daily_type_counts_upsert(
@@ -52,6 +55,58 @@ def stream_daily_type_counts_upsert(
         if batch_df.isEmpty():
             return
         upsert_partitions(batch_df, path, ["day", key_col])
+
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_daily_quantile_grid_upsert(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> None:
+    """Maintain a day-partitioned mergeable QUANTILE-SKETCH grid from an
+    event stream, exactly-once per partition — the streaming face of
+    ``operators.sketch.qsketch_build`` (values are rounded to integer
+    cents first, the engine's exact-money pattern).
+
+    Each micro-batch updates only the (day, shift, sub) cells it touched
+    (update mode + watermark keeps state bounded); the sink partition key
+    equals the FULL aggregation key, so the dynamic partition overwrite
+    is idempotent under epoch replay — the same contract as
+    ``stream_daily_type_counts_upsert``. One parquet directory per grid
+    cell per day is bounded by the grid (≤ ~1k cells/day), not the data;
+    a table-format MERGE collapses the layout when available. Any
+    window's quantile question is then answered by ``qsketch_merge`` +
+    ``qsketch_quantiles`` over the day grids — no raw-event rescan.
+    """
+    from ..operators.sketch import with_qsketch_bucket
+    from ..sources.sinks import upsert_partitions
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    bucketed = with_qsketch_bucket(
+        events.withColumn("__cents", cents), "__cents"
+    )
+    agg = (
+        bucketed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("__w"), "shift", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.to_date(F.col("__w.start")).alias("day"), "shift", "sub", "cnt")
+    )
+
+    def _upsert(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitions(batch_df, path, ["day", "shift", "sub"])
 
     (
         agg.writeStream.outputMode("update")

@@ -531,3 +531,55 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()}
     assert got == want
+
+
+def test_stream_quantile_grid_upsert_matches_batch_and_is_idempotent(
+    spark, tmp_path
+):
+    """The streamed day-partitioned quantile-sketch grid equals the batch
+    per-day qsketch grid cell-for-cell, and a full replay from a fresh
+    checkpoint rewrites the same partitions (exactly-once per cell)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        with_qsketch_bucket,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.sinks import (
+        stream_daily_quantile_grid_upsert,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "grid")
+
+    def run(ckpt_name):
+        stream_daily_quantile_grid_upsert(
+            read_events_stream(spark, sf_dir), out, str(tmp_path / ckpt_name)
+        )
+        return {
+            (str(r.day), r.shift, r.sub): r.cnt
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = run("ckpt1")
+
+    ev = read_parquet_table(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    want = {
+        (str(r.day), r.shift, r.sub): r.cnt
+        for r in with_qsketch_bucket(ev, "__cents")
+        .groupBy(F.to_date("ts").alias("day"), "shift", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 10
+
+    # full replay from a fresh checkpoint: same partitions, same values
+    assert run("ckpt2") == want
