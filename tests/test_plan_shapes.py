@@ -271,3 +271,26 @@ def test_bm25_is_shuffle_free_narrow_projection(spark):
     m = [l for l in txt.splitlines() if "ReadSchema" in l]
     assert m and "doc_id" in m[0] and "text" in m[0]
     assert "lang" not in m[0]  # unused columns pruned
+
+
+def test_quantile_sketch_partial_agg_and_pruned_scan(spark):
+    """The grid build must partial-aggregate before its one exchange
+    (map-side combine on the bucket key) and read only the text column."""
+    df = synthetic.QUERIES["docs_quantile_sketch"](spark, SF_DIR)
+    assert plan_text(df, "simple").count("Exchange hashpartitioning") == 1
+    txt = plan_text(df)
+    assert "partial_count" in txt
+    m = [l for l in txt.splitlines() if "ReadSchema" in l]
+    assert m and "text" in m[0] and "lang" not in m[0] and "doc_id" not in m[0]
+
+
+def test_bpe_pair_counts_is_topk_not_global_sort(spark):
+    """The top-20 must plan as TakeOrderedAndProject (per-partition top-k
+    + merge), never a data-wide global sort, with the pair count
+    partially aggregated before its exchange."""
+    df = synthetic.QUERIES["vocab_bpe_pair_counts"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt
+    assert "partial_count" in txt
+    m = [l for l in txt.splitlines() if "ReadSchema" in l]
+    assert m and "text" in m[0] and "doc_id" not in m[0]

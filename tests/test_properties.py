@@ -352,3 +352,32 @@ def test_jaccard_matches_between_matches_model(spark, new_texts, old_texts):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert math.isclose(got[k], v, rel_tol=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=40))
+def test_qsketch_bucket_matches_python_model_high_octaves(spark, xs):
+    """The Catalyst bucket math (length(bin(x)) + ANSI shifts) == the pure
+    Python model across ALL octaves including values far above anything
+    in the registered corpora (the sf tables only exercise small token
+    counts / cent values) — and every value lies inside its own bucket."""
+    from collections import Counter
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        QSKETCH_PREC,
+        qsketch_build,
+    )
+
+    df = spark.createDataFrame([(int(x),) for x in xs], "x long")
+    grid = {
+        (r.shift, r.sub): r.cnt for r in qsketch_build(df, "x").collect()
+    }
+
+    def bucket(x: int) -> tuple[int, int]:
+        shift = max(x.bit_length() - (QSKETCH_PREC + 1), 0)
+        return shift, x >> shift
+
+    assert grid == dict(Counter(bucket(int(x)) for x in xs))
+    for x in xs:
+        shift, sub = bucket(int(x))
+        assert (sub << shift) <= int(x) <= ((sub + 1) << shift) - 1
