@@ -50,6 +50,10 @@ _CHECK_FIRST = [
     "docs_reservoir_sample",  # deterministic bottom-k-by-hash per source
     "dedup_winnow_pairs",  # winnow-fingerprint bucket join (MOSS-style)
     "vocab_bpe_pair_counts",  # BPE merge scoring pass, trained-merge literals
+    "docs_dup_spans",  # exact duplicated-substring spans (Lee et al. 2022)
+    "docs_dup_span_profile",  # per-doc memorization-risk profile
+    "events_interval_join_binned",  # big-big range join as bin equi-join
+    "orders_bloom_semijoin",  # runtime Bloom-filter pre-pruned semi-join
     # --- last driver row r3 (oldest green rows; re-stamp) ---
     "text_language_id_trigram",
     "orders_profile",

@@ -49,6 +49,8 @@ __all__ = [
     "simhash",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
+    "duplicate_spans",
+    "duplicate_span_profile",
     "embedding_near_dup",
     "semantic_dedup",
     "semantic_matches_between",
@@ -995,4 +997,125 @@ def jaccard_matches_between(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _gram_sites(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Every word ``k``-gram occurrence as ``(id, pos, __g)`` — ``pos`` is
+    the 0-based index of the gram's first token. Docs shorter than ``k``
+    tokens emit nothing (no padding gram: span semantics are exact)."""
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("__tk"))
+    grams = F.when(
+        F.size("__tk") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tk") - k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.col(id_col), F.posexplode(grams).alias("pos", "__g"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_sites: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the distributed face of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span whose constituent word ``k``-grams ALL occur at >= ``min_sites``
+    (doc, pos) sites corpus-wide.
+
+    Three bounded shuffles, never pairwise:
+    1. gram sites -> groupBy(gram) count (map-side partial agg; a gram in
+       a million docs costs one counter, not a million-squared pair set);
+    2. left-semi join of the sites against the duplicated grams (equi on
+       the gram; at petabyte scale swap the gram string for a 128-bit
+       fingerprint to cut shuffle width -- collision odds ~n^2/2^128 --
+       kept as the exact string here so the DuckDB oracle is replicable);
+    3. per-doc gaps-and-islands window (hashpartitioning by doc, no
+       data-wide sort): consecutive duplicated gram positions merge into
+       one maximal span of ``max - min + k`` tokens.
+
+    Output: ``(id_col, span_start, span_len)`` -- 0-based first-token
+    index and token length of each maximal duplicated span. Exact: the
+    reference implementation for the sampled-suffix variants.
+    """
+    from pyspark.sql import Window as W
+
+    sites = _gram_sites(df, id_col, text_col, k)
+    dup = (
+        sites.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_sites)
+        .select("__g")
+    )
+    hits = sites.join(dup, "__g", "left_semi")
+    w = W.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_sites: int = 2,
+) -> DataFrame:
+    """Per-document duplication profile over :func:`duplicate_spans`'
+    pipeline: ``(id, n_grams, dup_grams, n_spans, max_span_len)`` for
+    EVERY input document (zeros when nothing is duplicated).
+
+    ``dup_grams / n_grams`` is the standard memorization-risk score used
+    to gate training mixtures. One chain -- sites are aggregated twice
+    only at the (doc, island) level, which is already tiny; the document
+    scan runs twice (once for the per-doc gram count, once for the
+    sites), both narrow pruned projections -- at 100 TB recomputing a
+    projection beats persisting a corpus-sized token table.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("__tk"))
+    base = toks.select(
+        F.col(id_col),
+        F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    sites = _gram_sites(df, id_col, text_col, k)
+    dup = (
+        sites.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_sites)
+        .select("__g")
+    )
+    hits = sites.join(dup, "__g", "left_semi")
+    w = W.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy(id_col, "__grp").agg(
+        F.count(F.lit(1)).alias("__n_pos"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("__span_len"),
+    )
+    prof = spans.groupBy(id_col).agg(
+        F.sum("__n_pos").cast("long").alias("dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("__span_len").cast("long").alias("max_span_len"),
+    )
+    return (
+        base.join(prof, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("max_span_len", F.lit(0)).alias("max_span_len"),
+        )
     )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "interval_join_binned"]
 
 
 def asof_join(
@@ -102,3 +102,59 @@ def interval_join(
     """
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     return facts.join(F.broadcast(intervals), cond, how)
+
+
+def interval_join_binned(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big interval join: the scale path when the interval set does
+    NOT fit in a broadcast (the regime :func:`interval_join`'s docstring
+    defers to). Both sides get a coarse time-bin key and the range match
+    becomes an EQUI-join:
+
+    - each interval explodes to every bin it overlaps (an interval of
+      length L costs ``ceil(L / bin) + 1`` rows — pick ``bin_seconds``
+      near the typical interval length to keep the blow-up ~2x);
+    - each fact row lands in exactly ONE bin, so bin-sharing is exact
+      partitioning of the match space and no post-join dedup is needed;
+    - the exact ``[start, end)`` predicate filters within bin partners.
+
+    Catalyst plans the bin equality as a hash join (shuffle or broadcast
+    per AQE stats) instead of the nested-loop a bare range predicate
+    forces. Empty intervals (``end <= start``) match nothing, exactly as
+    the half-open predicate dictates (Spark ``sequence(hi, lo)`` counts
+    DOWN, so they are filtered, not exploded).
+
+    Bin math is exact integer arithmetic on epoch microseconds (no
+    double division near bin boundaries).
+    """
+    w_us = int(bin_seconds) * 1_000_000
+
+    def bin_of(c: Column) -> Column:
+        us = F.unix_micros(c)
+        return ((us - F.pmod(us, F.lit(w_us))) / F.lit(w_us)).cast("long")
+
+    fb = facts.withColumn("__fbin", bin_of(F.col(ts_col)))
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__ibin",
+        F.explode(
+            F.sequence(
+                bin_of(F.col(start_col)),
+                ((F.unix_micros(F.col(end_col)) - 1 - F.pmod(
+                    F.unix_micros(F.col(end_col)) - 1, F.lit(w_us)
+                )) / F.lit(w_us)).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (fb["__fbin"] == iv["__ibin"])
+        & (fb[ts_col] >= iv[start_col])
+        & (fb[ts_col] < iv[end_col])
+    )
+    return fb.join(iv, cond, how).drop("__fbin", "__ibin")

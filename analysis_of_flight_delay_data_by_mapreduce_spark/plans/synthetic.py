@@ -3314,6 +3314,51 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The SAME interval join planned for the big-big regime
+# (operators.joins.interval_join_binned): intervals explode to the day
+# bins they overlap, facts carry their one day bin, and the range match
+# becomes a hash EQUI-join on the bin — no broadcast nested loop, no
+# fact-side blow-up, no post-join dedup. Identical result (and oracle) to
+# events_interval_join: binning partitions the match space exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "events_interval_join_binned",
+    oracle="""
+    WITH iv(promo_id, start_ts, end_ts) AS (
+      VALUES ('p1', TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+             ('p2', TIMESTAMP '2024-01-04 00:00:00', TIMESTAMP '2024-01-06 12:00:00'),
+             ('p3', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-11 00:00:00'),
+             ('p4', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-27 00:00:00')
+    )
+    SELECT promo_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events JOIN iv ON ts >= start_ts AND ts < end_ts
+    GROUP BY promo_id
+    """,
+)
+def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    iv = spark.createDataFrame(
+        _PROMOS, "promo_id string, start_s string, end_s string"
+    ).select(
+        "promo_id",
+        F.col("start_s").cast("timestamp").alias("start"),
+        F.col("end_s").cast("timestamp").alias("end"),
+    )
+    j = interval_join_binned(ev, iv, "ts", bin_seconds=86400)
+    return j.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * F.lit(100.0), 0).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Generic two-table as-of join (operators.joins.asof_join): each purchase
 # enriched with the user's most recent at-or-before error amount. Union +
 # per-key window — one shuffle, no range join. (user_id, ts) is unique in
@@ -5529,4 +5574,150 @@ def events_value_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__e95") * 100).cast("long").alias("exact_p95_cents"),
         ok("__a50", "__lo50", "__hi50").alias("p50_ok"),
         ok("__a95", "__lo95", "__hi95").alias("p95_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2022 substring dedup,
+# distributed): maximal token spans whose word 5-grams each occur at >= 2
+# (doc, pos) sites corpus-wide. Three bounded shuffles — per-gram counts
+# (map-side partial agg), a left-semi join of gram sites against the
+# duplicated grams, and a per-doc gaps-and-islands window. Pure integers
+# out -> full hash check.
+# ---------------------------------------------------------------------------
+_DUP_SPAN_CTES = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             array_to_string(tk[u.i : u.i + 4], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS u(i)
+    ), dupg AS (
+      SELECT g FROM sh GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM sh WHERE g IN (SELECT g FROM dupg)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+"""
+
+
+@register(
+    "docs_dup_spans",
+    oracle=_DUP_SPAN_CTES
+    + """
+    SELECT doc_id, MIN(pos) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", k=5, min_sites=2)
+
+
+@register(
+    "docs_dup_span_profile",
+    oracle=_DUP_SPAN_CTES
+    + """
+    , spans AS (
+      SELECT doc_id, grp, count(*) AS n_pos,
+             MAX(pos) - MIN(pos) + 5 AS span_len
+      FROM isl GROUP BY doc_id, grp
+    ), prof AS (
+      SELECT doc_id, CAST(SUM(n_pos) AS BIGINT) AS dup_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(MAX(span_len) AS BIGINT) AS max_span_len
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(tk) - 4, 0) AS BIGINT) AS n_grams,
+           COALESCE(dup_grams, 0) AS dup_grams,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(max_span_len, 0) AS max_span_len
+    FROM toks t LEFT JOIN prof ON t.doc_id = prof.doc_id
+    """,
+)
+def docs_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization-risk profile (dup_grams / n_grams is the
+    mixture-gating score); zeros for clean docs, every doc present."""
+    from ..operators.dedup import duplicate_span_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_profile(docs, "doc_id", "text", k=5, min_sites=2)
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter semi-join pruning (operators.bloom): the dim side
+# (high-balance customers) enters the plan twice — once as a ~2 KB Bloom
+# LITERAL tested against every fact row BEFORE the exchange (cutting the
+# fact-side shuffle to ~join selectivity), once as the exact semi-join
+# that removes the Bloom's false positives. The final result is exactly
+# the plain semi-join's, so the oracle is Bloom-free; the filter is built
+# by a tiny Spark job over the dim side (sideways information passing —
+# bloom_build_spark; only m/64 longs reach the driver). The semi-join is
+# hinted shuffle_hash to model the dim-exceeds-broadcast regime this
+# pattern exists for (with a broadcastable dim you would just broadcast).
+# ---------------------------------------------------------------------------
+_BLOOM_ACCTBAL_MIN = 7500.0
+_bloom_dim_cache: dict[str, tuple[list[int], int, int]] = {}
+
+
+def _bloom_dim_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], int, int]:
+    """(words, m_bits, k) for the high-balance customer key set — built
+    once per process per sf_dir from the same parquet the query reads
+    (deterministic: xxhash64 positions, bit-OR word aggregation)."""
+    if sf_dir not in _bloom_dim_cache:
+        from ..operators.bloom import bloom_build_spark, bloom_params
+
+        dim = (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > F.lit(_BLOOM_ACCTBAL_MIN))
+            .select("c_custkey")
+        )
+        m, k = bloom_params(dim.count())
+        _bloom_dim_cache[sf_dir] = (bloom_build_spark(dim, "c_custkey", m, k), m, k)
+    return _bloom_dim_cache[sf_dir]
+
+
+@register(
+    "orders_bloom_semijoin",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 7500.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_prune
+
+    words, m, k = _bloom_dim_shared(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > F.lit(_BLOOM_ACCTBAL_MIN))
+        .select("c_custkey")
+    )
+    pruned = bloom_prune(orders, "o_custkey", words, m, k)
+    j = pruned.join(
+        dim.hint("shuffle_hash"),
+        pruned["o_custkey"] == dim["c_custkey"],
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")).alias(
+            "cents"
+        ),
     )

@@ -338,3 +338,76 @@ def test_semantic_dedup_matches_numpy_reference(spark):
         if not dup:
             want.add((int(vid[i]), int(assign[i])))
     assert got == want
+
+
+def test_duplicate_spans_planted_cross_doc_run(spark):
+    """Two docs share an 8-token run -> one maximal 8-token span each
+    (4 consecutive duplicated 5-gram positions merged); the unique doc
+    emits nothing; positions are 0-based first-token indices."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc"),
+            (2, shared + " zz yy xx ww"),
+            (3, "totally different words without any overlap here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    )
+    # doc 1: run starts at token 2; doc 2: at token 0; both 8 tokens long
+    assert got == [(1, 2, 8), (2, 0, 8)]
+
+
+def test_duplicate_spans_within_doc_repeat_counts_as_site(spark):
+    """min_sites counts (doc, pos) SITES, so a gram repeated twice inside
+    ONE doc is a duplicated substring too (self-memorization)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    run = "p q r s t"  # exactly one 5-gram
+    docs = spark.createDataFrame(
+        [(1, run + " gap1 gap2 " + run), (2, "other words entirely here now")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    )
+    assert got == [(1, 0, 5), (1, 7, 5)]
+
+
+def test_duplicate_span_profile_counts_and_zeros(spark):
+    """Profile covers EVERY doc: gram totals, duplicated-gram counts,
+    span counts, longest span; zeros (not NULLs) for clean/short docs."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        duplicate_span_profile,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens, 4 grams
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc"),  # 11 tokens -> 7 grams, 4 dup
+            (2, shared),                     # 8 tokens -> 4 grams, all dup
+            (3, "clean words with no duplication at all present"),  # 8 -> 4
+            (4, "too short"),                # < k tokens -> 0 grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.dup_grams, r.n_spans, r.max_span_len)
+        for r in duplicate_span_profile(docs, "doc_id", "text", k=5).collect()
+    }
+    assert got == {
+        1: (7, 4, 1, 8),
+        2: (4, 4, 1, 8),
+        3: (4, 0, 0, 0),
+        4: (0, 0, 0, 0),
+    }

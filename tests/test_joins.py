@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from analysis_of_flight_delay_data_by_mapreduce_spark.operators.joins import (
     asof_join,
     interval_join,
+    interval_join_binned,
 )
 from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import plan_text
 
@@ -102,3 +103,50 @@ def test_plan_shapes(spark):
     ).lower()
     assert "hashpartitioning(user_id" in atxt
     assert "sortmergejoin" not in atxt and "nestedloop" not in atxt
+
+
+def test_interval_join_binned_equals_broadcast(spark):
+    """The binned equi-join plan must produce EXACTLY the broadcast
+    nested-loop's rows — bins partition the match space, they never
+    change it — including boundary facts, overlapping intervals,
+    multi-bin intervals, and empty intervals (end <= start)."""
+    facts = spark.createDataFrame(
+        [(i, _ts(m, s)) for i, (m, s) in enumerate(
+            [(0, 0), (4, 59), (5, 0), (7, 30), (25, 0), (59, 59)]
+        )],
+        "fid bigint, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("a", _ts(0), _ts(10)),       # spans several 3-min bins
+            ("b", _ts(5), _ts(25)),       # overlaps 'a'
+            ("c", _ts(7), _ts(7)),        # empty: matches nothing
+            ("d", _ts(30), _ts(20)),      # inverted: matches nothing
+        ],
+        "iid string, start timestamp, end timestamp",
+    )
+    want = sorted(
+        (r.fid, r.iid) for r in interval_join(facts, iv, "ts").collect()
+    )
+    got = sorted(
+        (r.fid, r.iid)
+        for r in interval_join_binned(
+            facts, iv, "ts", bin_seconds=180
+        ).collect()
+    )
+    assert got == want
+    assert want  # non-degenerate fixture
+
+
+def test_interval_join_binned_plans_as_equi_join(spark):
+    """The range condition must ride an EQUI-join on the bin key (hash
+    join, fact side never nested-looped) — the whole point of binning."""
+    facts = spark.createDataFrame([(1, _ts(7))], "fid bigint, ts timestamp")
+    iv = spark.createDataFrame(
+        [("a", _ts(0), _ts(10))], "iid string, start timestamp, end timestamp"
+    )
+    txt = plan_text(
+        interval_join_binned(facts, iv, "ts", bin_seconds=180), "simple"
+    ).lower()
+    assert "broadcastnestedloopjoin" not in txt and "cartesian" not in txt
+    assert "__fbin" in txt and "__ibin" in txt
