@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals"]
+__all__ = ["running_user_totals", "sessionize_stream"]
 
 _OUT_SCHEMA = "user_id long, n_events long, value_cents long"
 _STATE_SCHEMA = "n_events long, value_cents long"
@@ -66,3 +66,99 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 # the code could never execute here and an unexecuted operator is repo
 # risk (VERDICT r3 "What's wrong" #1). The intended shape is archived in
 # NEXT.md; applyInPandasWithState above is the parity-tested surface.
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based streaming sessionization with EVENT-TIME timeouts — the
+    arbitrary-state operator ``session_window`` cannot express when the
+    close decision needs custom logic/payloads. One output row per
+    CLOSED session (append semantics):
+    ``(key, session_idx, n_events, start_us, end_us, duration_s)`` —
+    epoch-microsecond bounds, 1-based per-key session index matching
+    ``operators.sessions.sessionize``'s numbering.
+
+    A session closes two ways, both deterministic (no wall clock):
+    - a later event of the SAME key arrives past the gap (closed
+      inline, the new session opens in the same invocation);
+    - the watermark passes ``last_event + gap`` (event-time timeout
+      fires — sessions of idle keys close without new key traffic).
+
+    State per key is one open session (4 longs) — bounded by key
+    cardinality, evicted on timeout. Events below the watermark are
+    dropped by the engine before reaching the function; batch-parity
+    therefore assumes per-key event-time order across micro-batches
+    (within a micro-batch, the function sorts). The per-event Python
+    loop runs over one key's rows of one micro-batch (Arrow-delivered;
+    sessionization is inherently sequential per key — the set-oriented
+    batch face is ``operators.sessions.session_summary``).
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    key_type = {
+        f.name: f.dataType.simpleString() for f in events.schema.fields
+    }[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, session_idx long, n_events long, "
+        "start_us long, end_us long, duration_s long"
+    )
+    state_schema = "session_idx long, start_us long, last_us long, n long"
+
+    def close_row(key, sidx, start, last, n):
+        return {
+            key_col: key,
+            "session_idx": sidx,
+            "n_events": n,
+            "start_us": start,
+            "end_us": last,
+            "duration_s": (last - start) // 1_000_000,
+        }
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            sidx, start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([close_row(key[0], sidx, start, last, n)])
+            return
+        sidx, start, last, n = state.get if state.exists else (0, None, None, 0)
+        closed: list[dict] = []
+        for pdf in batches:
+            for t in sorted(pdf[ts_col].astype("int64") // 1000):
+                t = int(t)
+                if start is None:
+                    sidx, start, last, n = sidx + 1, t, t, 1
+                elif t - last > gap_us:
+                    closed.append(close_row(key[0], sidx, start, last, n))
+                    sidx, start, last, n = sidx + 1, t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+        state.update((sidx, start, last, n))
+        # fire once the watermark passes last + gap (never set a timeout
+        # at-or-before the current watermark — the engine rejects it)
+        deadline_ms = last // 1000 + int(gap_seconds) * 1000 + 1
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.select(key_col, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

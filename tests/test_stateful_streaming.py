@@ -53,3 +53,88 @@ def test_running_totals_match_batch(spark):
 # in round 4 (google.protobuf absent from this image -> the test was a
 # permanent skip; an assertion that never runs documents nothing). The
 # intended TWS shape is archived in NEXT.md.
+
+
+def test_sessionize_stream_matches_batch_summary(spark, tmp_path):
+    """Streamed gap sessions == batch session_summary, end to end: inline
+    closes (same-key event past the gap), event-time-timeout closes
+    (watermark passes last+gap with no key traffic), and per-key
+    session_idx numbering. A far-future sentinel key in the last
+    micro-batch advances the watermark past every real deadline, so ALL
+    real sessions must be emitted; only the sentinel's stays open."""
+    import datetime as dt
+    import time
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sessions import (
+        session_summary,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    def ts(minute, second=0):
+        return dt.datetime(2024, 1, 1, 10, minute, second)
+
+    GAP = 60  # strictly-greater-than-60s silence opens a new session
+    # user 1: [0s..30s] then [5m..5m10s] then [20m]; user 2: [1m..1m59s]
+    fix = [
+        (1, ts(0, 0)), (1, ts(0, 30)),
+        (1, ts(5, 0)), (1, ts(5, 10)),
+        (1, ts(20, 0)),
+        (2, ts(1, 0)), (2, ts(1, 59)),
+        (2, ts(2, 59)),  # exactly 60s after 1:59 -> SAME session (> gap)
+    ]
+    batch1 = [r for r in fix if r[1] < ts(4)]
+    batch2 = [r for r in fix if r[1] >= ts(4)]
+    sentinel = [(999, ts(59, 0))]
+
+    land = str(tmp_path / "land")
+    schema = "user_id long, ts timestamp"
+    for i, rows in enumerate([batch1, batch2, sentinel]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    q = (
+        sessionize_stream(stream, "user_id", "ts", GAP, "0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.duration_s)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    batch = spark.createDataFrame(fix, schema)
+    want = {
+        (r.user_id, r.session_idx): (
+            r.n_events,
+            int(
+                dt.datetime.fromisoformat(r.start_s)
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp()
+                * 1_000_000
+            ),
+            int(
+                dt.datetime.fromisoformat(r.end_s)
+                .replace(tzinfo=dt.timezone.utc)
+                .timestamp()
+                * 1_000_000
+            ),
+            r.duration_s,
+        )
+        for r in session_summary(batch, "user_id", "ts", GAP).collect()
+    }
+    assert got == want
+    assert len(want) == 4  # fixture: u1 x3 sessions, u2 x1 (60s edge merged)
