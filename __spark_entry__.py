@@ -52,8 +52,10 @@ _CHECK_FIRST = [
     "vocab_bpe_pair_counts",  # BPE merge scoring pass, trained-merge literals
     "docs_dup_spans",  # exact duplicated-substring spans (Lee et al. 2022)
     "docs_dup_span_profile",  # per-doc memorization-risk profile
+    "docs_dup_span_strip",  # the apply face: spans cut from every doc
     "events_interval_join_binned",  # big-big range join as bin equi-join
     "orders_bloom_semijoin",  # runtime Bloom-filter pre-pruned semi-join
+    "purchase_age_salted_join",  # skew-salted big-big equi-join
     # --- last driver row r3 (oldest green rows; re-stamp) ---
     "text_language_id_trigram",
     "orders_profile",

@@ -51,6 +51,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "duplicate_spans",
     "duplicate_span_profile",
+    "strip_duplicate_spans",
     "embedding_near_dup",
     "semantic_dedup",
     "semantic_matches_between",
@@ -1117,5 +1118,69 @@ def duplicate_span_profile(
             F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("max_span_len", F.lit(0)).alias("max_span_len"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_sites: int = 2,
+) -> DataFrame:
+    """The APPLY face of :func:`duplicate_spans` — rewrite every document
+    with its duplicated spans cut out (Lee et al. 2022 cut the
+    duplicated suffix-array ranges the same way; policy here: cut EVERY
+    duplicated token, symmetric across the sites — simple,
+    deterministic, and engine-replicable, vs. the paper's
+    keep-one-occurrence which needs a global tie-break).
+
+    A token is cut when ANY k-gram covering it is duplicated: flagged
+    gram position ``p`` covers tokens ``[p, p+k-1]``, so the cut set is
+    the union of those intervals — computed exactly by exploding each
+    flagged position to its k token indexes and de-duplicating (bounded
+    by the doc's token count, no interval-merge window needed).
+
+    Output: ``(id, kept_tokens, clean_text)`` for EVERY input document
+    (empty string when everything was duplicated). Reassembly is a
+    per-doc ``collect_list`` + sort — state bounded by single-document
+    length, the same bound any per-doc text operator carries.
+    """
+    sites = _gram_sites(df, id_col, text_col, k)
+    dup = (
+        sites.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_sites)
+        .select("__g")
+    )
+    hits = sites.join(dup, "__g", "left_semi")
+    cut = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+            "tpos"
+        ),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.posexplode(word_tokens(text_col)).alias("tpos", "tok")
+    )
+    clean = toks.join(cut, [id_col, "tpos"], "left_anti")
+    rebuilt = clean.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )

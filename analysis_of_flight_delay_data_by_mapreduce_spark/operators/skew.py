@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_sum_count"]
+__all__ = ["salted_sum_count", "salted_join"]
 
 
 def salted_sum_count(
@@ -56,3 +56,40 @@ def salted_sum_count(
     if count_out:
         final_aggs.append(F.sum("__p_cnt").alias(count_out))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe big-big equi-join: spread a hot join key across
+    ``n_salts`` reducers by salting the FACT side with a deterministic
+    hash of ``salt_from`` (a fact column that varies within a key — an
+    event id, a timestamp) and replicating every DIM row once per salt.
+    Joining on ``(key, salt)`` splits a key with a billion fact rows
+    over ``n_salts`` tasks at the cost of ``n_salts``x the (smaller)
+    dim shuffle — the standard remedy when AQE's skew splitting cannot
+    apply (it only splits sort-merge partitions; a hash-partitioned
+    stateful consumer, bucketed table, or storage-partitioned join
+    pins the layout).
+
+    Row-identical to the plain join: every fact row meets exactly the
+    one replica of its dim row that carries its salt. Only ``inner``
+    and ``left`` survive replication unchanged (``right``/``full``
+    would emit one null-extended row PER REPLICA of an unmatched dim
+    row); others are rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    f = facts.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [key_col, "__salt"], how).drop("__salt")

@@ -5721,3 +5721,79 @@ def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
+
+
+@register(
+    "docs_dup_span_strip",
+    oracle=_DUP_SPAN_CTES
+    + """
+    , toks2 AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS tpos, tk[u.i] AS tok
+      FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)
+    ), cut AS (
+      SELECT DISTINCT doc_id, pos + g.x AS tpos
+      FROM hits, unnest(range(0, 5)) AS g(x)
+    ), clean AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM toks2 t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      WHERE c.tpos IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      FROM clean GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(kept_tokens, 0) AS kept_tokens,
+           COALESCE(clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def docs_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY face of substring dedup: every doc rewritten with its
+    duplicated spans cut (cut-all policy — symmetric across sites, no
+    global tie-break needed; Lee et al. 2022 cut suffix-array ranges)."""
+    from ..operators.dedup import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, "doc_id", "text", k=5, min_sites=2)
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted big-big equi-join (operators.skew.salted_join): purchases
+# joined to each user's first-seen timestamp (a derived dim the size of
+# the user set — the regime where a hot user would pin one reducer).
+# Facts are salted by a hash of event_id, the dim replicated once per
+# salt; the join runs on (user_id, salt) yet the result — and the
+# oracle — are the plain join's. Day buckets use exact integer
+# micro-arithmetic (no double division near boundaries).
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_age_salted_join",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts) AS f FROM events GROUP BY user_id
+    )
+    SELECT (epoch_us(e.ts) - epoch_us(f.f)) // 86400000000 AS day_age,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY day_age
+    """,
+)
+def purchase_age_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = salted_join(purchases, first_seen, "user_id", "event_id", n_salts=8)
+    diff = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("f"))
+    day = ((diff - F.pmod(diff, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    return j.select(day.alias("day_age"), "user_id").groupBy("day_age").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

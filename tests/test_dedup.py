@@ -411,3 +411,33 @@ def test_duplicate_span_profile_counts_and_zeros(spark):
         3: (4, 0, 0, 0),
         4: (0, 0, 0, 0),
     }
+
+
+def test_strip_duplicate_spans_cuts_all_sites(spark):
+    """Cut-all policy: the shared run disappears from BOTH docs, the
+    surrounding unique tokens survive in order, untouched docs pass
+    through verbatim, and a fully-duplicated doc becomes empty."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc"),
+            (2, shared + " zz yy xx ww"),
+            (3, "totally different words without any overlap here"),
+            (4, shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.kept_tokens, r.clean_text)
+        for r in strip_duplicate_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    assert got == {
+        1: (3, "aa bb cc"),
+        2: (4, "zz yy xx ww"),
+        3: (7, "totally different words without any overlap here"),
+        4: (0, ""),
+    }
