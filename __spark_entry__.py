@@ -56,6 +56,7 @@ _CHECK_FIRST = [
     "events_interval_join_binned",  # big-big range join as bin equi-join
     "orders_bloom_semijoin",  # runtime Bloom-filter pre-pruned semi-join
     "purchase_age_salted_join",  # skew-salted big-big equi-join
+    "embedding_label_pca",  # grouped-map applyInPandas per-label PCA
     # --- last driver row r3 (oldest green rows; re-stamp) ---
     "text_language_id_trigram",
     "orders_profile",

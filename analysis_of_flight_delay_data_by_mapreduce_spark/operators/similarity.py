@@ -38,6 +38,7 @@ __all__ = [
     "build_ann_table",
     "upsert_ann_table",
     "query_ann_table",
+    "label_pca_summary",
 ]
 
 
@@ -442,4 +443,59 @@ def query_ann_table(
         scored.select(id_col, out)
         .orderBy(F.col(out).desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def label_pca_summary(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label PCA summary of an embedding column via grouped-map
+    ``applyInPandas`` — the pandas surface for per-group LINEAR ALGEBRA
+    that no Catalyst expression can express (eigendecomposition):
+    ``(label, n, top_eigval, explained)`` where ``top_eigval`` is the
+    covariance's largest eigenvalue and ``explained`` its share of the
+    total variance (the k=1 explained-variance-ratio used to triage
+    embedding collapse per class/cluster).
+
+    One shuffle (hash by label), one Arrow batch per group, numpy
+    ``eigvalsh`` per group. Determinism: rows are sorted by ``id_col``
+    before the Gram accumulation, so the float summation order — and
+    therefore every output bit — is independent of partitioning.
+
+    Memory bound: a GROUP's vectors must fit one Arrow batch (n_g x d
+    doubles). For groups beyond that, pre-reduce a per-salt Gram with
+    the same pattern and sum matrices — not needed at this corpus's
+    group sizes and deliberately not layered in (the merge order would
+    reintroduce float nondeterminism this function just removed).
+
+    Driver check is rows-only by design (no SQL engine replicates
+    eigenvalues); the pytest twin recomputes from a pyarrow read and
+    asserts exact equality.
+    """
+    out_schema = f"{label_col} int, n long, top_eigval double, explained double"
+
+    def pca(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        n = len(X)
+        Xc = X - X.mean(axis=0)
+        cov = (Xc.T @ Xc) / max(n - 1, 1)
+        w = np.linalg.eigvalsh(cov)
+        top, tot = float(w[-1]), float(w.sum())
+        return pd.DataFrame(
+            [
+                {
+                    label_col: int(pdf[label_col].iloc[0]),
+                    "n": n,
+                    "top_eigval": round(top, 6),
+                    "explained": round(top / tot, 6) if tot > 0 else 0.0,
+                }
+            ]
+        )
+
+    return emb.select(label_col, id_col, vec_col).groupBy(label_col).applyInPandas(
+        pca, out_schema
     )

@@ -5797,3 +5797,19 @@ def purchase_age_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label PCA summary (operators.similarity.label_pca_summary): the
+# grouped-map applyInPandas surface — per-group EIGENDECOMPOSITION, the
+# linear algebra no Catalyst expression (and no SQL oracle) expresses.
+# Rows-only by design; the pytest twin recomputes every value from a
+# pyarrow read and asserts exact equality (id-sorted Gram accumulation
+# makes each output bit partitioning-independent).
+# ---------------------------------------------------------------------------
+@register("embedding_label_pca")
+def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_pca_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_pca_summary(emb, "label", "embedding", "vec_id")

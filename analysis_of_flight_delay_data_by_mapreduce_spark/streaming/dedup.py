@@ -36,6 +36,7 @@ __all__ = [
     "run_minhash_dedup_stream",
     "dedup_stream_against_index_semantic",
     "run_semantic_dedup_stream",
+    "dedup_stream_stateful",
 ]
 
 
@@ -220,4 +221,52 @@ def run_semantic_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def dedup_stream_stateful(docs: DataFrame, id_col: str, fp_col: str) -> DataFrame:
+    """Exact streaming dedup held entirely in the state store: the first
+    micro-batch in which a fingerprint appears emits ONE survivor (the
+    smallest ``id_col`` within that batch — deterministic under any
+    within-batch ordering); every later sighting emits nothing.
+
+    The low-latency counterpart of ``dedup_stream_against_index``: no
+    static index table, no per-batch join — just a hash shuffle on the
+    fingerprint and an O(1) state lookup per group. State is one byte
+    per distinct fingerprint and is never evicted (``NoTimeout``):
+    right for bounded keyspaces (per-day partitions, rolling streams
+    restarted per window); for an unbounded corpus use the bucketed
+    static-index face, whose history lives in storage, not memory.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    out_schema = f"{fp_col} {types[fp_col]}, {id_col} {types[id_col]}"
+
+    def first_seen(key, batches, state: GroupState):
+        if state.exists:
+            for _ in batches:  # drain; later sightings emit nothing
+                pass
+            return
+        best = None
+        for pdf in batches:
+            if len(pdf):
+                m = pdf[id_col].min()
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame([{fp_col: key[0], id_col: best}])
+
+    return (
+        docs.select(fp_col, id_col)
+        .groupBy(fp_col)
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=out_schema,
+            stateStructType="seen byte",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -433,3 +433,41 @@ def test_qsketch_invariants_brackets_and_merge_linearity(spark):
     assert merged == grid
     vals.unpersist()
     sk.unpersist()
+
+
+def test_label_pca_equals_numpy_replica(spark):
+    """embedding_label_pca is rows-only for the driver (no SQL engine
+    replicates eigenvalues); pin every value EXACTLY against an
+    independent pyarrow+numpy recomputation — id-sorted Gram
+    accumulation makes both sides bit-deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.label: (r.n, r.top_eigval, r.explained)
+        for r in QUERIES["embedding_label_pca"](spark, sf).collect()
+    }
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    labels = np.asarray(t.column("label"))
+    X = np.stack(t.column("embedding").to_pylist()).astype("float64")
+    want = {}
+    for lab in np.unique(labels):
+        Xl = X[labels == lab]
+        n = len(Xl)
+        Xc = Xl - Xl.mean(axis=0)
+        cov = (Xc.T @ Xc) / max(n - 1, 1)
+        w = np.linalg.eigvalsh(cov)
+        top, tot = float(w[-1]), float(w.sum())
+        want[int(lab)] = (
+            n,
+            round(top, 6),
+            round(top / tot, 6) if tot > 0 else 0.0,
+        )
+    assert got == want
+    assert all(0.0 < e <= 1.0 for (_, _, e) in got.values())

@@ -138,3 +138,45 @@ def test_sessionize_stream_matches_batch_summary(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 4  # fixture: u1 x3 sessions, u2 x1 (60s edge merged)
+
+
+def test_dedup_stream_stateful_first_seen(spark, tmp_path):
+    """In-state exact dedup: one survivor per fingerprint, emitted in the
+    first micro-batch that carries it (min id within that batch); a
+    fingerprint seen again in a later batch emits nothing — even when
+    the later sighting has a smaller id."""
+    import time
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        dedup_stream_stateful,
+    )
+
+    schema = "doc_id long, fp string"
+    batch1 = [(10, "a"), (12, "a"), (20, "b")]
+    batch2 = [(1, "a"), (30, "b"), (40, "c"), (44, "c")]
+    land = str(tmp_path / "land")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    q = (
+        dedup_stream_stateful(stream, "doc_id", "fp")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fs_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.fp, r.doc_id) for r in spark.sql("SELECT * FROM fs_dedup").collect()
+    }
+    assert got == {("a", 10), ("b", 20), ("c", 40)}
