@@ -133,7 +133,15 @@ def interval_join_binned(
 
     Bin math is exact integer arithmetic on epoch microseconds (no
     double division near bin boundaries).
+
+    Only ``inner`` and ``left`` are supported: a ``right``/``full`` join
+    would emit one null-extended row PER BIN REPLICA of an unmatched
+    interval (the same replication hazard ``salted_join`` rejects).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_join_binned supports inner/left, got {how!r}"
+        )
     w_us = int(bin_seconds) * 1_000_000
 
     def bin_of(c: Column) -> Column:

@@ -125,17 +125,19 @@ def test_interval_join_binned_equals_broadcast(spark):
         ],
         "iid string, start timestamp, end timestamp",
     )
-    want = sorted(
-        (r.fid, r.iid) for r in interval_join(facts, iv, "ts").collect()
-    )
-    got = sorted(
-        (r.fid, r.iid)
-        for r in interval_join_binned(
-            facts, iv, "ts", bin_seconds=180
-        ).collect()
-    )
-    assert got == want
-    assert want  # non-degenerate fixture
+    for how in ("inner", "left"):
+        want = sorted(
+            (r.fid, r.iid)
+            for r in interval_join(facts, iv, "ts", how=how).collect()
+        )
+        got = sorted(
+            (r.fid, r.iid)
+            for r in interval_join_binned(
+                facts, iv, "ts", bin_seconds=180, how=how
+            ).collect()
+        )
+        assert got == want
+        assert want  # non-degenerate fixture
 
 
 def test_interval_join_binned_plans_as_equi_join(spark):
@@ -150,3 +152,16 @@ def test_interval_join_binned_plans_as_equi_join(spark):
     ).lower()
     assert "broadcastnestedloopjoin" not in txt and "cartesian" not in txt
     assert "__fbin" in txt and "__ibin" in txt
+
+
+def test_interval_join_binned_rejects_replication_unsafe_modes(spark):
+    import pytest
+
+    facts = spark.createDataFrame([(1, _ts(7))], "fid bigint, ts timestamp")
+    iv = spark.createDataFrame(
+        [("a", _ts(0), _ts(10))], "iid string, start timestamp, end timestamp"
+    )
+    with pytest.raises(ValueError):
+        interval_join_binned(facts, iv, "ts", how="right")
+    with pytest.raises(ValueError):
+        interval_join_binned(facts, iv, "ts", how="full")
