@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "orders_bloom_semijoin",  # runtime Bloom-filter pre-pruned semi-join
     "purchase_age_salted_join",  # skew-salted big-big equi-join
     "embedding_label_pca",  # grouped-map applyInPandas per-label PCA
+    "docs_tfidf_cosine_pairs",  # sparse inverted-index cosine similarity
     # --- last driver row r3 (oldest green rows; re-stamp) ---
     "text_language_id_trigram",
     "orders_profile",

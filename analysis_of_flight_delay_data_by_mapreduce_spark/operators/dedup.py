@@ -52,6 +52,7 @@ __all__ = [
     "duplicate_spans",
     "duplicate_span_profile",
     "strip_duplicate_spans",
+    "tfidf_cosine_pairs",
     "embedding_near_dup",
     "semantic_dedup",
     "semantic_matches_between",
@@ -1183,4 +1184,85 @@ def strip_duplicate_spans(
             F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    max_df: int = 100,
+    threshold: float = 0.3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs over word shingles — the
+    inverted-index counterpart of the dense-embedding ANN tier (no
+    vectors needed, exact scores, bag-of-shingles semantics).
+
+    Determinism is by CONSTRUCTION, not hope: the raw tf-idf weight (a
+    per-row double chain on int64 inputs, identical cross-engine like
+    ``tf_idf``'s) is quantized to an int64 at ``scale`` decimal-ish
+    precision, so dot products and squared norms are EXACT integer sums
+    (order-independent under any partitioning) and the final cosine is
+    one IEEE sqrt+multiply+divide chain on exact integers — bit-identical
+    in DuckDB. Quantization IS the operator's semantics (documented),
+    the price of an accumulation-order-free distributed float metric.
+
+    Scale posture mirrors ``ngram_jaccard_pairs``: candidate pairs come
+    only from shared postings; ``max_df`` drops stop-shingles whose
+    postings would square into the pair count while contributing ~zero
+    idf weight. Overflow bound: ``w <= tf_max * idf_max * scale``; at
+    scale=1000 a 10^4-token doc with idf<=35 keeps ``w^2`` sums far
+    inside int64 for any real corpus (w ~ 3.5e8 only if ONE shingle
+    fills the whole doc — then the postings list is trivial anyway).
+
+    Output: ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine
+    rounded to 6 places, pairs at ``cosine >= threshold``.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__term"),
+    )
+    tf = sh.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    kept = dfreq.filter(F.col("__df") <= max_df)
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    idf = (
+        F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    w = (
+        tf.join(kept, "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "__term",
+            F.round(F.col("__tf") * idf * F.lit(float(scale)), 0)
+            .cast("long")
+            .alias("__wi"),
+        )
+    )
+    w = scoped_persist(w)  # consumed by norms AND both join sides
+    norms = w.groupBy(id_col).agg(F.sum(F.col("__wi") * F.col("__wi")).alias("__n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "__term")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.__wi") * F.col("b.__wi")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__n2").alias("__na2"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__n2").alias("__nb2"))
+    cos = (
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__na2").cast("double")) * F.sqrt(F.col("__nb2").cast("double")))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
     )

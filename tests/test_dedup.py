@@ -441,3 +441,31 @@ def test_strip_duplicate_spans_cuts_all_sites(spark):
         3: (7, "totally different words without any overlap here"),
         4: (0, ""),
     }
+
+
+def test_tfidf_cosine_pairs_planted(spark):
+    """Identical docs score exactly 1.0; docs sharing no shingle produce
+    no pair; a pair sharing ~half its shingles lands strictly between."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1 -> cosine 1.0
+            (3, base + " eta theta iota kappa"),  # shares a prefix with 1/2
+            (4, "uno dos tres cuatro cinco seis"),  # disjoint
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", threshold=0.1
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.1 <= got[(1, 3)] < 1.0 and got[(1, 3)] == got[(2, 3)]
+    assert not any(4 in pair for pair in got)
