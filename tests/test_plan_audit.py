@@ -46,6 +46,9 @@ _SINGLE_PARTITION_OK = {
     # 1-row global aggregates (no grouping key → single reducer of
     # per-task partial rows; this is the correct plan for a scalar)
     "text_tfidf",            # corpus-N count feeding the idf broadcast
+    "docs_tfidf_cosine_pairs",  # the same corpus-N 1-row aggregate; it
+                                # prints once per consumer branch of the
+                                # (scoped-persisted) weight frame
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",  # 1-row global revenue MAX (argmax probe)
