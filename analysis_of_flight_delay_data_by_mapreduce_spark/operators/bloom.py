@@ -136,10 +136,19 @@ def _xx_h12(c: Column) -> tuple[Column, Column]:
     (FilterExec has no CSE) is cheaper than ANY let-binding scheme:
     projected columns get inlined back into the filter by
     PushDownPredicates, and HOF let-binding drops the whole stage to the
-    interpreted path (both measured 4-10x slower than flat xxhash)."""
+    interpreted path (both measured 4-10x slower than flat xxhash).
+
+    The key is normalized to STRING first: xxhash64 is type-sensitive
+    (``xxhash64(5 as int) != xxhash64(5 as bigint)``), so hashing native
+    types would silently produce FALSE NEGATIVES — dropped true matches
+    — whenever the build side's key type differs from the probe side's
+    (int dim key vs bigint fact key). String rendering is identical for
+    equal values of any integral/string type, restoring the module's
+    false-positives-only contract for the price of one cast."""
+    s = c.cast("string")
     return (
-        F.xxhash64(c).bitwiseAND(F.lit(_H_MASK)),
-        F.xxhash64(c, F.lit(1)).bitwiseAND(F.lit(_H_MASK)),
+        F.xxhash64(s).bitwiseAND(F.lit(_H_MASK)),
+        F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(_H_MASK)),
     )
 
 

@@ -1017,6 +1017,24 @@ def _gram_sites(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return toks.select(F.col(id_col), F.posexplode(grams).alias("pos", "__g"))
 
 
+def _dup_gram_hits(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_sites: int
+) -> DataFrame:
+    """Flagged gram positions ``(id, pos)``: every site whose gram occurs
+    at >= ``min_sites`` (doc, pos) sites corpus-wide — the shared front
+    half of the span GROUP/PROFILE/APPLY faces (one definition, so a
+    future predicate change — e.g. the 128-bit fingerprint swap — lands
+    in all three at once)."""
+    sites = _gram_sites(df, id_col, text_col, k)
+    dup = (
+        sites.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_sites)
+        .select("__g")
+    )
+    return sites.join(dup, "__g", "left_semi")
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -1047,14 +1065,7 @@ def duplicate_spans(
     """
     from pyspark.sql import Window as W
 
-    sites = _gram_sites(df, id_col, text_col, k)
-    dup = (
-        sites.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_sites)
-        .select("__g")
-    )
-    hits = sites.join(dup, "__g", "left_semi")
+    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites)
     w = W.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
     return (
@@ -1092,14 +1103,7 @@ def duplicate_span_profile(
         F.col(id_col),
         F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
     )
-    sites = _gram_sites(df, id_col, text_col, k)
-    dup = (
-        sites.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_sites)
-        .select("__g")
-    )
-    hits = sites.join(dup, "__g", "left_semi")
+    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites)
     w = W.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
     spans = isl.groupBy(id_col, "__grp").agg(
@@ -1148,14 +1152,7 @@ def strip_duplicate_spans(
     per-doc ``collect_list`` + sort — state bounded by single-document
     length, the same bound any per-doc text operator carries.
     """
-    sites = _gram_sites(df, id_col, text_col, k)
-    dup = (
-        sites.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_sites)
-        .select("__g")
-    )
-    hits = sites.join(dup, "__g", "left_semi")
+    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites)
     cut = hits.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(

@@ -145,8 +145,11 @@ def interval_join_binned(
     w_us = int(bin_seconds) * 1_000_000
 
     def bin_of(c: Column) -> Column:
+        # (us - pmod) is an exact multiple of w_us, and `div` is integer
+        # division — exact at ANY timestamp (a double `/` would lose
+        # exactness past 2^53 us, ~year 2255)
         us = F.unix_micros(c)
-        return ((us - F.pmod(us, F.lit(w_us))) / F.lit(w_us)).cast("long")
+        return F.call_function("div", us - F.pmod(us, F.lit(w_us)), F.lit(w_us))
 
     fb = facts.withColumn("__fbin", bin_of(F.col(ts_col)))
     iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
@@ -154,9 +157,13 @@ def interval_join_binned(
         F.explode(
             F.sequence(
                 bin_of(F.col(start_col)),
-                ((F.unix_micros(F.col(end_col)) - 1 - F.pmod(
-                    F.unix_micros(F.col(end_col)) - 1, F.lit(w_us)
-                )) / F.lit(w_us)).cast("long"),
+                F.call_function(
+                    "div",
+                    F.unix_micros(F.col(end_col))
+                    - 1
+                    - F.pmod(F.unix_micros(F.col(end_col)) - 1, F.lit(w_us)),
+                    F.lit(w_us),
+                ),
             )
         ),
     )

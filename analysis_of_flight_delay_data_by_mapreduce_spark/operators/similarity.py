@@ -475,7 +475,15 @@ def label_pca_summary(
     eigenvalues); the pytest twin recomputes from a pyarrow read and
     asserts exact equality.
     """
-    out_schema = f"{label_col} int, n long, top_eigval double, explained double"
+    # carry the label through at its INPUT type (string cluster names and
+    # bigint ids work the same as int labels — no int() coercion to crash
+    # in the executor on non-integer labels)
+    label_type = {
+        f.name: f.dataType.simpleString() for f in emb.schema.fields
+    }[label_col]
+    out_schema = (
+        f"{label_col} {label_type}, n long, top_eigval double, explained double"
+    )
 
     def pca(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -488,7 +496,7 @@ def label_pca_summary(
         return pd.DataFrame(
             [
                 {
-                    label_col: int(pdf[label_col].iloc[0]),
+                    label_col: pdf[label_col].iloc[0],
                     "n": n,
                     "top_eigval": round(top, 6),
                     "explained": round(top / tot, 6) if tot > 0 else 0.0,

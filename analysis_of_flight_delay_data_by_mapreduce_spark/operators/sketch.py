@@ -112,8 +112,23 @@ def _qbucket(x: Column) -> tuple[Column, Column]:
     The bucket covers ``[sub << shift, ((sub+1) << shift) - 1]``. All
     integer: ``bitlength`` is ``length(bin(x))`` (no leading zeros in
     either engine) and the shift is ANSI ``div`` by ``shiftleft(1, shift)``.
+
+    The non-negative contract is ENFORCED, not assumed: ``bin()`` of a
+    negative bigint is 64 chars (two's complement) and ``div`` truncates
+    toward zero, so a negative value would silently land in a bucket
+    that does not contain it — and DuckDB's floor-division oracle would
+    disagree. ``raise_error`` fails the job instead.
     """
-    xl = x.cast("bigint")
+    xl = F.when(
+        x.cast("bigint") >= 0, x.cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("qsketch requires non-negative values, got "),
+                x.cast("string"),
+            )
+        ).cast("bigint")
+    )
     shift = F.greatest(
         F.length(F.bin(xl)) - F.lit(QSKETCH_PREC + 1), F.lit(0)
     ).cast("int")

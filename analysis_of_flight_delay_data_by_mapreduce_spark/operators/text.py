@@ -623,7 +623,15 @@ def train_bpe_merges_parquet(
     for batch in ds.scanner(columns=[text_col], batch_size=1 << 14).to_batches():
         for txt in batch.column(0).to_pylist():
             if txt:
-                word_freq.update(t for t in re.split(r"\s+", txt) if t)
+                # Java's \s (the Spark face's split) is ASCII-only:
+                # [ \t\n\x0b\f\r]. Python's \s is Unicode-aware, so a
+                # bare re.split(r"\s+") would tokenize 'a\xa0b' as two
+                # tokens while the engine keeps one — the twin must use
+                # the exact Java class or "agree by construction" fails
+                # on Unicode whitespace.
+                word_freq.update(
+                    t for t in re.split("[ \t\n\x0b\f\r]+", txt) if t
+                )
 
     sym_freq = {
         " " + "".join(ch + " " for ch in w): n for w, n in word_freq.items()
@@ -632,7 +640,9 @@ def train_bpe_merges_parquet(
     for _ in range(n_merges):
         pair_counts: Counter = Counter()
         for s, n in sym_freq.items():
-            parts = s.split()
+            # split on the literal space separator only — a token may
+            # itself contain Unicode whitespace chars as symbols
+            parts = [p for p in s.split(" ") if p]
             for a, b in zip(parts, parts[1:]):
                 pair_counts[(a, b)] += n
         if not pair_counts:

@@ -5790,8 +5790,8 @@ def purchase_age_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = salted_join(purchases, first_seen, "user_id", "event_id", n_salts=8)
     diff = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("f"))
-    day = ((diff - F.pmod(diff, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
-        "long"
+    day = F.call_function(
+        "div", diff - F.pmod(diff, F.lit(86_400_000_000)), F.lit(86_400_000_000)
     )
     return j.select(day.alias("day_age"), "user_id").groupBy("day_age").agg(
         F.count(F.lit(1)).alias("n_purchases"),

@@ -125,7 +125,15 @@ def sessionize_stream(
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             sidx, start, last, n = state.get
-            state.remove()
+            # keep the per-key session COUNTER (an empty-session marker,
+            # no timeout armed): state.remove() here would restart
+            # session_idx at 1 when the key returns, emitting two
+            # different sessions under the same (key, session_idx) and
+            # breaking the documented batch-numbering parity. Price: 4
+            # longs per key ever seen (same retention class as
+            # running_user_totals); evict by restarting the query per
+            # window if the keyspace is unbounded.
+            state.update((sidx, None, None, 0))
             yield pd.DataFrame([close_row(key[0], sidx, start, last, n)])
             return
         sidx, start, last, n = state.get if state.exists else (0, None, None, 0)

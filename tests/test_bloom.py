@@ -95,3 +95,15 @@ def test_parameter_validation():
         bloom_might_contain(F.lit(1), [0, 0], 64)  # words/m mismatch
     m, k = bloom_params(1000)
     assert m == 16384 and k == 7
+
+
+def test_xxhash_bloom_is_key_type_insensitive(spark):
+    """xxhash64 hashes int and bigint encodings of the same value
+    differently; the filter must normalize, or an int-typed dim key
+    against a bigint fact key silently drops every true match."""
+    dim = spark.range(0, 200, 2).select(F.col("id").cast("int").alias("key"))
+    m, k = bloom_params(100)
+    words = bloom_build_spark(dim, "key", m, k)
+    facts = spark.range(0, 200)  # bigint ids
+    passed = bloom_prune(facts, "id", words, m, k)
+    assert passed.filter(F.col("id") % 2 == 0).count() == 100  # no FNs

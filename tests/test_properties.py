@@ -381,3 +381,21 @@ def test_qsketch_bucket_matches_python_model_high_octaves(spark, xs):
     for x in xs:
         shift, sub = bucket(int(x))
         assert (sub << shift) <= int(x) <= ((sub + 1) << shift) - 1
+
+
+def test_qsketch_rejects_negative_values(spark):
+    """bin() of a negative bigint is 64 chars and div truncates toward
+    zero, so a negative would silently mis-bucket (and diverge from the
+    DuckDB floor-division oracle) — the contract is enforced instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        qsketch_build,
+    )
+
+    df = spark.createDataFrame([(5,), (-1,)], "x long")
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+        qsketch_build(df, "x").collect()
+    assert "non-negative" in str(ei.value)

@@ -183,3 +183,31 @@ def test_upsert_ann_table_touches_only_batch_clusters(spark, tmp_path):
     # and the second increment over it follows the normal merge path
     upsert_ann_table(base.limit(7), fresh, centroids)
     assert spark.read.parquet(fresh).count() == batch.count() + 7
+
+
+def test_label_pca_summary_string_labels(spark):
+    """The label rides through at its input type — string cluster names
+    work, not just int labels."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        label_pca_summary,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [2.0, 0.0], "a"),
+        (3, [3.0, 0.0], "a"),
+        (4, [0.0, 5.0], "b"),
+        (5, [0.0, 7.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {
+        r.label: (r.n, r.top_eigval, r.explained)
+        for r in label_pca_summary(df, "label", "embedding", "vec_id").collect()
+    }
+    # group a varies only along dim 0: cov = var([1,2,3]) = 1.0, all of it
+    assert got["a"] == (3, 1.0, 1.0)
+    assert got["b"] == (2, 2.0, 1.0)

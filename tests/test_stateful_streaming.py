@@ -76,21 +76,28 @@ def test_sessionize_stream_matches_batch_summary(spark, tmp_path):
         return dt.datetime(2024, 1, 1, 10, minute, second)
 
     GAP = 60  # strictly-greater-than-60s silence opens a new session
-    # user 1: [0s..30s] then [5m..5m10s] then [20m]; user 2: [1m..1m59s]
+    # user 1: [0s..30s] then [5m..5m10s] then [20m]; user 2: [1m..1m59s];
+    # user 3: [0m10s] closed by TIMEOUT mid-stream (no u3 data in batch 2,
+    # watermark passes its deadline), then RETURNS at [30m] — its second
+    # session must be numbered 2, not 1 (the counter survives the
+    # timeout close)
     fix = [
         (1, ts(0, 0)), (1, ts(0, 30)),
         (1, ts(5, 0)), (1, ts(5, 10)),
         (1, ts(20, 0)),
         (2, ts(1, 0)), (2, ts(1, 59)),
         (2, ts(2, 59)),  # exactly 60s after 1:59 -> SAME session (> gap)
+        (3, ts(0, 10)),
+        (3, ts(30, 0)),
     ]
     batch1 = [r for r in fix if r[1] < ts(4)]
-    batch2 = [r for r in fix if r[1] >= ts(4)]
-    sentinel = [(999, ts(59, 0))]
+    batch2 = [r for r in fix if ts(4) <= r[1] < ts(25)]
+    batch3 = [r for r in fix if r[1] >= ts(25)] + [(999, ts(59, 0))]
+    batch4 = [(998, ts(59, 30))]  # advances the watermark: closes u3 s2
 
     land = str(tmp_path / "land")
     schema = "user_id long, ts timestamp"
-    for i, rows in enumerate([batch1, batch2, sentinel]):
+    for i, rows in enumerate([batch1, batch2, batch3, batch4]):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(land)
@@ -113,7 +120,9 @@ def test_sessionize_stream_matches_batch_summary(spark, tmp_path):
     q.stop()
     got = {
         (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.duration_s)
-        for r in spark.sql("SELECT * FROM sessions_out").collect()
+        for r in spark.sql(
+            "SELECT * FROM sessions_out WHERE user_id < 900"
+        ).collect()
     }
 
     batch = spark.createDataFrame(fix, schema)
@@ -137,7 +146,10 @@ def test_sessionize_stream_matches_batch_summary(spark, tmp_path):
         for r in session_summary(batch, "user_id", "ts", GAP).collect()
     }
     assert got == want
-    assert len(want) == 4  # fixture: u1 x3 sessions, u2 x1 (60s edge merged)
+    # u1 x3 sessions, u2 x1 (60s edge merged), u3 x2 (the second one
+    # proves the counter survived the mid-stream timeout close)
+    assert len(want) == 6
+    assert (3, 2) in got and (3, 1) in got
 
 
 def test_dedup_stream_stateful_first_seen(spark, tmp_path):
