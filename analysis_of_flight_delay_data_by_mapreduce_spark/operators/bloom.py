@@ -130,25 +130,33 @@ def bloom_might_contain(
 _H_MASK = (1 << 60) - 1  # 60-bit halves keep h1 + 6*h2 < 2^63 (no ANSI overflow)
 
 
-def _xx_h12(c: Column) -> tuple[Column, Column]:
-    """Two independent 60-bit hashes of ``c`` via native xxhash64 —
-    single-digit ns each under codegen, so re-evaluating them per probe
-    (FilterExec has no CSE) is cheaper than ANY let-binding scheme:
-    projected columns get inlined back into the filter by
-    PushDownPredicates, and HOF let-binding drops the whole stage to the
-    interpreted path (both measured 4-10x slower than flat xxhash).
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
-    The key is normalized to STRING first: xxhash64 is type-sensitive
-    (``xxhash64(5 as int) != xxhash64(5 as bigint)``), so hashing native
-    types would silently produce FALSE NEGATIVES — dropped true matches
-    — whenever the build side's key type differs from the probe side's
-    (int dim key vs bigint fact key). String rendering is identical for
-    equal values of any integral/string type, restoring the module's
-    false-positives-only contract for the price of one cast."""
-    s = c.cast("string")
+
+def _norm_key(df, col: str) -> Column:
+    """Normalize the key column to a type-stable hash input: xxhash64 is
+    TYPE-sensitive (``xxhash64(5 as int) != xxhash64(5 as bigint)``), so
+    hashing native types would silently produce FALSE NEGATIVES —
+    dropped true matches — whenever the build side's key type differs
+    from the probe side's (int dim key vs bigint fact key). Integral
+    types widen to bigint (free); everything else renders as string
+    (one cast — measured ~0.4s per 150k x 14 probes, so worth avoiding
+    for the common integer-key case)."""
+    t = dict(df.dtypes)[col]
+    return F.col(col).cast("bigint" if t in _INTEGRAL else "string")
+
+
+def _xx_h12(c: Column) -> tuple[Column, Column]:
+    """Two independent 60-bit hashes of a (normalized) key column via
+    native xxhash64 — single-digit ns each under codegen, so
+    re-evaluating them per probe (FilterExec has no CSE) is cheaper
+    than ANY let-binding scheme: projected columns get inlined back
+    into the filter by PushDownPredicates, and HOF let-binding drops
+    the whole stage to the interpreted path (both measured 4-10x
+    slower than flat xxhash)."""
     return (
-        F.xxhash64(s).bitwiseAND(F.lit(_H_MASK)),
-        F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(_H_MASK)),
+        F.xxhash64(c).bitwiseAND(F.lit(_H_MASK)),
+        F.xxhash64(c, F.lit(1)).bitwiseAND(F.lit(_H_MASK)),
     )
 
 
@@ -172,7 +180,7 @@ def bloom_build_spark(dim, key_col: str, m_bits: int, k: int = _MAX_K) -> list[i
         raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
     if not 1 <= k <= _MAX_K:
         raise ValueError(f"k must be in 1..{_MAX_K}, got {k}")
-    h1, h2 = _xx_h12(F.col(key_col))
+    h1, h2 = _xx_h12(_norm_key(dim, key_col))
     positions = F.explode(
         F.array(
             *[
@@ -214,7 +222,7 @@ def bloom_prune(
         raise ValueError("words length inconsistent with m_bits")
     if not 1 <= k <= _MAX_K:
         raise ValueError(f"k must be in 1..{_MAX_K}, got {k}")
-    h1, h2 = _xx_h12(F.col(col))
+    h1, h2 = _xx_h12(_norm_key(df, col))
     lw = F.lit(words).cast("array<bigint>")
     probes = []
     for i in range(k):
