@@ -58,6 +58,9 @@ _CHECK_FIRST = [
     "purchase_age_salted_join",  # skew-salted big-big equi-join
     "embedding_label_pca",  # grouped-map applyInPandas per-label PCA
     "docs_tfidf_cosine_pairs",  # sparse inverted-index cosine similarity
+    "docs_dsir_weights",  # DSIR importance weights, integer-exact literals
+    "docs_bpe_token_counts",  # trained-tokenizer per-doc subword counts
+    "orders_join_size_cms_check",  # CMS inner-product join-size estimate
     # --- last driver row r3 (oldest green rows; re-stamp) ---
     "text_language_id_trigram",
     "orders_profile",

@@ -1,0 +1,177 @@
+"""Data selection via importance resampling (DSIR, Xie et al.,
+NeurIPS 2023): score every raw document by how target-like its hashed
+n-gram profile is, then keep the top-weighted slice. This is the
+standard pretraining-data selection move — pick web documents whose
+token statistics look like a trusted target corpus — expressed
+Spark-first.
+
+Architecture (the trained-constants technique shared with the IVF /
+BM25 / BPE tiers):
+
+- The two bag-of-hashed-ngrams models (target vs raw) are TRAINED by an
+  engine-independent pyarrow twin (``train_dsir_logratios_parquet``) —
+  training reduces to two bucket-count vectors, a vocabulary-sized
+  artifact, so it does not belong in the per-document distributed plan.
+  In production the trainer reads a bounded sample; here it one-passes
+  the (tiny) corpus with a column-pruned scan.
+- The per-bucket log-likelihood ratios enter BOTH engines as
+  INTEGER-SCALED literals (``round(ln(p/q) * 1e6)`` as int64). A
+  document's importance weight is then an exact BIGINT dot product of
+  its bucket counts with the literal vector — no float summation
+  anywhere in the distributed plan, so the Spark/DuckDB hash check is
+  bit-exact with no measured-margin caveats (the same reason the
+  round-then-sum shape exists, applied to log-space scores).
+- Scoring is one narrow projection (tokenize → n-grams → md5 bucket →
+  literal lookup) + one partially-aggregated shuffle keyed on the
+  document id + a TakeOrderedAndProject top-k. At 100 TB: per-document
+  work is linear in the document, the shuffle carries one int64 per
+  document, and the top-k never materializes a global sort.
+
+Feature hashing uses md5 (not xxhash64) deliberately: the bucket
+assignment must reproduce outside the JVM — in the DuckDB oracle and in
+the pyarrow twin — and md5 is the one hash all three share bit-for-bit
+(the ``docs_hash_split`` convention). It runs once per n-gram inside a
+single whole-stage-codegen'd Project, the CSE-safe position (NEXT.md:
+the md5-in-Filter trap does not apply here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import word_tokens
+
+__all__ = [
+    "dsir_importance_topk",
+    "hashed_ngram_features",
+    "train_dsir_logratios_parquet",
+]
+
+#: Java's \s character class (ASCII-only), the tokenizer contract shared
+#: with operators.text / the BPE twin — Python's Unicode-aware \s would
+#: disagree on '\xa0'-style whitespace.
+_JAVA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def hashed_ngram_features(tokens: Column) -> Column:
+    """Unigram + adjacent-bigram feature strings of a tokens array
+    column. Bigrams are space-joined ("a b"), built over the
+    MATERIALIZED tokens column ref (never re-tokenizing inside the
+    lambda — the HOF no-CSE rule). ``sequence(1, 0)`` counts DOWN in
+    Spark, hence the explicit empty branch for 0/1-token documents."""
+    bigrams = F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tokens, i.cast("int")),
+                F.element_at(tokens, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return F.concat(tokens, bigrams)
+
+
+def _bucket(feature: Column, n_buckets: int) -> Column:
+    """md5-based feature bucket, bit-identical in Spark / DuckDB /
+    Python: first 8 hex digits as an integer, mod ``n_buckets``. The
+    8-digit prefix fits a BIGINT (max 0xFFFFFFFF), so no sign games."""
+    return (
+        F.conv(F.substring(F.md5(feature), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def dsir_importance_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    logratios: list[int],
+    k: int,
+) -> DataFrame:
+    """Top-``k`` documents by DSIR importance weight.
+
+    ``logratios[b]`` is the integer-scaled target/raw log-likelihood
+    ratio of hashed-n-gram bucket ``b`` (from
+    ``train_dsir_logratios_parquet``). The document weight is the exact
+    BIGINT sum of its features' bucket ratios; ties break by id
+    ascending so the ``LIMIT`` cutoff is engine-stable. Documents with
+    zero tokens have no features and are not selected (weight 0 of an
+    empty product is not evidence of target-likeness).
+
+    Output: ``(id_col, dsir_score)``, score descending.
+    """
+    lr = F.array(*[F.lit(int(v)).cast("bigint") for v in logratios])
+    toks = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    feats = toks.select(
+        id_col, F.explode(hashed_ngram_features(F.col("__toks"))).alias("__f")
+    )
+    scored = feats.select(
+        id_col,
+        F.element_at(
+            lr, (_bucket(F.col("__f"), len(logratios)) + 1).cast("int")
+        ).alias("__lr"),
+    )
+    agg = scored.groupBy(id_col).agg(F.sum("__lr").alias("dsir_score"))
+    return agg.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def train_dsir_logratios_parquet(
+    parquet_path: str,
+    text_col: str,
+    target_col: str,
+    target_value: str,
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+) -> list[int]:
+    """Engine-independent DSIR trainer (the pyarrow twin, same contract
+    as ``train_ivf_centroids_parquet`` / ``train_bpe_merges_parquet``):
+    hashed-n-gram bucket counts for the target slice
+    (``target_col == target_value``) and for the full raw corpus, both
+    add-one smoothed, returned as integer-scaled per-bucket
+    log-likelihood ratios ``round(ln(p_b / q_b) * scale)``.
+
+    The only floats live HERE, computed once driver-side; the
+    distributed plan and the SQL oracle consume the rounded integers.
+    Column-pruned scan of (text, target) only; memory is two
+    ``n_buckets`` vectors regardless of corpus size.
+    """
+    import pyarrow.dataset as pads
+
+    tgt = [0] * n_buckets
+    raw = [0] * n_buckets
+    ds = pads.dataset(parquet_path)
+    scanner = ds.scanner(columns=[text_col, target_col], batch_size=1 << 14)
+    for batch in scanner.to_batches():
+        texts = batch.column(0).to_pylist()
+        labels = batch.column(1).to_pylist()
+        for txt, lab in zip(texts, labels):
+            if not txt:
+                continue
+            toks = [t for t in re.split(_JAVA_WS, txt) if t]
+            feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            is_tgt = lab == target_value
+            for f in feats:
+                b = int(hashlib.md5(f.encode("utf-8")).hexdigest()[:8], 16) % (
+                    n_buckets
+                )
+                raw[b] += 1
+                if is_tgt:
+                    tgt[b] += 1
+    t_tot = sum(tgt) + n_buckets
+    r_tot = sum(raw) + n_buckets
+    return [
+        round(
+            (math.log((tgt[b] + 1) / t_tot) - math.log((raw[b] + 1) / r_tot))
+            * scale
+        )
+        for b in range(n_buckets)
+    ]

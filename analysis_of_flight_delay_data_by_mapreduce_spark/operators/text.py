@@ -555,6 +555,25 @@ def bpe_apply_merges(tok: Column, merges: list[tuple[str, str]]) -> Column:
     return s
 
 
+def bpe_token_count(tokens: Column, merges: list[tuple[str, str]]) -> Column:
+    """Per-document subword count under the TRAINED merges — the count a
+    packing/budgeting stage runs with the production tokenizer, vs the
+    ws/regex proxies above. ``tokens`` must be a materialized
+    array<string> column ref (the HOF no-CSE rule); the lambda does only
+    inherent per-element work (the merges are literals). Zero shuffle:
+    one whole-row projection, exact BIGINT. Empty docs count 0."""
+    per_tok = F.transform(
+        tokens,
+        lambda t: F.size(
+            F.filter(
+                F.split(F.trim(bpe_apply_merges(t, merges)), " "),
+                lambda x: x != "",
+            )
+        ).cast("bigint"),
+    )
+    return F.aggregate(per_tok, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str,

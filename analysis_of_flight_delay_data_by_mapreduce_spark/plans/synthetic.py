@@ -5869,3 +5869,180 @@ def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         docs, "doc_id", "text", shingle_k=3, max_df=100, threshold=0.3
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-weighted data selection (Xie et al., NeurIPS 2023 —
+# operators.selection): score raw documents by the target/raw
+# log-likelihood ratio of their hashed n-gram profile, keep the top
+# slice. Target = the English slice (lang='en'), raw = the full corpus.
+# The two bucket-count models train in the pyarrow twin and enter both
+# engines as integer-scaled literals, so the per-document weight is an
+# exact BIGINT dot product — bit-replicable, no float summation, no
+# measured-margin caveats. md5 bucketing (not xxhash64) because the
+# bucket assignment must reproduce in DuckDB and the twin.
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 64
+_DSIR_K = 100
+_dsir_lr_cache: dict[str, list] = {}
+
+
+def _dsir_logratios_cached(sf_dir: str) -> list[int]:
+    if sf_dir not in _dsir_lr_cache:
+        from ..operators.selection import train_dsir_logratios_parquet
+
+        _dsir_lr_cache[sf_dir] = train_dsir_logratios_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            text_col="text",
+            target_col="lang",
+            target_value="en",
+            n_buckets=_DSIR_BUCKETS,
+        )
+    return _dsir_lr_cache[sf_dir]
+
+
+def _docs_dsir_oracle(sf_dir: str) -> str:
+    lr = _dsir_logratios_cached(sf_dir)
+    lr_list = "[" + ", ".join(str(int(v)) for v in lr) + "]"
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(tk || CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(1, len(tk)),
+                         i -> tk[i] || ' ' || tk[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS f
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+             ({lr_list})[CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                              % {_DSIR_BUCKETS} AS INT) + 1] AS lr
+      FROM feats
+    )
+    SELECT doc_id, CAST(SUM(lr) AS BIGINT) AS dsir_score
+    FROM scored GROUP BY doc_id
+    ORDER BY dsir_score DESC, doc_id ASC LIMIT {_DSIR_K}
+    """
+
+
+@register("docs_dsir_weights", oracle=_docs_dsir_oracle)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by DSIR importance weight (target = lang='en').
+    One narrow feature projection + one partial-agg shuffle on doc_id +
+    TakeOrderedAndProject — the pretraining-data-selection pass."""
+    from ..operators.selection import dsir_importance_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_topk(
+        docs, "doc_id", "text", _dsir_logratios_cached(sf_dir), k=_DSIR_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained-tokenizer token counting: per-document subword counts under
+# the 8 learned BPE merges (the counting every packing/budgeting stage
+# runs before training). Zero shuffle — one whole-row HOF projection;
+# the per-token merge application is inherent per-element work (the
+# merges are literals, nothing row-level recomputes inside the lambda).
+# All integer/string → bit-replicable.
+# ---------------------------------------------------------------------------
+def _docs_bpe_token_counts_oracle(sf_dir: str) -> str:
+    merges = _bpe_merges_cached(sf_dir)
+    applied = r"' ' || regexp_replace(t, '(.)', '\1 ', 'g')"
+    for a, b in merges:
+        applied = (
+            f"replace({applied}, ' {_sq(a)} {_sq(b)} ', ' {_sq(a)}{_sq(b)} ')"
+        )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(tk,
+                t -> len(list_filter(string_split(trim({applied}), ' '),
+                                     x -> x <> '')))), 0) AS BIGINT)
+             AS n_bpe_tokens
+    FROM toks
+    """
+
+
+@register("docs_bpe_token_counts", oracle=_docs_bpe_token_counts_oracle)
+def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("__toks"))
+    return toks.select(
+        "doc_id",
+        bpe_token_count(F.col("__toks"), _bpe_merges_cached(sf_dir)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation (Cormode-Muthukrishnan §4.2):
+# estimate |orders ⋈ lineitem| from two depth×width grids instead of
+# executing the join — the shuffle-sizing primitive. The check face
+# asserts the two guarantees against the oracle-replicated exact join
+# size: est ≥ true ALWAYS (collision cross terms are non-negative) and
+# est ≤ true + (e/width)·N₁·N₂ w.p. 1−e^{−depth}.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_join_size_cms_check",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders),
+    n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem FROM lineitem)
+    SELECT exact_join_size, n_orders, n_lineitem,
+           TRUE AS lower_ok, TRUE AS upper_ok
+    FROM ex, n1, n2
+    """,
+)
+def orders_join_size_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.sketch import cms_build, cms_inner_product
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    est = cms_inner_product(
+        cms_build(o, "k", depth=4, width=1024),
+        cms_build(li, "k", depth=4, width=1024),
+    )
+    exact = o.join(li, "k").agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    n1 = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    n2 = li.agg(F.count(F.lit(1)).alias("n_lineitem"))
+    bound = (
+        F.lit(math.e / 1024.0)
+        * F.col("n_orders").cast("double")
+        * F.col("n_lineitem").cast("double")
+    )
+    # every join side below is a 1-row aggregate
+    return (
+        exact.join(est)
+        .join(n1)
+        .join(n2)
+        .select(
+            "exact_join_size",
+            "n_orders",
+            "n_lineitem",
+            (F.col("est") >= F.col("exact_join_size")).alias("lower_ok"),
+            (
+                F.col("est").cast("double")
+                <= F.col("exact_join_size").cast("double") + bound
+            ).alias("upper_ok"),
+        )
+    )

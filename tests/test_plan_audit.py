@@ -43,6 +43,9 @@ _SINGLE_PARTITION_OK = {
                                     # production answer is the bracket —
                                     # see the query docstring)
     "ann_ivf_recall_check",
+    "orders_join_size_cms_check",  # four 1-row aggregates (exact join
+                                   # count, two side counts, min-over-4-
+                                   # seeds estimate) joined nested-loop
     # 1-row global aggregates (no grouping key → single reducer of
     # per-task partial rows; this is the correct plan for a scalar)
     "text_tfidf",            # corpus-N count feeding the idf broadcast

@@ -1,0 +1,119 @@
+"""operators.selection — DSIR importance weighting (plus the CMS
+inner-product join-size estimator it ships alongside in the sketch
+tier). The distributed score must equal an independent pure-Python
+replica bit-for-bit (everything is integer), the trainer must be
+deterministic, and planted target-like documents must outrank
+off-target ones."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+    dsir_importance_topk,
+    train_dsir_logratios_parquet,
+)
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+    cms_build,
+    cms_inner_product,
+)
+
+from conftest import SF_DIR
+import os
+
+DOCS = os.path.join(SF_DIR, "documents.parquet")
+
+
+def _py_features(text: str) -> list[str]:
+    toks = [t for t in re.split("[ \t\n\x0b\f\r]+", text) if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _py_score(text: str, lr: list[int]) -> int:
+    return sum(
+        lr[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % len(lr)]
+        for f in _py_features(text)
+    )
+
+
+def test_trainer_deterministic_and_shaped():
+    a = train_dsir_logratios_parquet(DOCS, "text", "lang", "en", n_buckets=64)
+    b = train_dsir_logratios_parquet(DOCS, "text", "lang", "en", n_buckets=64)
+    assert a == b
+    assert len(a) == 64 and all(isinstance(v, int) for v in a)
+    # the target slice is a strict subset of raw, so ratios can't all be 0
+    assert any(v != 0 for v in a)
+
+
+def test_topk_scores_match_python_replica(spark):
+    lr = train_dsir_logratios_parquet(DOCS, "text", "lang", "en", n_buckets=64)
+    docs = spark.read.parquet(DOCS)
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_topk(docs, "doc_id", "text", lr, k=10_000)
+        .collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        feats = _py_features(row["text"] or "")
+        if not feats:
+            assert row["doc_id"] not in got
+        else:
+            assert got[row["doc_id"]] == _py_score(row["text"], lr)
+
+
+def test_planted_target_docs_outrank(spark):
+    # target model trained where 'alpha beta' dominates; raw adds noise
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta", "tgt"),
+            (2, "alpha beta alpha beta", "tgt"),
+            (3, "zq xv zq xv zq xv zq xv", "raw"),
+            (4, "", "raw"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "docs.parquet")
+        df.write.parquet(p)
+        lr = train_dsir_logratios_parquet(p, "text", "lang", "tgt", n_buckets=16)
+        top = dsir_importance_topk(
+            spark.read.parquet(p), "doc_id", "text", lr, k=4
+        ).collect()
+    ids = [r["doc_id"] for r in top]
+    # empty doc has no features → absent; target-like docs lead
+    assert 4 not in ids
+    assert set(ids[:2]) == {1, 2}
+    assert ids[-1] == 3
+    scores = [r["dsir_score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cms_inner_product_bounds(spark):
+    # two key multisets with known join size Σ f_A(k)·f_B(k)
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 3, 3, 3]], "k long")
+    b = spark.createDataFrame([(k,) for k in [1, 3, 3, 4]], "k long")
+    true_join = 2 * 1 + 3 * 2  # k=1: 2·1, k=3: 3·2
+    est = cms_inner_product(
+        cms_build(a, "k", depth=4, width=1024),
+        cms_build(b, "k", depth=4, width=1024),
+    ).collect()[0]["est"]
+    assert est >= true_join
+    assert est <= true_join + math.e / 1024 * 6 * 4 + 1  # ε·N₁·N₂ slack
+
+
+def test_cms_inner_product_exact_at_wide_grid(spark):
+    # width >> distinct keys: collisions are overwhelmingly unlikely at
+    # width 1<<16 with 3 keys, so the estimate is exactly the join size
+    a = spark.createDataFrame([(k,) for k in [10, 20, 20]], "k long")
+    b = spark.createDataFrame([(k,) for k in [20, 20, 30]], "k long")
+    est = cms_inner_product(
+        cms_build(a, "k", depth=4, width=1 << 16),
+        cms_build(b, "k", depth=4, width=1 << 16),
+    ).collect()[0]["est"]
+    assert est == 4

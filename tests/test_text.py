@@ -307,3 +307,40 @@ def test_bpe_twin_consistent_with_engine_scoring(spark):
     for k in (0, 2, 4):
         top = bpe_pair_counts(docs, "text", merges[:k], k=1).first()
         assert tuple(top.pair.split(" ")) == merges[k], (k, top.pair, merges[k])
+
+
+def test_bpe_token_count_matches_python_replica(spark):
+    """Per-doc trained-subword counts equal a pure-Python application of
+    the same space-delimited replace rule; empty/whitespace docs count 0
+    (the aggregate's zero seed, not a NULL)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.functions import (
+        word_tokens,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    merges = [("a", "a"), ("aa", "b")]
+
+    def py_count(text: str) -> int:
+        import re
+
+        n = 0
+        for tok in (t for t in re.split("[ \t\n\x0b\f\r]+", text) if t):
+            s = " " + "".join(c + " " for c in tok)
+            for a, b in merges:
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+            n += len([p for p in s.split(" ") if p])
+        return n
+
+    rows = [("aaab aa", ), ("", ), ("   ", ), ("xyz aaaa", )]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        "text",
+        bpe_token_count(word_tokens(F.col("text")), merges).alias("n"),
+    ).collect()
+    for r in got:
+        assert r.n == py_count(r.text), r.text
+    assert {r.text: r.n for r in got}[""] == 0
