@@ -10,7 +10,8 @@ fails this test). The 9× threshold leaves >2× headroom for timer noise on
 a loaded box while still failing quadratic forms by construction.
 
 Ops covered: rolling_fingerprint, chunk_documents, bm25_scores,
-quality_features, scrub_pii, CMS build (explode + grid aggregation).
+quality_features, scrub_pii, CMS build (explode + grid aggregation),
+DSIR importance scoring, trained-BPE token counting.
 """
 from __future__ import annotations
 
@@ -20,9 +21,13 @@ import pytest
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+    dsir_importance_topk,
+)
 from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import cms_build
 from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
     bm25_scores,
+    bpe_token_count,
     chunk_documents,
     quality_features,
     rolling_fingerprint,
@@ -86,6 +91,17 @@ OPS = {
     "scrub_pii": lambda d: scrub_pii(d, "text"),
     "cms_build": lambda d: cms_build(
         d.select(F.explode(word_tokens(F.col("text"))).alias("tok")), "tok"
+    ),
+    "dsir_importance": lambda d: dsir_importance_topk(
+        d, "doc_id", "text", list(range(-32, 32)), k=N_DOCS
+    ),
+    "bpe_token_count": lambda d: d.select(
+        "doc_id", word_tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        bpe_token_count(
+            F.col("__toks"), [("t", "o"), ("to", "k"), ("1", "2")]
+        ).alias("n"),
     ),
 }
 
