@@ -571,7 +571,12 @@ def bpe_token_count(tokens: Column, merges: list[tuple[str, str]]) -> Column:
             )
         ).cast("bigint"),
     )
-    return F.aggregate(per_tok, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # NULL text → NULL tokens array → NULL fold; coalesce to 0 so the
+    # NULL-document face matches the SQL twin's COALESCE(list_sum…, 0)
+    return F.coalesce(
+        F.aggregate(per_tok, F.lit(0).cast("bigint"), lambda a, x: a + x),
+        F.lit(0).cast("bigint"),
+    )
 
 
 def bpe_pair_counts(

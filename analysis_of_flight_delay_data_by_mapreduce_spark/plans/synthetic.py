@@ -5912,20 +5912,19 @@ def _docs_dsir_oracle(sf_dir: str) -> str:
     ),
     feats AS (
       SELECT doc_id,
-             unnest(tk || CASE WHEN len(tk) >= 2
-                    THEN list_transform(range(1, len(tk)),
-                         i -> tk[i] || ' ' || tk[i + 1])
-                    ELSE CAST([] AS VARCHAR[]) END) AS f
+             tk || CASE WHEN len(tk) >= 2
+                   THEN list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS fs
       FROM toks
-    ),
-    scored AS (
-      SELECT doc_id,
-             ({lr_list})[CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
-                              % {_DSIR_BUCKETS} AS INT) + 1] AS lr
-      FROM feats
     )
-    SELECT doc_id, CAST(SUM(lr) AS BIGINT) AS dsir_score
-    FROM scored GROUP BY doc_id
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(fs,
+                f -> ({lr_list})[CAST(CAST(('0x' || substr(md5(f), 1, 8))
+                                           AS BIGINT)
+                                      % {_DSIR_BUCKETS} AS INT) + 1])), 0)
+             AS BIGINT) AS dsir_score
+    FROM feats
     ORDER BY dsir_score DESC, doc_id ASC LIMIT {_DSIR_K}
     """
 
@@ -5933,8 +5932,10 @@ def _docs_dsir_oracle(sf_dir: str) -> str:
 @register("docs_dsir_weights", oracle=_docs_dsir_oracle)
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 documents by DSIR importance weight (target = lang='en').
-    One narrow feature projection + one partial-agg shuffle on doc_id +
-    TakeOrderedAndProject — the pretraining-data-selection pass."""
+    One narrow ZERO-SHUFFLE feature-fold projection +
+    TakeOrderedAndProject — the pretraining-data-selection pass. The
+    oracle folds per row the same way (zero-feature docs score 0 in
+    both engines)."""
     from ..operators.selection import dsir_importance_topk
 
     docs = _t(spark, sf_dir, "documents")

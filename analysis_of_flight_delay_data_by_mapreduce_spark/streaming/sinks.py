@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stream_daily_type_counts_upsert",
     "stream_daily_quantile_grid_upsert",
+    "stream_daily_cms_upsert",
 ]
 
 
@@ -107,6 +108,73 @@ def stream_daily_quantile_grid_upsert(
         if batch_df.isEmpty():
             return
         upsert_partitions(batch_df, path, ["day", "shift", "sub"])
+
+    (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_daily_cms_upsert(
+    docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    watermark: str = "1 day",
+) -> None:
+    """Maintain a day-partitioned COUNT-MIN grid over a token stream,
+    exactly-once per partition — the streaming face of
+    ``operators.sketch.cms_build``, completing the mergeable-sketch
+    streaming trio next to the count and quantile-grid sinks.
+
+    Each micro-batch updates only the (day, seed, cell) cells its tokens
+    touched (update mode + watermark keeps state bounded at ≤
+    depth·width live cells per open day); the sink partition key equals
+    the FULL aggregation key, so the dynamic partition overwrite is
+    idempotent under epoch replay. The directory count is bounded by the
+    grid (≤ depth·width per day), not the data — a table-format MERGE
+    collapses the layout when available. Any window's term-frequency
+    question is then ``cms_merge`` + ``cms_estimate`` over the day grids
+    — no raw-token rescan, the same 100 TB rollup pattern as the batch
+    tier.
+    """
+    from ..functions import word_tokens
+    from ..operators.sketch import _cell
+    from ..sources.sinks import upsert_partitions
+
+    # one generator per select clause: tokens first, then the seed family
+    toks = docs.select(
+        F.col(ts_col),
+        F.explode(word_tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        ts_col,
+        "__tok",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+    )
+    agg = (
+        toks.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, "1 day").alias("__w"),
+            "seed",
+            _cell(F.col("seed"), F.col("__tok"), width).alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.to_date(F.col("__w.start")).alias("day"), "seed", "cell", "cnt"
+        )
+    )
+
+    def _upsert(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitions(batch_df, path, ["day", "seed", "cell"])
 
     (
         agg.writeStream.outputMode("update")

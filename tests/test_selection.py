@@ -58,11 +58,7 @@ def test_topk_scores_match_python_replica(spark):
         .collect()
     }
     for row in docs.select("doc_id", "text").collect():
-        feats = _py_features(row["text"] or "")
-        if not feats:
-            assert row["doc_id"] not in got
-        else:
-            assert got[row["doc_id"]] == _py_score(row["text"], lr)
+        assert got[row["doc_id"]] == _py_score(row["text"] or "", lr)
 
 
 def test_planted_target_docs_outrank(spark):
@@ -86,12 +82,14 @@ def test_planted_target_docs_outrank(spark):
             spark.read.parquet(p), "doc_id", "text", lr, k=4
         ).collect()
     ids = [r["doc_id"] for r in top]
-    # empty doc has no features → absent; target-like docs lead
-    assert 4 not in ids
+    scores = {r["doc_id"]: r["dsir_score"] for r in top}
+    # target-like docs lead; the empty doc scores exactly 0 (neutral
+    # evidence), ranking above the off-target doc's negative score
     assert set(ids[:2]) == {1, 2}
-    assert ids[-1] == 3
-    scores = [r["dsir_score"] for r in top]
-    assert scores == sorted(scores, reverse=True)
+    assert ids[2:] == [4, 3]
+    assert scores[4] == 0 and scores[3] < 0 and scores[1] > 0
+    vals = [r["dsir_score"] for r in top]
+    assert vals == sorted(vals, reverse=True)
 
 
 def test_cms_inner_product_bounds(spark):
@@ -117,3 +115,35 @@ def test_cms_inner_product_exact_at_wide_grid(spark):
         cms_build(b, "k", depth=4, width=1 << 16),
     ).collect()[0]["est"]
     assert est == 4
+
+
+def test_scorer_faces_agree_and_select_guards(spark):
+    """The zero-shuffle fold face and the explode+groupBy face produce
+    identical scores for every featured doc (the agg face simply omits
+    zero-feature docs), and dsir_select refuses a non-positive threshold
+    (where the two faces would disagree)."""
+    import pytest as _pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        dsir_scores,
+        dsir_scores_agg,
+        dsir_select,
+    )
+
+    lr = train_dsir_logratios_parquet(DOCS, "text", "lang", "en", n_buckets=64)
+    docs = spark.read.parquet(DOCS)
+    fold = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(docs, "doc_id", "text", lr).collect()
+    }
+    agg = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores_agg(docs, "doc_id", "text", lr).collect()
+    }
+    assert len(fold) == docs.count()
+    for k, v in agg.items():
+        assert fold[k] == v
+    assert all(fold[k] == 0 for k in set(fold) - set(agg))
+
+    with _pytest.raises(ValueError, match="min_score must be positive"):
+        dsir_select(docs, "doc_id", "text", lr, 0)

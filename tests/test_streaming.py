@@ -583,3 +583,135 @@ def test_stream_quantile_grid_upsert_matches_batch_and_is_idempotent(
 
     # full replay from a fresh checkpoint: same partitions, same values
     assert run("ckpt2") == want
+
+
+def test_stream_cms_upsert_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The streamed day-partitioned count-min grid equals the batch
+    per-day CMS cell-for-cell, and a full replay from a fresh checkpoint
+    rewrites the same partitions (exactly-once per cell)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.functions import word_tokens
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import _cell
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.sinks import (
+        stream_daily_cms_upsert,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # documents carry no event time: attach a deterministic 2-day ts
+    docs = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .withColumn(
+            "ts",
+            F.to_timestamp(
+                F.lit("2024-01-01 00:00:00")
+            ) + F.make_interval(days=(F.col("doc_id") % 2).cast("int")),
+        )
+    )
+    land = str(tmp_path / "land")
+    docs.coalesce(1).write.parquet(land)
+    out = str(tmp_path / "grid")
+
+    def run(ckpt):
+        stream_daily_cms_upsert(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land),
+            out,
+            str(tmp_path / ckpt),
+            depth=2,
+            width=64,
+        )
+        return {
+            (str(r.day), r.seed, r.cell): r.cnt
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = run("ckpt1")
+
+    toks = docs.select(
+        "ts", F.explode(word_tokens(F.col("text"))).alias("__tok")
+    ).select(
+        "ts", "__tok", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("seed")
+    )
+    want = {
+        (str(r.day), r.seed, r.cell): r.cnt
+        for r in toks.groupBy(
+            F.to_date("ts").alias("day"),
+            "seed",
+            _cell(F.col("seed"), F.col("__tok"), 64).alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    assert len({d for d, _, _ in got}) == 2  # both days present
+    assert run("ckpt2") == want  # replay: same partitions, same values
+
+
+def test_stream_dsir_select_matches_batch(spark, tmp_path):
+    """Streaming DSIR selection == the batch dsir_select, including
+    across a micro-batch split (per-document decisions against frozen
+    trained literals), and epoch replay does not duplicate selections."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        dsir_select,
+        dsir_scores,
+        train_dsir_logratios_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.selection import (
+        run_dsir_select_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    lr = train_dsir_logratios_parquet(
+        f"{sf_dir}/documents.parquet", "text", "lang", "en"
+    )
+    # a median positive score: selection is non-empty and non-total
+    pos = sorted(
+        r.dsir_score
+        for r in dsir_scores(docs, "doc_id", "text", lr).collect()
+        if r.dsir_score > 0
+    )
+    assert pos, "fixture sanity: some docs must score positive"
+    thr = pos[len(pos) // 2]
+
+    want = {
+        (r.doc_id, r.dsir_score)
+        for r in dsir_select(docs, "doc_id", "text", lr, thr)
+        .select("doc_id", "dsir_score")
+        .collect()
+    }
+    assert 0 < len(want) < docs.count()
+
+    land = str(tmp_path / "land")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(land)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    out = str(tmp_path / "sel")
+
+    def run(ckpt):
+        q = run_dsir_select_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land),
+            lr,
+            thr,
+            out,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        return {
+            (r.doc_id, r.dsir_score)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "dsir_score")
+            .collect()
+        }
+
+    assert run("ckpt1") == want
+    replayed = run("ckpt2")  # fresh checkpoint replays every epoch
+    assert replayed == want
+    assert spark.read.parquet(out).count() == len(want)

@@ -335,12 +335,13 @@ def test_bpe_token_count_matches_python_replica(spark):
             n += len([p for p in s.split(" ") if p])
         return n
 
-    rows = [("aaab aa", ), ("", ), ("   ", ), ("xyz aaaa", )]
+    rows = [("aaab aa", ), ("", ), ("   ", ), ("xyz aaaa", ), (None, )]
     df = spark.createDataFrame(rows, "text string")
     got = df.select(
         "text",
         bpe_token_count(word_tokens(F.col("text")), merges).alias("n"),
     ).collect()
     for r in got:
-        assert r.n == py_count(r.text), r.text
+        assert r.n == py_count(r.text or ""), r.text
     assert {r.text: r.n for r in got}[""] == 0
+    assert {r.text: r.n for r in got}[None] == 0  # matches the SQL twin
