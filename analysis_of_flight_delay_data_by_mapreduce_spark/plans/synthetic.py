@@ -6047,3 +6047,89 @@ def orders_join_size_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("upper_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the customer↔supplier co-purchase graph
+# (operators.graph.pagerank_integer): authority scoring — the iterative
+# graph tier beyond connected components. Every step is BIGINT floor
+# division (rank shares, damping, teleport base), so five unrolled
+# iterations replicate bit-for-bit in SQL with no float anywhere — the
+# round-then-sum exactness move applied to random-surfer mass.
+# ---------------------------------------------------------------------------
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST((SELECT base FROM params)
+                  + (85 * COALESCE(c.inm, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS inm
+        FROM {prev} r
+        JOIN deg d ON r.node = d.node
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+      ) c ON n.node = c.node
+    )"""
+
+
+_PAGERANK_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src,
+             's' || CAST(s AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    params AS (
+      SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS r0,
+             CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS base
+      FROM nodes
+    ),
+    r0 AS (SELECT node, (SELECT r0 FROM params) AS rank FROM nodes),"""
+    + ",".join(
+        _pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(5)
+    )
+    + """
+    SELECT CAST(substr(node, 2) AS BIGINT) AS s_suppkey,
+           rank AS authority
+    FROM r5 WHERE node LIKE 's%'
+    """
+)
+
+
+@register("supplier_authority_pagerank", oracle=_PAGERANK_ORACLE)
+def supplier_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier authority via 5 integer-PageRank iterations on the
+    undirected customer↔supplier co-purchase graph (edges = distinct
+    (custkey, suppkey) pairs through orders⋈lineitem, both directions).
+    Node ids are type-prefixed strings ('c…'/'s…') since the two key
+    spaces overlap. One equi-join + one partial-agg shuffle per
+    iteration over a static edge table — O(iters) shuffles."""
+    from ..operators.graph import pagerank_integer
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    ranks = pagerank_integer(edges, iters=5)
+    return ranks.filter(F.col("node").startswith("s")).select(
+        F.expr("substring(node, 2)").cast("bigint").alias("s_suppkey"),
+        F.col("rank").alias("authority"),
+    )

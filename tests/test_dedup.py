@@ -469,3 +469,46 @@ def test_tfidf_cosine_pairs_planted(spark):
     assert got[(1, 2)] == 1.0
     assert 0.1 <= got[(1, 3)] < 1.0 and got[(1, 3)] == got[(2, 3)]
     assert not any(4 in pair for pair in got)
+
+
+def test_pagerank_integer_matches_python_replica(spark):
+    """Five integer-PageRank iterations equal a pure-Python replica of
+    the same floor-division recurrence bit-for-bit, on a graph with
+    asymmetric degrees; a symmetric 2-cycle splits mass equally; total
+    mass stays within iters·|V| floor-loss units of scale."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    # undirected star 1-2, 1-3, 1-4 plus edge 2-3 (hub + triangle side)
+    und = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank_integer(edges, iters=5).collect()
+    }
+
+    SCALE, D, IT = 10**12, 85, 5
+    adj: dict[int, list[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    r = {v: SCALE // n for v in adj}
+    base = ((100 - D) * (SCALE // n)) // 100
+    for _ in range(IT):
+        nxt = {}
+        for v in adj:
+            inm = sum(r[u] // len(adj[u]) for u in adj if v in adj[u])
+            nxt[v] = base + (D * inm) // 100
+        r = nxt
+    assert got == r
+    assert got[1] == max(got.values())  # the hub is the authority
+    assert abs(sum(got.values()) - SCALE) <= IT * n * 100
+
+    two = spark.createDataFrame([(7, 8), (8, 7)], "src long, dst long")
+    pair = {r.node: r.rank for r in pagerank_integer(two, iters=3).collect()}
+    assert pair[7] == pair[8]

@@ -46,6 +46,9 @@ _SINGLE_PARTITION_OK = {
     "orders_join_size_cms_check",  # four 1-row aggregates (exact join
                                    # count, two side counts, min-over-4-
                                    # seeds estimate) joined nested-loop
+    "supplier_authority_pagerank",  # the 1-row graph-size params
+                                    # aggregate (r0/base), broadcast into
+                                    # each iteration — node-bounded
     # 1-row global aggregates (no grouping key → single reducer of
     # per-task partial rows; this is the correct plan for a scalar)
     "text_tfidf",            # corpus-N count feeding the idf broadcast
