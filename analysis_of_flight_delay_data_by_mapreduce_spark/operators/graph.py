@@ -65,13 +65,15 @@ def pagerank_integer(
     Every node in ``edges`` has outdeg ≥ 1 by construction when the
     graph is undirected, so no dangling-mass term is needed — callers
     with genuinely dangling nodes should add self-loops or both
-    directions. Scale posture: the edge table is static across
-    iterations; each of the ``iters`` rounds is one broadcast-free
-    equi-join on ``src`` + one partial-aggregated shuffle on ``dst`` —
-    O(iters) shuffles total, lineage is linear (each rank frame consumed
-    exactly once, no recompute blowup). On a real cluster, bucket the
-    edge table by ``src`` so every round's join is Exchange-free on the
-    big side, and checkpoint ranks every few rounds.
+    directions. Scale posture: the edge table and the aggregated degree
+    vector are cached once; each of the ``iters`` rounds broadcasts the
+    node-sized rank vector into the edge join, so the edge table is
+    never re-shuffled — the only per-round exchange is the tiny
+    post-partial-agg one on ``dst``. Lineage is linear (each rank frame
+    consumed exactly once, no recompute blowup). This is the
+    nodes-fit-in-memory regime; for web-scale node sets flip to the
+    shuffle formulation (bucket the edge table by ``src``, shuffle the
+    rank vector, checkpoint ranks every few rounds).
 
     Output: ``(node, rank)``, one row per node, ranks summing to ≈scale.
     """
@@ -79,8 +81,7 @@ def pagerank_integer(
 
     # the edge list is consumed by every iteration plus outdeg/nodes —
     # materialize it once (it is often itself a join+distinct, which
-    # would otherwise replay ~iters+2 times; measured 10s → 1.4s at
-    # sf0.1 on the co-purchase graph), and likewise the node set
+    # would otherwise replay ~iters+2 times), and likewise the node set
     e = scoped_persist(
         edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     )
@@ -112,7 +113,8 @@ def pagerank_integer(
         # rank and degree vectors are node-sized; broadcasting them keeps
         # the edge table exchange-FREE every round (one tiny
         # post-partial-agg shuffle per iteration instead of re-shuffling
-        # |E| rows on src — measured 13s → 2.6s at sf0.1). Valid while
+        # |E| rows on src — both moves together measured ~10s → ~2s warm
+        # at sf0.1 on the 1.2M-edge co-purchase graph). Valid while
         # the node set fits a broadcast (here 16k; web-scale graphs flip
         # to the shuffle formulation: bucket e by __src instead).
         share = ranks.join(F.broadcast(outdeg), "node").select(
