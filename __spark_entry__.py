@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "docs_bpe_token_counts",  # trained-tokenizer per-doc subword counts
     "orders_join_size_cms_check",  # CMS inner-product join-size estimate
     "supplier_authority_pagerank",  # integer PageRank, 5 exact iterations
+    "docs_dsir_selected_mixture",  # DSIR selection's mixture audit face
     # --- last driver row r3 (oldest green rows; re-stamp) ---
     "text_language_id_trigram",
     "orders_profile",

@@ -6133,3 +6133,49 @@ def supplier_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(node, 2)").cast("bigint").alias("s_suppkey"),
         F.col("rank").alias("authority"),
     )
+
+
+def _docs_dsir_mixture_oracle(sf_dir: str) -> str:
+    lr = _dsir_logratios_cached(sf_dir)
+    lr_list = "[" + ", ".join(str(int(v)) for v in lr) + "]"
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             tk || CASE WHEN len(tk) >= 2
+                   THEN list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS fs
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(COALESCE(list_sum(list_transform(fs,
+                  f -> ({lr_list})[CAST(CAST(('0x' || substr(md5(f), 1, 8))
+                                             AS BIGINT)
+                                        % {_DSIR_BUCKETS} AS INT) + 1])), 0)
+               AS BIGINT) AS dsir_score
+      FROM feats
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected
+    FROM scored WHERE dsir_score >= 1
+    GROUP BY lang
+    """
+
+
+@register("docs_dsir_selected_mixture", oracle=_docs_dsir_mixture_oracle)
+def docs_dsir_selected_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What DSIR selection does to the corpus mixture: per-language
+    counts of documents with positive importance evidence (score ≥ 1,
+    target = lang='en') — the resampling audit a pipeline prints before
+    committing to a selection threshold. Exercises the dsir_select face
+    (agg scorer + filter above the aggregate, evaluated once)."""
+    from ..operators.selection import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = dsir_select(docs, "doc_id", "text", _dsir_logratios_cached(sf_dir), 1)
+    return sel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_selected"))
