@@ -512,3 +512,24 @@ def test_pagerank_integer_matches_python_replica(spark):
     two = spark.createDataFrame([(7, 8), (8, 7)], "src long, dst long")
     pair = {r.node: r.rank for r in pagerank_integer(two, iters=3).collect()}
     assert pair[7] == pair[8]
+
+
+def test_pagerank_broadcast_and_shuffle_formulations_agree(spark):
+    """broadcast_ranks=True (nodes-fit-in-memory) and =False (web-scale
+    shuffle) are the same recurrence — identical ranks bit-for-bit."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    a = {r.node: r.rank for r in pagerank_integer(edges, iters=4).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank_integer(edges, iters=4, broadcast_ranks=False)
+        .collect()
+    }
+    assert a == b
