@@ -93,15 +93,35 @@ def cms_inner_product(s1: DataFrame, s2: DataFrame, out: str = "est") -> DataFra
     shuffle instead of executing the join. That is the 100 TB use: size
     a shuffle (pick partition counts, decide broadcast vs sort-merge)
     before paying for it.
+
+    A seed whose grids share NO non-empty cell has a genuine dot
+    product of 0 (disjoint key sets under that hash), so the min runs
+    over the full seed domain with missing seeds read as 0 — an inner
+    join alone would take the min over a subset (or return NULL for
+    fully disjoint inputs). Products and sums are DECIMAL(38,0): at the
+    advertised scale two ~1e11-row sides at width 1024 give per-seed
+    dots ~1e19 > 2^63, where BIGINT would wrap silently.
+
+    Output type: ``out`` is DECIMAL(38,0).
     """
-    a = s1.select("seed", "cell", F.col("cnt").alias("__c1"))
-    b = s2.select("seed", "cell", F.col("cnt").alias("__c2"))
+    a = s1.select("seed", "cell", F.col("cnt").cast("decimal(19,0)").alias("__c1"))
+    b = s2.select("seed", "cell", F.col("cnt").cast("decimal(19,0)").alias("__c2"))
     dots = (
         a.join(b, ["seed", "cell"])
         .groupBy("seed")
-        .agg(F.sum(F.col("__c1") * F.col("__c2")).alias("__dot"))
+        .agg(
+            F.sum((F.col("__c1") * F.col("__c2")).cast("decimal(38,0)")).alias(
+                "__dot"
+            )
+        )
     )
-    return dots.agg(F.min("__dot").alias(out))
+    seeds = (
+        s1.select("seed").unionByName(s2.select("seed")).distinct()
+    )
+    full = seeds.join(dots, "seed", "left").select(
+        F.coalesce(F.col("__dot"), F.lit(0).cast("decimal(38,0)")).alias("__dot")
+    )
+    return full.agg(F.min("__dot").alias(out))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

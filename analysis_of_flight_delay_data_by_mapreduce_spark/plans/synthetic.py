@@ -5901,32 +5901,47 @@ def _dsir_logratios_cached(sf_dir: str) -> list[int]:
     return _dsir_lr_cache[sf_dir]
 
 
-def _docs_dsir_oracle(sf_dir: str) -> str:
+def _dsir_scored_sql(sf_dir: str, extra_cols: str = "") -> str:
+    """Shared CTE prefix: a ``scored`` relation with (doc_id,
+    [extra_cols,] dsir_score) — ONE definition of the feature/bucket/
+    fold arithmetic so the two DSIR oracles cannot diverge from each
+    other (or silently from operators/selection.py)."""
     lr = _dsir_logratios_cached(sf_dir)
     lr_list = "[" + ", ".join(str(int(v)) for v in lr) + "]"
+    cols = f"{extra_cols}, " if extra_cols else ""
     return rf"""
     WITH toks AS (
-      SELECT doc_id,
+      SELECT doc_id, {cols}
              list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
       FROM documents
     ),
     feats AS (
-      SELECT doc_id,
+      SELECT doc_id, {cols}
              tk || CASE WHEN len(tk) >= 2
                    THEN list_transform(range(1, len(tk)),
                         i -> tk[i] || ' ' || tk[i + 1])
                    ELSE CAST([] AS VARCHAR[]) END AS fs
       FROM toks
-    )
-    SELECT doc_id,
-           CAST(COALESCE(list_sum(list_transform(fs,
-                f -> ({lr_list})[CAST(CAST(('0x' || substr(md5(f), 1, 8))
-                                           AS BIGINT)
-                                      % {_DSIR_BUCKETS} AS INT) + 1])), 0)
-             AS BIGINT) AS dsir_score
-    FROM feats
+    ),
+    scored AS (
+      SELECT doc_id, {cols}
+             CAST(COALESCE(list_sum(list_transform(fs,
+                  f -> ({lr_list})[CAST(CAST(('0x' || substr(md5(f), 1, 8))
+                                             AS BIGINT)
+                                        % {_DSIR_BUCKETS} AS INT) + 1])), 0)
+               AS BIGINT) AS dsir_score
+      FROM feats
+    )"""
+
+
+def _docs_dsir_oracle(sf_dir: str) -> str:
+    return (
+        _dsir_scored_sql(sf_dir)
+        + f"""
+    SELECT doc_id, dsir_score FROM scored
     ORDER BY dsir_score DESC, doc_id ASC LIMIT {_DSIR_K}
     """
+    )
 
 
 @register("docs_dsir_weights", oracle=_docs_dsir_oracle)
@@ -6136,35 +6151,14 @@ def supplier_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_dsir_mixture_oracle(sf_dir: str) -> str:
-    lr = _dsir_logratios_cached(sf_dir)
-    lr_list = "[" + ", ".join(str(int(v)) for v in lr) + "]"
-    return rf"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
-      FROM documents
-    ),
-    feats AS (
-      SELECT doc_id, lang,
-             tk || CASE WHEN len(tk) >= 2
-                   THEN list_transform(range(1, len(tk)),
-                        i -> tk[i] || ' ' || tk[i + 1])
-                   ELSE CAST([] AS VARCHAR[]) END AS fs
-      FROM toks
-    ),
-    scored AS (
-      SELECT doc_id, lang,
-             CAST(COALESCE(list_sum(list_transform(fs,
-                  f -> ({lr_list})[CAST(CAST(('0x' || substr(md5(f), 1, 8))
-                                             AS BIGINT)
-                                        % {_DSIR_BUCKETS} AS INT) + 1])), 0)
-               AS BIGINT) AS dsir_score
-      FROM feats
-    )
+    return (
+        _dsir_scored_sql(sf_dir, extra_cols="lang")
+        + """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected
     FROM scored WHERE dsir_score >= 1
     GROUP BY lang
     """
+    )
 
 
 @register("docs_dsir_selected_mixture", oracle=_docs_dsir_mixture_oracle)

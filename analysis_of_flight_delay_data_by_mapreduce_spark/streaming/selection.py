@@ -17,26 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["run_dsir_select_stream", "select_stream_dsir"]
-
-
-def select_stream_dsir(
-    batch_docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    logratios: list[int],
-    min_score: int,
-) -> DataFrame:
-    """One micro-batch's selection: every ``batch_docs`` column plus
-    ``dsir_score``, rows with score ≥ ``min_score`` only. Batch-shaped
-    for ``foreachBatch`` (the score filter sits above a per-batch
-    aggregate, so the score is evaluated once — see
-    ``operators.selection.dsir_scores_agg`` for why the zero-shuffle
-    fold face would score every row twice under a pushed-down filter).
-    """
-    from ..operators.selection import dsir_select
-
-    return dsir_select(batch_docs, id_col, text_col, logratios, min_score)
+__all__ = ["run_dsir_select_stream"]
 
 
 def run_dsir_select_stream(
@@ -54,12 +35,17 @@ def run_dsir_select_stream(
     partition overwrite (exactly-once at the sink under epoch replay,
     the ``streaming.dedup`` recipe). ``availableNow`` drains the backlog
     and stops (bounded replay)."""
+    from ..operators.selection import dsir_select
     from ..sources.sinks import upsert_partitions
 
     def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        out = select_stream_dsir(
-            batch_df, id_col, text_col, logratios, min_score
-        )
+        if batch_df.isEmpty():
+            return
+        # dsir_select is batch-shaped for foreachBatch: the score filter
+        # sits above a per-batch aggregate, so the score is evaluated
+        # once (the fold face would score every row twice under a
+        # pushed-down filter — see operators.selection.dsir_scores_agg)
+        out = dsir_select(batch_df, id_col, text_col, logratios, min_score)
         upsert_partitions(
             out.withColumn("epoch", F.lit(epoch_id)), out_path, ["epoch"]
         )

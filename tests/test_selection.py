@@ -147,3 +147,16 @@ def test_scorer_faces_agree_and_select_guards(spark):
 
     with _pytest.raises(ValueError, match="min_score must be positive"):
         dsir_select(docs, "doc_id", "text", lr, 0)
+
+
+def test_cms_inner_product_disjoint_inputs_read_zero(spark):
+    """A seed with no overlapping non-empty cells has a genuine dot
+    product of 0: fully disjoint key sets estimate 0 (not NULL), and
+    the min runs over the full seed domain, not the colliding subset."""
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    est = cms_inner_product(
+        cms_build(a, "k", depth=4, width=1 << 16),
+        cms_build(b, "k", depth=4, width=1 << 16),
+    ).collect()[0]["est"]
+    assert est == 0
