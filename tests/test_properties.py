@@ -399,3 +399,48 @@ def test_qsketch_rejects_negative_values(spark):
     with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
         qsketch_build(df, "x").collect()
     assert "non-negative" in str(ei.value)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(1, 4),
+)
+def test_pagerank_integer_matches_replica_on_random_graphs(
+    spark, raw_edges, iters
+):
+    """Integer PageRank equals the pure-Python floor-division recurrence
+    on arbitrary small undirected graphs (self-loops and duplicate edges
+    included — both become ordinary directed edges after symmetrize +
+    distinct, exactly as the operator contract states)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    directed = sorted({(a, b) for a, b in raw_edges} | {(b, a) for a, b in raw_edges})
+    df = spark.createDataFrame(directed, "src long, dst long")
+    got = {
+        r.node: r.rank for r in pagerank_integer(df, iters=iters).collect()
+    }
+
+    SCALE, D = 10**12, 85
+    nodes = sorted({a for a, _ in directed} | {b for _, b in directed})
+    out: dict[int, list[int]] = {}
+    for a, b in directed:
+        out.setdefault(a, []).append(b)
+    n = len(nodes)
+    r0 = SCALE // n
+    base = ((100 - D) * r0) // 100
+    r = {v: r0 for v in nodes}
+    for _ in range(iters):
+        inm = {v: 0 for v in nodes}
+        for u, dsts in out.items():
+            share = r[u] // len(dsts)
+            for v in dsts:
+                inm[v] += share
+        r = {v: base + (D * inm[v]) // 100 for v in nodes}
+    assert got == r
