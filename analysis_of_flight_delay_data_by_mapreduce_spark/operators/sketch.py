@@ -98,7 +98,13 @@ def cms_inner_product(s1: DataFrame, s2: DataFrame, out: str = "est") -> DataFra
     product of 0 (disjoint key sets under that hash), so the min runs
     over the full seed domain with missing seeds read as 0 — an inner
     join alone would take the min over a subset (or return NULL for
-    fully disjoint inputs). Products and sums are DECIMAL(38,0): at the
+    fully disjoint inputs). The seed domain is the union of seeds
+    actually present, so when BOTH grids are empty (both underlying
+    tables had zero rows) there are zero seed rows and ``min`` over
+    them would be NULL — the final aggregate coalesces to 0, which is
+    the exact answer for two empty multisets, keeping the
+    ``est >= true`` contract NULL-free (ADVICE r6). Products and sums
+    are DECIMAL(38,0): at the
     advertised scale two ~1e11-row sides at width 1024 give per-seed
     dots ~1e19 > 2^63, where BIGINT would wrap silently.
 
@@ -121,7 +127,11 @@ def cms_inner_product(s1: DataFrame, s2: DataFrame, out: str = "est") -> DataFra
     full = seeds.join(dots, "seed", "left").select(
         F.coalesce(F.col("__dot"), F.lit(0).cast("decimal(38,0)")).alias("__dot")
     )
-    return full.agg(F.min("__dot").alias(out))
+    return full.agg(
+        F.coalesce(
+            F.min("__dot"), F.lit(0).cast("decimal(38,0)")
+        ).alias(out)
+    )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

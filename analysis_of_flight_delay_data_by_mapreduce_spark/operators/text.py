@@ -29,8 +29,10 @@ __all__ = [
 
 #: BPE-ish pre-tokenizer: alphanumeric runs or single non-space symbols.
 #: Kept to a regex dialect shared by Java (Spark) and RE2-ish engines so the
-#: same pattern is usable in oracle SQL.
-BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+#: same pattern is usable in oracle SQL. Whitespace is the explicit Java
+#: \s class (ADVICE r6): Java's \s has \x0b, RE2's does not — spelled
+#: out, the two engines agree on every byte.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small and deterministic (this is a heuristic

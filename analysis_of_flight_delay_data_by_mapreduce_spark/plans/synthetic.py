@@ -190,7 +190,7 @@ def q2_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_wordcount",
     oracle=r"""
     SELECT word, COUNT(*) AS cnt
-    FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+    FROM (SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS word FROM documents)
     WHERE word <> ''
     GROUP BY word
     """,
@@ -262,7 +262,14 @@ from ..streaming.windows import windowed_event_counts  # noqa: E402
 
 # Shared SQL fragments, generated from the same constants the Spark
 # operators use so the two sides cannot drift.
-_WS_TOKENS_SQL = r"list_filter(string_split_regex({col}, '\s+'), t -> t <> '')"
+#
+# Whitespace is the EXPLICIT Java \s class `[ \t\n\x0b\f\r]` everywhere
+# (ADVICE r6): Spark's split(r"\s+") is Java semantics (has \x0b),
+# DuckDB's RE2 \s is [\t\n\f\r ] (no \x0b), Python's \s is Unicode-wide
+# — three different definitions. Every oracle regex and pyarrow twin in
+# this repo spells the class out so a \x0b in a document tokenizes
+# identically in engine, oracle, and trainer.
+_WS_TOKENS_SQL = r"list_filter(string_split_regex({col}, '[ \t\n\x0b\f\r]+'), t -> t <> '')"
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text_ops.LANG_STOPWORDS["en"]) + "]"
 
 
@@ -307,7 +314,7 @@ def _lsh_bucket_sql(vec_expr: str, n_bits: int, plane_offset_expr: str = "0") ->
 @register(
     "dedup_exact",
     oracle=r"""
-    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp,
            min(doc_id) AS doc_id
     FROM documents
     GROUP BY 1
@@ -331,7 +338,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -404,7 +411,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -533,7 +540,7 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     oracle=r"""
     WITH fps AS (
-      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
       FROM documents
     ), exact_clean AS (
       SELECT n.doc_id
@@ -543,7 +550,7 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHERE o.doc_id % 5 <> 4 AND o.fp = n.fp)
     ), toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -605,7 +612,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -1003,7 +1010,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _langid_trigram_oracle() -> str:
     langs = sorted(text_ops.LANG_TRIGRAMS)
-    norm = "concat(' ', regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+    norm = "concat(' ', regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
     score_cols = []
     for lang in langs:
         terms = " + ".join(
@@ -1666,7 +1673,9 @@ def _bm25_shared(sf_dir: str) -> tuple[dict[str, float], float]:
     n_docs, total_len = len(texts), 0
     dfreq = dict.fromkeys(_BM25_TERMS, 0)
     for x in texts:
-        toks = [w for w in re.split(r"\s+", x) if w]
+        # Java \s class, explicitly — Python's \s is Unicode-wide and
+        # RE2's lacks \x0b; all three tokenizers share this one class
+        toks = [w for w in re.split("[ \t\n\x0b\f\r]+", x) if w]
         total_len += len(toks)
         for term in set(toks) & set(_BM25_TERMS):
             dfreq[term] += 1
@@ -1722,6 +1731,9 @@ def _text_bm25_oracle(sf_dir: str) -> str:
 # against oracle-replicated exact counts: estimate ≥ true ALWAYS (the
 # deterministic over-count invariant) and estimate ≤ true + (e/width)·N
 # (holds w.p. 1−e^{−depth}; measured overcount on all three corpora: 0).
+# The oracle's `TRUE AS upper_ok` is fixture-pinned like
+# orders_join_size_cms_check's (see the ADVICE-r6 note there): true for
+# this seed family + grid + data, probabilistic in general.
 # ---------------------------------------------------------------------------
 _CMS_PROBES = ["spark", "window", "sort", "merge", "zebra", "xylophone"]
 
@@ -2285,7 +2297,7 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM scored WHERE quality >= 0.4
     ), fps AS (
       SELECT doc_id, text, quality,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
       FROM qual
     ), keep1 AS (
       SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
@@ -2293,7 +2305,7 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.doc_id, f.text, f.quality FROM fps f JOIN keep1 USING (doc_id)
     ), toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM kept
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -2374,7 +2386,7 @@ def corpus_prepare_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM scored WHERE quality >= 0.4
     ), fps AS (
       SELECT doc_id, text,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
       FROM qual
     ), keep1 AS (
       SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
@@ -2382,7 +2394,7 @@ def corpus_prepare_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.doc_id, f.text FROM fps f JOIN keep1 USING (doc_id)
     ), toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM kept
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -2468,7 +2480,7 @@ def _corpus_prepare_semantic_oracle(sf_dir: str) -> str:
       SELECT * FROM scored WHERE quality >= 0.4
     ), fps AS (
       SELECT doc_id, quality,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
       FROM qual
     ), keep1 AS (
       SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
@@ -2869,7 +2881,7 @@ def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "token_histogram",
     oracle=r"""
-    SELECT (CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+    SELECT (CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''))
             AS BIGINT) // 10) * 10 AS bin,
            COUNT(*) AS n
     FROM documents
@@ -3028,7 +3040,7 @@ def nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))
                AS BIGINT) AS n_tokens
       FROM documents
     )
@@ -3924,7 +3936,7 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -3981,7 +3993,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT word, cnt FROM (
       SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      FROM (SELECT unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS word FROM documents)
       WHERE word <> ''
       GROUP BY word
     ) ORDER BY cnt DESC, word ASC LIMIT 20
@@ -4109,7 +4121,7 @@ def multimodal_features_ann(
                  ELSE 0.0 END, 6) AS repetition
     FROM (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     )
     """,
@@ -4141,7 +4153,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -4577,7 +4589,7 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), spans AS (
       SELECT doc_id, tk,
@@ -4942,7 +4954,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), bg AS (
       SELECT tk[i] AS w1, tk[i+1] AS w2
@@ -5495,7 +5507,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_build",
     oracle=r"""
     WITH tok AS (
-      SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+      SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> ''))
              AS token
       FROM documents
     ), counts AS (
@@ -5588,7 +5600,7 @@ def events_value_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_SPAN_CTES = r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
@@ -5828,7 +5840,7 @@ def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_tfidf_cosine_pairs",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ), sh AS (
       SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
@@ -5912,7 +5924,7 @@ def _dsir_scored_sql(sf_dir: str, extra_cols: str = "") -> str:
     return rf"""
     WITH toks AS (
       SELECT doc_id, {cols}
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     ),
     feats AS (
@@ -5977,7 +5989,7 @@ def _docs_bpe_token_counts_oracle(sf_dir: str) -> str:
     return rf"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
       FROM documents
     )
     SELECT doc_id,
@@ -6010,6 +6022,16 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserts the two guarantees against the oracle-replicated exact join
 # size: est ≥ true ALWAYS (collision cross terms are non-negative) and
 # est ≤ true + (e/width)·N₁·N₂ w.p. 1−e^{−depth}.
+#
+# FIXTURE-PINNED ASSERTION (ADVICE r6): the oracle's `TRUE AS upper_ok`
+# is a deterministic statement about THIS seed family (xxhash64 seeds
+# 0..3), THIS grid (4×1024), and THIS data — verified to hold at
+# sf0.001/0.01/0.1. The probabilistic guarantee behind it is only
+# 1−e^{−depth} ≈ 98.2% at depth 4: changing depth/width/scale factor or
+# regenerating the fixtures could legitimately flip upper_ok without any
+# implementation bug (lower_ok is the unconditional invariant). If this
+# gate ever fails after such a change, first re-derive the bound before
+# suspecting the sketch.
 # ---------------------------------------------------------------------------
 @register(
     "orders_join_size_cms_check",

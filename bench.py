@@ -5,7 +5,12 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_delay": sec, ...}, "sf": 0.1}
+     "n_queries": 137, "requeued": [...], "sf": 0.1}
+
+The per-query maps (``queries``, ``cold``, loads, spreads) are persisted
+to ``BENCH_FULL.json`` next to this file — at 137 registered queries they
+overflow the driver's stdout tail buffer (BENCH_r05/r06 ``parsed: null``),
+so the stdout line carries only the scalars.
 
 Protocol (BASELINE.md): per query, 2 warm-ups then median of N timed runs
 (default 3; override BENCH_RUNS). Timing includes plan + execution; results
@@ -145,13 +150,25 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
-    # stdout line: keep it parseable — per-query maps only in the file
-    # (requeued stays: it is the contention-adjudication headline)
+    # stdout line: keep it parseable — per-query maps only in the file.
+    # At 137 registered queries even the `queries` map alone overflows the
+    # driver's 2 kB stdout tail buffer (BENCH_r05/r06 recorded
+    # `parsed: null`), so ALL per-query maps now live only in
+    # BENCH_FULL.json; stdout carries the scalars plus `requeued` (the
+    # contention-adjudication headline).
     slim = {
         k: v
         for k, v in payload.items()
-        if k not in ("cold", "load1_per_query", "spread_per_query", "requeue_medians")
+        if k
+        not in (
+            "queries",
+            "cold",
+            "load1_per_query",
+            "spread_per_query",
+            "requeue_medians",
+        )
     }
+    slim["n_queries"] = len(timings)
     print(json.dumps(slim, separators=(",", ":")))
     spark.stop()
 

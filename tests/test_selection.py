@@ -105,6 +105,29 @@ def test_cms_inner_product_bounds(spark):
     assert est <= true_join + math.e / 1024 * 6 * 4 + 1  # ε·N₁·N₂ slack
 
 
+def test_cms_inner_product_both_empty(spark):
+    # ADVICE r6: two empty grids (both underlying tables had zero rows)
+    # used to yield NULL — the seed domain is the union of rows actually
+    # present, so min() ran over zero rows. The coalesced aggregate
+    # estimates exactly 0, the true join size of two empty multisets,
+    # keeping `est >= true` NULL-free for downstream boolean checks.
+    a = spark.createDataFrame([], "k long").filter("k > 0")
+    b = spark.createDataFrame([], "k long")
+    est = cms_inner_product(
+        cms_build(a, "k", depth=4, width=1024),
+        cms_build(b, "k", depth=4, width=1024),
+    ).collect()[0]["est"]
+    assert est is not None and est == 0
+    # one-empty-side case (already correct before the fix): seeds from
+    # the non-empty grid, dots coalesce to 0 per seed
+    c = spark.createDataFrame([(1,), (2,)], "k long")
+    est2 = cms_inner_product(
+        cms_build(c, "k", depth=4, width=1024),
+        cms_build(b, "k", depth=4, width=1024),
+    ).collect()[0]["est"]
+    assert est2 is not None and est2 == 0
+
+
 def test_cms_inner_product_exact_at_wide_grid(spark):
     # width >> distinct keys: collisions are overwhelmingly unlikely at
     # width 1<<16 with 3 keys, so the estimate is exactly the join size

@@ -200,7 +200,7 @@ def test_bm25_scores_match_python_reference(spark):
     for doc_id, text in zip(
         t.column("doc_id").to_pylist(), t.column("text").to_pylist()
     ):
-        toks = [w for w in re.split(r"\s+", text) if w]
+        toks = [w for w in re.split("[ \t\n\x0b\f\r]+", text) if w]
         dl = float(len(toks))
         s = 0.0
         for term in _BM25_TERMS:

@@ -153,7 +153,7 @@ def measure(sf_dir: str) -> list[tuple[str, float, float, bool]]:
     idf, avgdl = _bm25_shared(sf_dir)
     scores = []
     for x in dt:
-        toks = [w for w in _re.split(r"\s+", x) if w]
+        toks = [w for w in _re.split("[ \t\n\x0b\f\r]+", x) if w]
         dl = float(len(toks))
         s = 0.0
         for term in _BM25_TERMS:
