@@ -39,6 +39,7 @@ __all__ = [
     "upsert_ann_table",
     "query_ann_table",
     "label_pca_summary",
+    "label_pca_summary_parquet",
 ]
 
 
@@ -507,3 +508,46 @@ def label_pca_summary(
     return emb.select(label_col, id_col, vec_col).groupBy(label_col).applyInPandas(
         pca, out_schema
     )
+
+
+def label_pca_summary_parquet(
+    parquet_path: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[int, tuple[int, float, float]]:
+    """pyarrow/numpy twin of ``label_pca_summary`` — the trained-constants
+    pattern shared with ``train_ivf_centroids_parquet`` /
+    ``train_dsir_logratios_parquet``: identical pipeline (id-sorted
+    rows, mean-center, Gram / (n-1), ``eigvalsh``, round-6), computed
+    out-of-JVM so an SQL oracle can carry the per-label eigenvalues as
+    engine-shared literals. float32→float64 widening is exact on both
+    sides (``to_pylist`` here, Arrow→pandas ``astype`` in the UDF), and
+    every numpy op runs in the same library in the same order, so the
+    returned values are BIT-IDENTICAL to the Spark face's — the driver's
+    hash check on ``embedding_label_pca_check`` witnesses that equality.
+
+    Returns ``{label: (n, top_eigval, explained)}`` with the floats
+    already rounded to 6 dp exactly as the Spark face emits them.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        parquet_path, columns=[label_col, id_col, vec_col]
+    ).sort_by(id_col)
+    labels = np.asarray(t.column(label_col))
+    X = np.stack(t.column(vec_col).to_pylist()).astype("float64")
+    out: dict[int, tuple[int, float, float]] = {}
+    for lab in np.unique(labels):
+        Xl = X[labels == lab]
+        n = len(Xl)
+        Xc = Xl - Xl.mean(axis=0)
+        cov = (Xc.T @ Xc) / max(n - 1, 1)
+        w = np.linalg.eigvalsh(cov)
+        top, tot = float(w[-1]), float(w.sum())
+        out[int(lab)] = (
+            n,
+            round(top, 6),
+            round(top / tot, 6) if tot > 0 else 0.0,
+        )
+    return out

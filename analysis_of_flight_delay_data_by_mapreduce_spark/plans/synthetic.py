@@ -5827,6 +5827,69 @@ def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_pca_summary(emb, "label", "embedding", "vec_id")
 
 
+# The oracle-asserted companion face (VERDICT r6 item 2): the pyarrow/
+# numpy twin (label_pca_summary_parquet — identical id-sorted pipeline,
+# bit-identical outputs) renders each label's rounded eigenvalue and
+# explained share as micro-unit (×1e6) BIGINT literals; the Spark face
+# converts its own outputs to the same micro ints, so the driver's hash
+# check witnesses the eigendecomposition exactly — the trained-constants
+# move shared with dedup_simhash_check / ann_ivf_recall_check. n stays
+# data-derived in the oracle (GROUP BY over embeddings), so the twin's
+# group sizes are cross-checked against DuckDB too. The ×1e6 re-round
+# cannot tie-break differently across engines: both sides multiply the
+# SAME round-6 double by 1e6 (same IEEE product), and that product sits
+# within ~1e-7 of an integer — never at the .5 boundary where Spark's
+# HALF_UP and Python's HALF_EVEN diverge.
+_label_pca_cache: dict[str, dict] = {}
+
+
+def _label_pca_cached(sf_dir: str) -> dict[int, tuple[int, float, float]]:
+    if sf_dir not in _label_pca_cache:
+        from ..operators.similarity import label_pca_summary_parquet
+
+        _label_pca_cache[sf_dir] = label_pca_summary_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            label_col="label",
+            vec_col="embedding",
+            id_col="vec_id",
+        )
+    return _label_pca_cache[sf_dir]
+
+
+def _embedding_label_pca_check_oracle(sf_dir: str) -> str:
+    tw = _label_pca_cached(sf_dir)
+    values = ", ".join(
+        f"({lab}, {int(round(top * 1e6))}, {int(round(expl * 1e6))})"
+        for lab, (_n, top, expl) in sorted(tw.items())
+    )
+    return f"""
+    WITH expected(label, eigval_micro, explained_micro) AS (VALUES {values})
+    SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(x.eigval_micro AS BIGINT) AS eigval_micro,
+           CAST(x.explained_micro AS BIGINT) AS explained_micro
+    FROM embeddings e JOIN expected x ON x.label = e.label
+    GROUP BY e.label, x.eigval_micro, x.explained_micro
+    """
+
+
+@register("embedding_label_pca_check", oracle=_embedding_label_pca_check_oracle)
+def embedding_label_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_pca_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pca = label_pca_summary(emb, "label", "embedding", "vec_id")
+    return pca.select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("top_eigval") * F.lit(1e6))
+        .cast("bigint")
+        .alias("eigval_micro"),
+        F.round(F.col("explained") * F.lit(1e6))
+        .cast("bigint")
+        .alias("explained_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sparse TF-IDF cosine pairs (operators.dedup.tfidf_cosine_pairs): the
 # inverted-index sparse-vector similarity face, next to the dense ANN

@@ -471,3 +471,22 @@ def test_label_pca_equals_numpy_replica(spark):
         )
     assert got == want
     assert all(0.0 < e <= 1.0 for (_, _, e) in got.values())
+
+    # the packaged twin (label_pca_summary_parquet) must agree with this
+    # test's independent replica — it is what renders the oracle literals
+    # for embedding_label_pca_check, the driver-witnessed companion face
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        label_pca_summary_parquet,
+    )
+
+    assert label_pca_summary_parquet(f"{sf}/embeddings.parquet") == want
+
+    # and the check face's micro-int projection matches the twin exactly
+    check = {
+        r.label: (r.n, r.eigval_micro, r.explained_micro)
+        for r in QUERIES["embedding_label_pca_check"](spark, sf).collect()
+    }
+    assert check == {
+        lab: (n, int(round(t * 1e6)), int(round(e * 1e6)))
+        for lab, (n, t, e) in want.items()
+    }
