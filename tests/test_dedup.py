@@ -533,3 +533,21 @@ def test_pagerank_broadcast_and_shuffle_formulations_agree(spark):
         .collect()
     }
     assert a == b
+
+    # and at a non-trivial graph (VERDICT r6 item 6): 60 nodes, seeded
+    # random undirected edges — hubs, leaves, uneven degrees
+    import random
+
+    rng = random.Random(7)
+    und2 = {(rng.randrange(60), rng.randrange(60)) for _ in range(150)}
+    und2 = [(x, y) for x, y in und2 if x != y]
+    big = spark.createDataFrame(
+        und2 + [(y, x) for x, y in und2], "src long, dst long"
+    ).distinct()
+    a2 = {r.node: r.rank for r in pagerank_integer(big, iters=3).collect()}
+    b2 = {
+        r.node: r.rank
+        for r in pagerank_integer(big, iters=3, broadcast_ranks=False)
+        .collect()
+    }
+    assert len(a2) >= 50 and a2 == b2

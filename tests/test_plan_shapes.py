@@ -294,3 +294,28 @@ def test_bpe_pair_counts_is_topk_not_global_sort(spark):
     assert "partial_count" in txt
     m = [l for l in txt.splitlines() if "ReadSchema" in l]
     assert m and "text" in m[0] and "doc_id" not in m[0]
+
+
+def test_pagerank_broadcast_face_edge_table_exchange_free(spark):
+    """The r6 perf win as a pinned invariant (VERDICT r6 item 6): with
+    broadcast_ranks=True, each of the ``iters`` rounds broadcasts the
+    node-sized rank/degree vectors into the edge join, so the edge table
+    is NEVER re-partitioned for a join — zero SortMergeJoin anywhere,
+    and exactly ONE bounded Exchange per iteration (the post-partial-agg
+    contrib shuffle on ``__dst``), independent of |E|. The
+    ``__src``-keyed exchanges visible in the text are the one-time
+    cached outdeg build reprinted under each InMemoryTableScan, not
+    per-round work."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    for iters in (3, 5):
+        txt = plan_text(pagerank_integer(edges, iters=iters), "simple")
+        assert txt.count("SortMergeJoin") == 0, txt
+        assert txt.count("Exchange hashpartitioning(__dst") == iters, txt
