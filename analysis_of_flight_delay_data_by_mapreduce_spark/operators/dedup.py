@@ -1018,14 +1018,45 @@ def _gram_sites(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
 
 
 def _dup_gram_hits(
-    df: DataFrame, id_col: str, text_col: str, k: int, min_sites: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_sites: int,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """Flagged gram positions ``(id, pos)``: every site whose gram occurs
     at >= ``min_sites`` (doc, pos) sites corpus-wide — the shared front
     half of the span GROUP/PROFILE/APPLY faces (one definition, so a
-    future predicate change — e.g. the 128-bit fingerprint swap — lands
-    in all three at once)."""
+    predicate change lands in all three at once).
+
+    ``fingerprint=True`` is the PB-scale shuffle-width variant (VERDICT
+    r6 item 7): the gram string is replaced by a 128-bit fingerprint —
+    the pair ``(xxhash64(seed=0, g), xxhash64(seed=1, g))`` — BEFORE the
+    two gram-keyed exchanges, so the shuffle carries 16 bytes per site
+    instead of the whole k-gram (~5 words ≈ 30-60 bytes at k=5, more
+    for long-token corpora). Collision odds are ~n²/2^128 across
+    distinct grams (≈1e-18 even at 1e10 grams) — a collision could only
+    ADD a false duplicated site, never drop one. The exact-string form
+    stays the default because the DuckDB oracle replicates it; both
+    forms are asserted span-identical on the test corpus
+    (tests/test_dedup.py::test_duplicate_spans_fingerprint_parity).
+    """
     sites = _gram_sites(df, id_col, text_col, k)
+    if fingerprint:
+        sites = sites.select(
+            F.col(id_col),
+            "pos",
+            F.xxhash64(F.lit(0), F.col("__g")).alias("__g1"),
+            F.xxhash64(F.lit(1), F.col("__g")).alias("__g2"),
+        )
+        dup = (
+            sites.groupBy("__g1", "__g2")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= min_sites)
+            .select("__g1", "__g2")
+        )
+        return sites.join(dup, ["__g1", "__g2"], "left_semi")
     dup = (
         sites.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1041,6 +1072,7 @@ def duplicate_spans(
     text_col: str,
     k: int = 5,
     min_sites: int = 2,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring spans, the distributed face of
     suffix-array substring dedup (Lee et al. 2022, "Deduplicating
@@ -1065,7 +1097,7 @@ def duplicate_spans(
     """
     from pyspark.sql import Window as W
 
-    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites)
+    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites, fingerprint)
     w = W.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
     return (
@@ -1084,6 +1116,7 @@ def duplicate_span_profile(
     text_col: str,
     k: int = 5,
     min_sites: int = 2,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """Per-document duplication profile over :func:`duplicate_spans`'
     pipeline: ``(id, n_grams, dup_grams, n_spans, max_span_len)`` for
@@ -1103,7 +1136,7 @@ def duplicate_span_profile(
         F.col(id_col),
         F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
     )
-    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites)
+    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites, fingerprint)
     w = W.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
     spans = isl.groupBy(id_col, "__grp").agg(
@@ -1133,6 +1166,7 @@ def strip_duplicate_spans(
     text_col: str,
     k: int = 5,
     min_sites: int = 2,
+    fingerprint: bool = False,
 ) -> DataFrame:
     """The APPLY face of :func:`duplicate_spans` — rewrite every document
     with its duplicated spans cut out (Lee et al. 2022 cut the
@@ -1152,7 +1186,7 @@ def strip_duplicate_spans(
     per-doc ``collect_list`` + sort — state bounded by single-document
     length, the same bound any per-doc text operator carries.
     """
-    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites)
+    hits = _dup_gram_hits(df, id_col, text_col, k, min_sites, fingerprint)
     cut = hits.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(

@@ -443,6 +443,66 @@ def test_strip_duplicate_spans_cuts_all_sites(spark):
     }
 
 
+def test_duplicate_spans_fingerprint_parity(spark):
+    """The 128-bit fingerprint variant (shuffle carries two xxhash64
+    longs instead of the gram string — the PB-scale width cut, VERDICT
+    r6 item 7) produces IDENTICAL results to the exact-string default on
+    all three span faces, over the documents test corpus plus the
+    planted fixtures."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        duplicate_span_profile,
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    shared = "one two three four five six seven eight"
+    planted = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc"),
+            (2, shared + " zz yy xx ww"),
+            (3, "totally different words without any overlap here"),
+            (4, shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for docs in (planted, corpus):
+        a = sorted(map(tuple, duplicate_spans(docs, "doc_id", "text").collect()))
+        b = sorted(
+            map(
+                tuple,
+                duplicate_spans(
+                    docs, "doc_id", "text", fingerprint=True
+                ).collect(),
+            )
+        )
+        assert a == b and a  # non-empty on both fixtures
+        pa = sorted(
+            map(tuple, duplicate_span_profile(docs, "doc_id", "text").collect())
+        )
+        pb = sorted(
+            map(
+                tuple,
+                duplicate_span_profile(
+                    docs, "doc_id", "text", fingerprint=True
+                ).collect(),
+            )
+        )
+        assert pa == pb
+    sa = sorted(
+        map(tuple, strip_duplicate_spans(planted, "doc_id", "text").collect())
+    )
+    sb = sorted(
+        map(
+            tuple,
+            strip_duplicate_spans(
+                planted, "doc_id", "text", fingerprint=True
+            ).collect(),
+        )
+    )
+    assert sa == sb
+
+
 def test_tfidf_cosine_pairs_planted(spark):
     """Identical docs score exactly 1.0; docs sharing no shingle produce
     no pair; a pair sharing ~half its shingles lands strictly between."""
