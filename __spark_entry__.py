@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # --- new in r7 ---
     "embedding_label_pca_check",  # per-label eigenvalues vs twin literals
+    "docs_lm_perplexity",  # CCNet-style bigram-LM quality gate
     # --- last driver row r4 (oldest rows in the registry; full set) ---
     "revenue_by_nation",
     "multimodal_stats",

@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint",
     "chunk_documents",
     "scrub_pii",
+    "bigram_lm_scores",
     "PII_PATTERNS",
 ]
 
@@ -430,6 +431,87 @@ def bm25_scores(
         s = num / den
         score = s if score is None else score + s
     return df.select(F.col(id_col), F.round(score, 6).alias(out))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own bigram LM — the perplexity-filter shape of CCNet (Wenzek et al.
+    2020), where a cheap n-gram LM scores every document and the
+    worst-perplexity tail is dropped or down-mixed before training.
+
+    ``P(w2|w1) = n(w1,w2) / n(w1,·)`` from two aggregations on natural
+    keys; each bigram's ``ln P`` is quantized to ``scale`` units (micro
+    by default) BEFORE the per-doc sum — the round-then-sum move — so
+    the document score is an exact BIGINT sum (order-free under any
+    partitioning) and the average a floor division. The only float op is
+    one ``ln`` per DISTINCT bigram (post-aggregation, not per
+    occurrence), the same in-plan ``ln`` convention as :func:`tf_idf`.
+
+    Scale posture: the scoring join is keyed on (w1, w2) — the LM table
+    is vocabulary²-bounded and aggregated before the join, so shuffle
+    volume is corpus bigrams + LM entries, never pairwise. The LM here
+    is trained on the scored corpus itself (every document bigram is in
+    the table by construction — no OOV smoothing term is needed); for
+    cross-corpus scoring join left and coalesce unseen bigrams to a
+    floor log-prob literal.
+
+    Output: ``(id_col, n_bigrams, avg_nll_micro)`` for EVERY input
+    document — ``avg_nll_micro = (-Σ lp_micro) div n_bigrams``, 0 for
+    docs shorter than 2 tokens.
+    """
+    from .cache import scoped_persist
+
+    toks = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__tk"))
+    bg = scoped_persist(
+        toks.filter(F.size("__tk") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__tk"), 1, F.size("__tk") - 1),
+                    F.slice(F.col("__tk"), 2, F.size("__tk") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__p"),
+        )
+        .select(F.col(id_col), F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__n"))
+    uni = pair_counts.groupBy("w1").agg(F.sum("__n").alias("__total"))
+    lp = pair_counts.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("__n").cast("double") / F.col("__total").cast("double"))
+            * F.lit(int(scale))
+        )
+        .cast("bigint")
+        .alias("__lp"),
+    )
+    scored = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.sum("__lp").alias("__s"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.expr("(-__s) div __nb"), F.lit(0))
+            .cast("long")
+            .alias("avg_nll_micro"),
+        )
+    )
 
 
 ROLL_B = 131

@@ -5001,6 +5001,56 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-document LM perplexity scoring (operators.text.bigram_lm_scores):
+# the CCNet quality gate (Wenzek et al. 2020) — score every doc by its
+# average negative log-likelihood under the corpus bigram LM, drop the
+# worst-perplexity tail. Round-then-sum on micro-scaled ln P(w2|w1):
+# the per-doc sum is an exact BIGINT (order-free), the average a floor
+# division; ln runs once per DISTINCT bigram post-aggregation (the
+# in-plan ln convention tfidf established). Margin: micro-rounding
+# boundaries sit ~0.5 units from any ln value at double precision vs
+# ~1e-10 relative ln noise on these magnitudes (|lp| <= ~15e6 micro).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_lm_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ), pair_counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, SUM(n) AS total FROM pair_counts GROUP BY w1
+    ), lp AS (
+      SELECT p.w1, p.w2,
+             CAST(round(ln(CAST(p.n AS DOUBLE) / CAST(u.total AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lp_micro
+      FROM pair_counts p JOIN uni u ON p.w1 = u.w1
+    ), scored AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+             SUM(lp.lp_micro) AS s
+      FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(sc.nb, 0) AS n_bigrams,
+           CAST(COALESCE((-sc.s) // sc.nb, 0) AS BIGINT) AS avg_nll_micro
+    FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+    """,
+)
+def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # Time-RANGE window frame: per-user trailing-7-day spend at every event.
 # The frame is declared on exact epoch MICROSECONDS (int64) so the RANGE
 # bounds are engine-portable — Spark's rangeBetween and DuckDB's RANGE

@@ -345,3 +345,51 @@ def test_bpe_token_count_matches_python_replica(spark):
         assert r.n == py_count(r.text or ""), r.text
     assert {r.text: r.n for r in got}[""] == 0
     assert {r.text: r.n for r in got}[None] == 0  # matches the SQL twin
+
+
+def test_bigram_lm_scores_match_python_replica(spark):
+    """Planted corpus: the per-doc average NLL equals an independent
+    python recomputation of round-then-sum micro log-probs, short docs
+    score (0, 0), and the less-predictable doc scores strictly worse
+    (higher avg NLL) than the repetitive one."""
+    import math
+    from collections import Counter
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    rows = [
+        (1, "a b a b a b a b"),         # highly predictable
+        (2, "a b c d e f g h"),         # every bigram near-unique
+        (3, "a b a c a b a d"),
+        (4, "solo"),                    # < 2 tokens -> (0, 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    bgs = {i: list(zip(t.split(), t.split()[1:])) for i, t in rows}
+    pair: Counter = Counter(b for bs in bgs.values() for b in bs)
+    uni: Counter = Counter()
+    for (w1, _), n in pair.items():
+        uni[w1] += n
+    want = {}
+    for i, bs in bgs.items():
+        if not bs:
+            want[i] = (0, 0)
+            continue
+        s = sum(
+            int(round(math.log(pair[b] / uni[b[0]]) * 1e6)) for b in bs
+        )
+        want[i] = (len(bs), (-s) // len(bs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll_micro)
+        for r in bigram_lm_scores(docs, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert got[4] == (0, 0)
+    # the repetitive doc's bigrams are the corpus's most frequent, so it
+    # scores strictly best (lowest avg NLL) among the scored docs; every
+    # scored doc has positive NLL (no bigram is fully certain here
+    # except inside the single-occurrence chains)
+    assert got[1][1] == min(got[i][1] for i in (1, 2, 3))
+    assert all(got[i][1] > 0 for i in (1, 2, 3))

@@ -167,6 +167,29 @@ def measure(sf_dir: str) -> list[tuple[str, float, float, bool]]:
         _round_margin(np.array(scores)) * 1e-6,
         ULP_NOISE,
     )
+
+    # --- docs_lm_perplexity: micro-quantized ln P(w2|w1) per distinct
+    # bigram (one libm ln per value — ulp-class; the per-doc sums are
+    # exact BIGINTs after quantization, so only this boundary matters) ---
+    from collections import Counter as _Counter
+
+    pair: _Counter = _Counter()
+    uni: _Counter = _Counter()
+    for x in dt:
+        toks = [w for w in _re.split("[ \t\n\x0b\f\r]+", x) if w]
+        for w1, w2 in zip(toks, toks[1:]):
+            pair[(w1, w2)] += 1
+            uni[w1] += 1
+    lps = np.array(
+        [np.log(n / uni[w1]) for (w1, _w2), n in pair.items() if n != uni[w1]]
+    )
+    # n == total gives ln(1) = 0 exactly on both engines — excluded (its
+    # margin is the full 0.5)
+    check(
+        "docs_lm_perplexity micro boundary (abs, ulp-class)",
+        _round_margin(lps) * 1e-6,
+        ULP_NOISE,
+    )
     return out
 
 
