@@ -39,6 +39,10 @@ _CHECK_FIRST = [
     # --- new in r7 ---
     "embedding_label_pca_check",  # per-label eigenvalues vs twin literals
     "docs_lm_perplexity",  # CCNet-style bigram-LM quality gate
+    "embedding_pq_codes",  # PQ encode: 8-byte codes, twin-trained books
+    "ann_pq_adc_topk",  # ADC top-10 from codes, literal LUT
+    "ann_pq_rerank_topk",  # ADC shortlist-100 -> exact rerank (production)
+    "ann_pq_recall_check",  # rerank recall >= 7/10 vs exact top-10
     # --- last driver row r4 (oldest rows in the registry; full set) ---
     "revenue_by_nation",
     "multimodal_stats",

@@ -40,6 +40,10 @@ __all__ = [
     "query_ann_table",
     "label_pca_summary",
     "label_pca_summary_parquet",
+    "train_pq_codebooks",
+    "train_pq_codebooks_parquet",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -445,6 +449,180 @@ def query_ann_table(
         .orderBy(F.col(out).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-vector tier of the ANN story
+# (Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). Each vector is split into ``m`` subspaces; each
+# subspace is vector-quantized against its own ``ksub``-centroid
+# codebook, so a d=64 float32 vector (256 bytes) becomes m=8 4-bit codes
+# (4 bytes) at ksub=16 — a 64× storage/scan cut. Queries score codes via
+# ADC (asymmetric distance computation): one m×ksub lookup table of
+# query-to-centroid subdistances, then each row costs m table lookups —
+# no float vector is ever read at query time. At 100 TB this is the
+# difference between scanning 100 TB of vectors and ~1.6 TB of codes;
+# combine with IVF cluster partitioning for probe-pruned scans (IVF-PQ,
+# the FAISS default at scale).
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks via seeded mini k-means on a bounded
+    driver-side sample (the Spark-sampled production trainer, same
+    recipe as :func:`train_ivf_centroids`). ``codebooks[j]`` holds
+    ``ksub`` centroids of dimension ``d/m`` for subspace ``j`` (seeded
+    ``seed + j`` so subspaces decorrelate deterministically)."""
+    sample = [
+        list(r[0])
+        for r in df.select(vec_col).sample(False, 1.0, seed).limit(sample_rows).collect()
+    ]
+    X = np.asarray(sample, dtype="float64")
+    return _pq_fit(X, m, ksub, iters, seed)
+
+
+def _pq_fit(
+    X: np.ndarray, m: int, ksub: int, iters: int, seed: int
+) -> list[list[list[float]]]:
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        _kmeans(X[:, j * dsub : (j + 1) * dsub], ksub, iters, seed + j).tolist()
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks_parquet(
+    parquet_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Engine-independent twin of :func:`train_pq_codebooks` — the same
+    bounded bottom-k-by-id sample selection as
+    :func:`train_ivf_centroids_parquet` (streaming bottom-k over the id
+    column, then one statistics-pruned filtered read), then the same
+    per-subspace k-means core. The codebooks can therefore be rendered
+    as engine-shared SQL literals, making encode + ADC top-k fully
+    DuckDB-replicable (hash-checkable) like the IVF faces."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(parquet_path)
+    best: np.ndarray | None = None
+    for batch in ds.scanner(columns=[id_col], batch_size=1 << 16).to_batches():
+        ids = np.asarray(batch.column(0))
+        cand = ids if best is None else np.concatenate([best, ids])
+        if cand.size > sample_rows:
+            cand = np.partition(cand, sample_rows - 1)[:sample_rows]
+        best = cand
+    cutoff = np.sort(best)[:sample_rows][-1]
+    sample = (
+        ds.to_table(columns=[id_col, vec_col], filter=pads.field(id_col) <= cutoff)
+        .sort_by(id_col)
+        .slice(0, sample_rows)
+    )
+    X = np.stack(
+        [np.asarray(v, dtype="float64") for v in sample.column(vec_col).to_pylist()]
+    )
+    return _pq_fit(X, m, ksub, iters, seed)
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out: str = "code",
+) -> DataFrame:
+    """PQ codes per vector: ``out[j] = argmin_c ||x_j - codebooks[j][c]||²``
+    (first index on ties). One vectorized pandas UDF — an (m·ksub)-column
+    matmul per Arrow batch, the same expanded ``||c||² − 2x·c`` form as
+    ``assign_ivf_cluster`` (the ||x||² term is constant per row and
+    argmin-invariant). Cross-engine parity with the oracle's termwise
+    fold rests on the measured per-subspace assignment-gap margin
+    (tools/measure_margins.py), exactly like the IVF faces. Encoding is
+    a narrow projection — at scale it runs once at ingest and only the
+    code column is ever scanned again."""
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    m = len(Cs)
+    dsub = Cs[0].shape[1]
+    C_sq = [(C**2).sum(axis=1) for C in Cs]
+
+    @F.pandas_udf("array<int>")
+    def _encode(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy()).astype("float64")
+        codes = np.empty((len(M), m), dtype="int32")
+        for j in range(m):
+            Mj = M[:, j * dsub : (j + 1) * dsub]
+            d = C_sq[j][None, :] - 2.0 * (Mj @ Cs[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out, _encode(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    out: str = "adc_dist",
+    round_to: int | None = None,
+    code_col: str | None = None,
+) -> DataFrame:
+    """ADC top-k: squared-L2 lookup table ``LUT[j][c] =
+    ||q_j − codebooks[j][c]||²`` built driver-side (m·ksub doubles), then
+    every row's approximate distance is the FIXED-ORDER sum of its m
+    table entries — a pure JVM literal-indexing projection over the code
+    column (no float vector touched) ending in TakeOrderedAndProject.
+    Pass ``code_col`` to score an already-encoded table (the production
+    path — codes written at ingest); otherwise encodes in-plan.
+    ``round_to`` rounds before ordering so cross-engine ties break on
+    ``id_col`` identically (see ``cosine_topk_lsh``)."""
+    q = np.asarray(query_vec, dtype="float64")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = [
+        [
+            float(((q[j * dsub : (j + 1) * dsub] - np.asarray(c)) ** 2).sum())
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    coded = (
+        df.withColumnRenamed(code_col, "__code")
+        if code_col
+        else pq_encode(df, vec_col, codebooks, "__code")
+    )
+    # fixed-order 8-term sum of literal lookups: identical evaluation
+    # order in Spark and the SQL oracle, so the double result is
+    # bit-identical (each term is one literal-array index — exact)
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]),
+            F.element_at(F.col("__code"), j + 1) + F.lit(1),
+        )
+        dist = term if dist is None else dist + term
+    scored = coded.select(F.col(id_col), dist.alias(out))
+    if round_to is not None:
+        scored = scored.withColumn(out, F.round(F.col(out), round_to))
+    return scored.orderBy(F.col(out).asc(), F.col(id_col).asc()).limit(k)
 
 
 def label_pca_summary(

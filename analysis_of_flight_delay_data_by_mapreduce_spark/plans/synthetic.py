@@ -1639,6 +1639,305 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., TPAMI 2011): the compressed-vector
+# ANN tier completing brute → LSH → IVF → PQ. Codebooks are trained by
+# the pyarrow twin (train_pq_codebooks_parquet — same bounded bottom-k
+# sample + k-means core as IVF) and rendered as engine-shared literals;
+# the code is emitted PACKED into two BIGINTs of 8 nibbles each (m=16
+# subspaces × 4 bits at ksub=16 = 64 bits — 8 bytes per vector vs 256
+# of float32, the 32× storage/scan story made literal; 16 nibbles in
+# ONE signed BIGINT would overflow at code[15] ≥ 8), so the hash check
+# is over exact integers. ADC scoring sums m literal-table lookups in
+# fixed order — bit-identical doubles in both engines — and the
+# production face ADC-shortlists 100 candidates then exact-reranks only
+# those (recall@100 measured 8-10/10 across SFs; raw ADC top-10 is the
+# conventional pre-rerank cut). Cross-engine argmin parity rests on the
+# measured per-subspace assignment-gap margin
+# (tools/measure_margins.py), the IVF convention.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_KSUB = 16, 16
+
+
+def _pq_shared(sf_dir: str) -> tuple[list[list[list[float]]], list[float]]:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import train_pq_codebooks_parquet
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    cb = train_pq_codebooks_parquet(path, m=_PQ_M, ksub=_PQ_KSUB, seed=42)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id"))
+    qv = [
+        float(x)
+        for x in t.column("embedding")[int(np.nonzero(vid == 0)[0][0])].as_py()
+    ]
+    return cb, qv
+
+
+_pq_shared_cache: dict[str, tuple] = {}
+
+
+def _pq_shared_cached(sf_dir: str):
+    if sf_dir not in _pq_shared_cache:
+        _pq_shared_cache[sf_dir] = _pq_shared(sf_dir)
+    return _pq_shared_cache[sf_dir]
+
+
+def _pq_books_sql(cb: list[list[list[float]]]) -> str:
+    """Codebooks as a DuckDB list-of-list-of-lists double literal."""
+    return (
+        "["
+        + ",".join(_cents_sql(book) for book in cb)
+        + "]"
+    )
+
+
+def _pq_packed_code_spark(code_col: str, lo: bool) -> F.Column:
+    """8 of the m 4-bit subspace codes packed into one BIGINT — codes
+    1..8 (``lo``) or 9..16 — a fixed shift-add chain, exact integer."""
+    base = 0 if lo else 8
+    packed = None
+    for j in range(8):
+        term = F.shiftleft(
+            F.element_at(F.col(code_col), base + j + 1).cast("bigint"), 4 * j
+        )
+        packed = term if packed is None else packed + term
+    return packed
+
+
+def _pq_assigned_sql(cb: list[list[list[float]]]) -> str:
+    """Shared oracle CTE: per-vector per-subspace argmin codes + the two
+    packed BIGINTs — ONE definition for all PQ oracles."""
+    dsub = 64 // _PQ_M
+    return f"""
+    WITH books AS (SELECT {_pq_books_sql(cb)} AS B),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    coded AS (
+      SELECT v.vec_id,
+             list_transform(range(1, {_PQ_M + 1}), j ->
+               list_position(
+                 list_transform(books.B[j], c ->
+                   list_sum(list_transform(
+                     list_zip(v.ve[(j-1)*{dsub}+1 : (j-1)*{dsub}+{dsub}], c),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))),
+                 list_min(
+                 list_transform(books.B[j], c ->
+                   list_sum(list_transform(
+                     list_zip(v.ve[(j-1)*{dsub}+1 : (j-1)*{dsub}+{dsub}], c),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))))
+               ) - 1) AS code
+      FROM v, books
+    ),
+    packed AS (
+      SELECT vec_id, code,
+             list_sum(list_transform(range(1, 9),
+               j -> code[j] * (1::BIGINT << (4 * (j - 1))))) AS code_lo,
+             list_sum(list_transform(range(9, {_PQ_M + 1}),
+               j -> code[j] * (1::BIGINT << (4 * (j - 9))))) AS code_hi
+      FROM coded
+    )"""
+
+
+def _embedding_pq_codes_oracle(sf_dir: str) -> str:
+    cb, _qv = _pq_shared_cached(sf_dir)
+    return (
+        _pq_assigned_sql(cb)
+        + """
+    SELECT vec_id, CAST(code_lo AS BIGINT) AS code_lo,
+           CAST(code_hi AS BIGINT) AS code_hi
+    FROM packed
+    """
+    )
+
+
+@register("embedding_pq_codes", oracle=_embedding_pq_codes_oracle)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's PQ code, packed to two BIGINTs — the ingest-time
+    encode pass. 256 bytes of float32 become 8 bytes per row; at 100 TB
+    the ADC query path scans ~3 TB of codes instead of the vectors."""
+    from ..operators.similarity import pq_encode
+
+    cb, _qv = _pq_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = pq_encode(emb, "embedding", cb, "__code")
+    return coded.select(
+        "vec_id",
+        _pq_packed_code_spark("__code", lo=True).alias("code_lo"),
+        _pq_packed_code_spark("__code", lo=False).alias("code_hi"),
+    )
+
+
+def _pq_lut_sql(
+    cb: list[list[list[float]]], qv: list[float]
+) -> tuple[str, str]:
+    """(LUT literal, fixed-order ADC sum expression) — the query-side ADC
+    table ``LUT[j][c] = ||q_j − cb[j][c]||²`` as a DuckDB literal, and
+    the m-term sum written out so both engines add in index order."""
+    import numpy as np
+
+    q = np.asarray(qv, dtype="float64")
+    dsub = len(q) // _PQ_M
+    lut = [
+        [
+            float(((q[j * dsub : (j + 1) * dsub] - np.asarray(c)) ** 2).sum())
+            for c in cb[j]
+        ]
+        for j in range(_PQ_M)
+    ]
+    lut_sql = (
+        "[" + ",".join("[" + ",".join(repr(v) for v in row) + "]" for row in lut) + "]"
+    )
+    # each lookup is cast to DOUBLE: DuckDB parses bare decimal literals
+    # as DECIMAL, and a DECIMAL-only sum would run in decimal arithmetic
+    # (caught at sf0.1: a trailing-zero 6th decimal formatted differently
+    # AND the addition class differed from Spark's double chain). The
+    # books literal needs no cast — its values always mix with the
+    # DOUBLE-cast embedding, which promotes.
+    adc_terms = " + ".join(
+        f"CAST(L[{j + 1}][code[{j + 1}] + 1] AS DOUBLE)" for j in range(_PQ_M)
+    )
+    return lut_sql, adc_terms
+
+
+def _ann_pq_adc_oracle(sf_dir: str) -> str:
+    cb, qv = _pq_shared_cached(sf_dir)
+    lut_sql, adc_terms = _pq_lut_sql(cb, qv)
+    return (
+        _pq_assigned_sql(cb)
+        + f"""
+    SELECT vec_id, round({adc_terms}, 6) AS adc_dist
+    FROM packed, (SELECT {lut_sql} AS L)
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """
+    )
+
+
+@register("ann_pq_adc_topk", oracle=_ann_pq_adc_oracle)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 nearest (squared L2) to the vec_id-0 query via m
+    literal-table lookups per row — TakeOrderedAndProject over a narrow
+    projection, no float vector read at query time."""
+    from ..operators.similarity import pq_adc_topk
+
+    cb, qv = _pq_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, "vec_id", "embedding", qv, cb, k=10, round_to=6
+    )
+
+
+def _pq_exact_d2_spark(qv: list[float]) -> F.Column:
+    """Termwise-fold exact squared L2 to the query literal — same op
+    order as the oracle's list_sum fold."""
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            qlit,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ann_pq_rerank_oracle(sf_dir: str) -> str:
+    cb, qv = _pq_shared_cached(sf_dir)
+    lut_sql, adc_terms = _pq_lut_sql(cb, qv)
+    return (
+        _pq_assigned_sql(cb)
+        + f"""
+    , shortlist AS (
+      SELECT vec_id, round({adc_terms}, 6) AS adc_dist
+      FROM packed, (SELECT {lut_sql} AS L)
+      ORDER BY adc_dist ASC, vec_id ASC LIMIT 100
+    ),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_sum(list_transform(list_zip(e.embedding, q.qv),
+             p -> (CAST(p[1] AS DOUBLE) - p[2])
+                * (CAST(p[1] AS DOUBLE) - p[2]))), 6) AS d2
+    FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id, q
+    ORDER BY d2 ASC, e.vec_id ASC LIMIT 10
+    """
+    )
+
+
+@register("ann_pq_rerank_topk", oracle=_ann_pq_rerank_oracle)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ pattern: ADC shortlists 100 candidates from the
+    8-byte codes (scan-bound, no float vector read), then ONLY those 100
+    rows are exact-reranked — recall@100 measured 8-10/10 across SFs
+    where raw ADC top-10 lands 2-6/10. The rerank side touches 100
+    vectors however large the table."""
+    from ..operators.similarity import pq_adc_topk
+
+    cb, qv = _pq_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    shortlist = pq_adc_topk(
+        emb, "vec_id", "embedding", qv, cb, k=100, round_to=6
+    ).select("vec_id")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .select("vec_id", F.round(_pq_exact_d2_spark(qv), 6).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _ann_pq_recall_oracle(sf_dir: str) -> str:
+    return """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    exact AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.qv),
+               p -> (CAST(p[1] AS DOUBLE) - p[2])
+                  * (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+      FROM embeddings e, q
+    ), topk AS (
+      SELECT vec_id, d2 FROM exact ORDER BY d2 ASC, vec_id ASC LIMIT 10
+    )
+    SELECT CAST(round(MAX(d2) * 1000000) AS BIGINT) AS max_exact_d2_micro,
+           TRUE AS recall_ok
+    FROM topk
+    """
+
+
+@register("ann_pq_recall_check", oracle=_ann_pq_recall_oracle)
+def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality gate: the reranked shortlist top-10 must recover >= 7
+    of the exact squared-L2 top-10 (measured 8-10/10 at m=16, ksub=16
+    across all three SFs — the oracle's TRUE is fixture-pinned like the
+    CMS upper_ok: a regenerated embeddings table could legitimately dip
+    below without an implementation bug). The exact side replicates in
+    the oracle; recall_ok is asserted Spark-side like
+    ann_ivf_recall_check's."""
+    cb, qv = _pq_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    rerank = QUERIES["ann_pq_rerank_topk"](spark, sf_dir)
+
+    exact = (
+        emb.select("vec_id", _pq_exact_d2_spark(qv).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    overlap = exact.join(rerank.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("__n_overlap")
+    )
+    mx = exact.agg(
+        F.round(F.max("d2") * 1e6).cast("bigint").alias("max_exact_d2_micro")
+    )
+    return mx.join(F.broadcast(overlap)).select(
+        "max_exact_d2_micro",
+        (F.col("__n_overlap") >= 7).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 retrieval scoring (Okapi; the classic lexical-retrieval ranking a
 # training-data pipeline uses for eval-set mining and query-based corpus
 # slicing). The corpus statistics — per-term idf and average document

@@ -211,3 +211,76 @@ def test_label_pca_summary_string_labels(spark):
     # group a varies only along dim 0: cov = var([1,2,3]) = 1.0, all of it
     assert got["a"] == (3, 1.0, 1.0)
     assert got["b"] == (2, 2.0, 1.0)
+
+
+def test_pq_encode_matches_numpy_replica(spark):
+    """PQ codes from the pandas-UDF encoder equal an independent numpy
+    argmin over the twin-trained codebooks for every corpus vector, and
+    each code is within [0, ksub)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks_parquet,
+    )
+
+    path = f"{SF_DIR}/embeddings.parquet"
+    cb = train_pq_codebooks_parquet(path, m=16, ksub=16, seed=42)
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    got = {
+        r.vec_id: list(r.code)
+        for r in pq_encode(emb, "embedding", cb, "code").select("vec_id", "code").collect()
+    }
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id"))
+    X = np.stack(t.column("embedding").to_pylist()).astype("float64")
+    dsub = X.shape[1] // 16
+    want = {}
+    codes = np.empty((len(X), 16), dtype=int)
+    for j in range(16):
+        Cj = np.asarray(cb[j])
+        d = ((X[:, j * dsub : (j + 1) * dsub][:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    for i, v in enumerate(vid):
+        want[int(v)] = codes[i].tolist()
+    assert got == want
+    assert all(0 <= c < 16 for cs in got.values() for c in cs)
+
+
+def test_pq_adc_exact_when_vectors_sit_on_centroids(spark):
+    """Quantization-lossless case: every vector IS one of its subspace
+    centroids, so ADC distance == exact squared L2 and the ADC top-k is
+    the exact top-k."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks_parquet,
+    )
+
+    path = f"{SF_DIR}/embeddings.parquet"
+    cb = train_pq_codebooks_parquet(path, m=16, ksub=16, seed=42)
+    dsub = 4
+    rng = np.random.RandomState(3)
+    rows = []
+    built = []
+    for i in range(40):
+        v = np.concatenate(
+            [np.asarray(cb[j][rng.randint(16)]) for j in range(16)]
+        )
+        rows.append((i, [float(x) for x in v]))
+        built.append(v)
+    q = [float(x) for x in built[0]]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_adc_topk(df, "vec_id", "embedding", q, cb, k=5, round_to=6).collect()
+    ]
+    B = np.stack(built)
+    d2 = np.round(((B - np.asarray(q)[None, :]) ** 2).sum(axis=1), 6)
+    order = np.lexsort((np.arange(40), d2))[:5]
+    want = [(int(i), float(d2[i])) for i in order]
+    assert got == want
+    assert got[0] == (0, 0.0)  # the query row itself at distance exactly 0

@@ -168,6 +168,48 @@ def measure(sf_dir: str) -> list[tuple[str, float, float, bool]]:
         ULP_NOISE,
     )
 
+    # --- PQ faces: per-subspace argmin gap (encode parity: the pandas
+    # UDF expands ||x-c||², the oracle folds termwise — same class as
+    # the IVF assignment gap), plus ADC / rerank 6-dp boundaries ---
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        train_pq_codebooks_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
+        _PQ_KSUB,
+        _PQ_M,
+    )
+
+    cb = train_pq_codebooks_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), m=_PQ_M, ksub=_PQ_KSUB, seed=42
+    )
+    dsub = X.shape[1] // _PQ_M
+    gaps = []
+    codes = np.empty((len(X), _PQ_M), dtype=int)
+    for j in range(_PQ_M):
+        Cj = np.asarray(cb[j])
+        dj = ((X[:, j * dsub : (j + 1) * dsub][:, None, :] - Cj[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        s = np.sort(dj, axis=1)
+        gaps.append(float((s[:, 1] - s[:, 0]).min()))
+        codes[:, j] = dj.argmin(axis=1)
+    check("pq per-subspace argmin gap", min(gaps), FORMULA_NOISE)
+    lut = np.stack(
+        [
+            [((q[j * dsub : (j + 1) * dsub] - np.asarray(c)) ** 2).sum() for c in cb[j]]
+            for j in range(_PQ_M)
+        ]
+    )
+    adc = sum(lut[j][codes[:, j]] for j in range(_PQ_M))
+    check("ann_pq adc 6dp boundary (abs)", _round_margin(adc) * 1e-6, ULP_NOISE)
+    d2q = ((X - q[None, :]) ** 2).sum(axis=1)
+    short = np.lexsort((vid, np.round(adc, 6)))[:100]
+    check(
+        "ann_pq rerank d2 6dp boundary (abs)",
+        _round_margin(d2q[short]) * 1e-6,
+        SUM_NOISE,
+    )
+
     # --- docs_lm_perplexity: micro-quantized ln P(w2|w1) per distinct
     # bigram (one libm ln per value — ulp-class; the per-doc sums are
     # exact BIGINTs after quantization, so only this boundary matters) ---
