@@ -43,6 +43,7 @@ _CHECK_FIRST = [
     "ann_pq_adc_topk",  # ADC top-10 from codes, literal LUT
     "ann_pq_rerank_topk",  # ADC shortlist-100 -> exact rerank (production)
     "ann_pq_recall_check",  # rerank recall >= 7/10 vs exact top-10
+    "ann_ivfpq_topk",  # IVF probe -> ADC shortlist -> exact rerank
     # --- last driver row r4 (oldest rows in the registry; full set) ---
     "revenue_by_nation",
     "multimodal_stats",

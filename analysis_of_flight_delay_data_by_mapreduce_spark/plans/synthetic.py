@@ -1938,6 +1938,81 @@ def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: the two tiers composed — the FAISS-default shape at scale.
+# Coarse IVF probing prunes the scan to n_probe clusters (partition
+# pruning on a cluster-partitioned table), ADC scores only the
+# candidates' 8-byte codes, and the exact rerank touches just the
+# shortlist. This variant encodes RAW vectors (not per-cluster
+# residuals — residual codebooks would need one PQ trainer per coarse
+# cell; at 16 cells × this corpus the raw-vector variant loses little
+# and keeps ONE engine-shared codebook set, so the whole pipeline stays
+# hash-checkable). Every constant is already trained: IVF centroids +
+# probe list from _ivf_shared_cached, PQ books/LUT from
+# _pq_shared_cached — both twins, both literal-rendered.
+# ---------------------------------------------------------------------------
+def _ann_ivfpq_oracle(sf_dir: str) -> str:
+    cb, qv = _pq_shared_cached(sf_dir)
+    C, _qv2, probes = _ivf_shared_cached(sf_dir)
+    lut_sql, adc_terms = _pq_lut_sql(cb, qv)
+    in_list = ",".join(str(p) for p in probes)
+    return (
+        _pq_assigned_sql(cb)
+        + f"""
+    , cents AS (SELECT {_cents_sql(C)} AS C),
+    clustered AS (
+      SELECT v.vec_id,
+             list_position(d.dists, list_min(d.dists)) - 1 AS cluster
+      FROM v, cents,
+           LATERAL (SELECT list_transform(cents.C, c ->
+                      list_sum(list_transform(list_zip(v.ve, c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists) d
+    ),
+    shortlist AS (
+      SELECT p.vec_id, round({adc_terms}, 6) AS adc_dist
+      FROM packed p JOIN clustered cl ON p.vec_id = cl.vec_id,
+           (SELECT {lut_sql} AS L)
+      WHERE cl.cluster IN ({in_list})
+      ORDER BY adc_dist ASC, p.vec_id ASC LIMIT 50
+    ),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_sum(list_transform(list_zip(e.embedding, q.qv),
+             p -> (CAST(p[1] AS DOUBLE) - p[2])
+                * (CAST(p[1] AS DOUBLE) - p[2]))), 6) AS d2
+    FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id, q
+    ORDER BY d2 ASC, e.vec_id ASC LIMIT 10
+    """
+    )
+
+
+@register("ann_ivfpq_topk", oracle=_ann_ivfpq_oracle)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10: probe the 4 nearest coarse clusters (IN-list →
+    partition pruning on a cluster-partitioned table), ADC-score only
+    those candidates' codes, exact-rerank the 50-row shortlist. At
+    100 TB the query reads n_probe/n_clusters of the CODE column
+    (~3 TB × 1/4) and exactly 50 float vectors."""
+    from ..operators.similarity import assign_ivf_cluster, pq_adc_topk
+
+    cb, qv = _pq_shared_cached(sf_dir)
+    C, _qv2, probes = _ivf_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = assign_ivf_cluster(emb, "embedding", C).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    shortlist = pq_adc_topk(
+        cands, "vec_id", "embedding", qv, cb, k=50, round_to=6
+    ).select("vec_id")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .select("vec_id", F.round(_pq_exact_d2_spark(qv), 6).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 retrieval scoring (Okapi; the classic lexical-retrieval ranking a
 # training-data pipeline uses for eval-set mining and query-based corpus
 # slicing). The corpus statistics — per-term idf and average document

@@ -135,6 +135,8 @@ def test_no_forced_broadcast_of_scaling_tables():
         "n_inter",      # 1-row COUNT aggregate (dedup_incremental_minhash_check)
         "counts",       # per-nationkey counts — bounded by the fixed
                         # 25-value nation-key domain (nation_customer_counts)
+        "shortlist",    # ADC candidate ids — LIMIT 50/100 by construction
+                        # (ann_pq_rerank_topk / ann_ivfpq_topk)
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
