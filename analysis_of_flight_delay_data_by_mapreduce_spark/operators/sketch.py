@@ -29,6 +29,7 @@ __all__ = [
     "qsketch_build",
     "qsketch_merge",
     "qsketch_quantiles",
+    "exact_quantiles_two_pass",
     "with_qsketch_bucket",
     "QSKETCH_PREC",
 ]
@@ -238,6 +239,112 @@ def qsketch_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("shift", "sub").agg(F.sum("cnt").alias("cnt"))
 
 
+def _qsketch_cum(sketch: DataFrame) -> DataFrame:
+    """(__lo, __hi, cnt, __cum) per grid bucket — the cumulative walk
+    shared by the bracket estimator and the two-pass exact selector. The
+    window runs over the GRID (<= ~1k rows however large the data), so
+    its SinglePartition sort is bounded by the sketch size."""
+    from pyspark.sql import Window as W
+
+    lo = F.expr("sub * shiftleft(cast(1 as bigint), shift)").cast("bigint")
+    hi = F.expr(
+        "(sub + 1) * shiftleft(cast(1 as bigint), shift) - 1"
+    ).cast("bigint")
+    w = W.orderBy("__lo").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        sketch.select(
+            lo.alias("__lo"), hi.alias("__hi"), F.col("cnt").cast("bigint").alias("cnt")
+        )
+        .withColumn("__cum", F.sum("cnt").over(w))
+    )
+
+
+def _qsketch_ranks(cum: DataFrame, permille: list[int]) -> DataFrame:
+    """(p, __rank, __n) — the integer rank per requested permille:
+    ``(n*p + 999) div 1000``, never a float product (decimal-vs-double
+    literal typing differs across engines at ceil boundaries)."""
+    n = cum.agg(F.sum("cnt").alias("__n"))
+    ps = F.explode(
+        F.array(*[F.lit(int(p)).cast("bigint") for p in permille])
+    ).alias("p")
+    return n.select(ps, F.col("__n")).select(
+        "p",
+        F.expr("(__n * p + 999) div 1000").cast("bigint").alias("__rank"),
+        "__n",
+    )
+
+
+def exact_quantiles_two_pass(
+    df: DataFrame, value_col: str, permille: list[int]
+) -> DataFrame:
+    """EXACT permille quantiles of a non-negative BIGINT column in two
+    bounded passes — no global sort, the sketch-guided selection
+    pattern (Munro-Paterson style: a summary narrows the candidate
+    range, a second pass resolves it exactly).
+
+    Pass 1 builds the mergeable HDR grid (one partial-aggregated
+    shuffle); the rank's bracket AND the exact count of values below it
+    both fall out of the grid's cumulative walk — ``c_below`` needs no
+    rescan because the buckets partition the domain. Pass 2 touches
+    ONLY rows inside the (p-specific) brackets — a broadcast range join
+    against |permille| bracket rows — aggregates per distinct value,
+    and picks the smallest value v with ``c_below + cum(v) >= rank``:
+    the exact rank-th order statistic (1-based, duplicates counted).
+
+    The per-p resolution window runs over distinct values within ONE
+    bucket (relative width <= 2^-QSKETCH_PREC); for adversarial
+    distributions where a single bucket still holds too many distinct
+    values, recurse: re-sketch the bracket rows at a finer offset —
+    one extra bounded pass per level, log_16 levels worst case. Not
+    needed at any realistic skew (a bucket is 6.25% of its value's
+    magnitude).
+
+    Output: ``(p, n_rows, exact_value)`` — hash-identical to a full-sort
+    oracle by construction (pure integer ranks and counts).
+    """
+    from pyspark.sql import Window as W
+
+    from .cache import scoped_persist
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("bigint").alias("__x")
+    )
+    cum = _qsketch_cum(qsketch_build(vals, "__x"))
+    ranks = _qsketch_ranks(cum, permille)
+    brackets = scoped_persist(
+        cum.join(
+            F.broadcast(ranks),
+            (F.col("__cum") >= F.col("__rank"))
+            & (F.col("__cum") - F.col("cnt") < F.col("__rank")),
+        ).select(
+            "p",
+            "__rank",
+            "__n",
+            F.col("__lo"),
+            F.col("__hi"),
+            (F.col("__cum") - F.col("cnt")).alias("__c_below"),
+        )
+    )
+    inside = vals.join(
+        F.broadcast(brackets),
+        (F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi")),
+    )
+    per_val = inside.groupBy("p", "__rank", "__n", "__c_below", "__x").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    w = W.partitionBy("p").orderBy("__x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    resolved = per_val.withColumn("__vcum", F.sum("__k").over(w)).filter(
+        F.col("__c_below") + F.col("__vcum") >= F.col("__rank")
+    )
+    return (
+        resolved.groupBy("p", "__n")
+        .agg(F.min("__x").alias("exact_value"))
+        .select("p", F.col("__n").alias("n_rows"), "exact_value")
+    )
+
+
 def qsketch_quantiles(sketch: DataFrame, permille: list[int]) -> DataFrame:
     """Quantile brackets from the bucket grid: for each requested
     quantile q = p/1000, the bucket containing the rank-``ceil(q*n)``
@@ -252,26 +359,8 @@ def qsketch_quantiles(sketch: DataFrame, permille: list[int]) -> DataFrame:
     ~1k rows however large the data), so its SinglePartition sort is
     bounded by the sketch size, not the data — the point of sketching.
     """
-    from pyspark.sql import Window as W
-
-    lo = F.expr("sub * shiftleft(cast(1 as bigint), shift)").cast("bigint")
-    hi = F.expr(
-        "(sub + 1) * shiftleft(cast(1 as bigint), shift) - 1"
-    ).cast("bigint")
-    w = W.orderBy("__lo").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = (
-        sketch.select(
-            lo.alias("__lo"), hi.alias("__hi"), F.col("cnt").cast("bigint").alias("cnt")
-        )
-        .withColumn("__cum", F.sum("cnt").over(w))
-    )
-    n = cum.agg(F.sum("cnt").alias("__n"))
-    ps = F.explode(
-        F.array(*[F.lit(int(p)).cast("bigint") for p in permille])
-    ).alias("p")
-    ranks = n.select(ps, F.col("__n")).select(
-        "p", F.expr("(__n * p + 999) div 1000").cast("bigint").alias("__rank")
-    )
+    cum = _qsketch_cum(sketch)
+    ranks = _qsketch_ranks(cum, permille).drop("__n")
     # ranks is |permille| rows — broadcast it against the tiny grid; the
     # containing bucket is the unique one with cum-cnt < rank <= cum
     return (

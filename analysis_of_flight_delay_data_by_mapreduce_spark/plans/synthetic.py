@@ -2497,6 +2497,40 @@ def events_quantile_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-GUIDED exact selection (Munro-Paterson style): exact P50/P90/
+# P99 order statistics in two bounded passes, no global sort. Pass 1 is
+# the mergeable HDR grid; the rank's bracket AND the exact
+# count-below-bracket both fall out of the grid's cumulative walk, so
+# pass 2 touches only in-bracket rows (<= 6.25% relative width) and
+# resolves the rank-th element exactly. The oracle is a FULL SORT
+# (row_number over every value) — hash equality proves the two-pass
+# selection exact, not approximate. Pure integer ranks and counts.
+# ---------------------------------------------------------------------------
+@register(
+    "events_exact_quantiles_sketch",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+      WHERE value IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    p(p) AS (VALUES (CAST(500 AS BIGINT)), (900), (990)),
+    r AS (SELECT p, (n.n * p + 999) // 1000 AS rank, n.n AS n FROM p, n),
+    ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+    SELECT r.p AS p, r.n AS n_rows, ranked.x AS exact_value
+    FROM r JOIN ranked ON ranked.rn = r.rank
+    """,
+)
+def events_exact_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import exact_quantiles_two_pass
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x")
+    )
+    return exact_quantiles_two_pass(ev, "x", [500, 900, 990])
+
+
+# ---------------------------------------------------------------------------
 # Deterministic distributed "reservoir" sample: the bottom-k-by-hash
 # sketch (k smallest md5(id) per source). Mergeable — the bottom-k of a
 # union is computable from per-partition bottom-ks — and stable across

@@ -42,6 +42,13 @@ _SINGLE_PARTITION_OK = {
                                     # row_number is check-face-only (the
                                     # production answer is the bracket —
                                     # see the query docstring)
+    "events_exact_quantiles_sketch",  # both SinglePartitions are
+                                      # sketch-bounded: the grid cumsum
+                                      # window (<=~1k bucket rows) and the
+                                      # 1-row n aggregate; pass-2
+                                      # resolution partitions by p
+                                      # (hashpartitioning, in-bracket
+                                      # rows only — never data-wide)
     "ann_ivf_recall_check",
     "orders_join_size_cms_check",  # four 1-row aggregates (exact join
                                    # count, two side counts, min-over-4-

@@ -490,3 +490,31 @@ def test_label_pca_equals_numpy_replica(spark):
         lab: (n, int(round(t * 1e6)), int(round(e * 1e6)))
         for lab, (n, t, e) in want.items()
     }
+
+
+def test_exact_quantiles_two_pass_matches_full_sort(spark):
+    """The sketch-guided two-pass selector returns EXACTLY the rank-th
+    order statistic (1-based, duplicates counted) for every permille —
+    against a python full sort — on a distribution spanning octaves,
+    with heavy duplicates at the median, zeros, and values below the
+    exact-bucket threshold; extreme permilles (1 and 1000) hit the min
+    and max elements."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        exact_quantiles_two_pass,
+    )
+
+    vals = (
+        [0, 0, 1, 2, 3] + [7] * 40 + [100] * 25 + [101, 103, 130]
+        + list(range(1000, 1040)) + [10**12, 10**12 + 7]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    permille = [1, 250, 500, 900, 990, 1000]
+    got = {
+        r.p: (r.n_rows, r.exact_value)
+        for r in exact_quantiles_two_pass(df, "x", permille).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    want = {p: (n, s[(n * p + 999) // 1000 - 1]) for p in permille}
+    assert got == want
+    assert got[1][1] == 0 and got[1000][1] == 10**12 + 7
