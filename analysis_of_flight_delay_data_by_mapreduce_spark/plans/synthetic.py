@@ -2497,6 +2497,64 @@ def events_quantile_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CMS-guided hot-key detection: the sketch tier driving the skew tier.
+# At 100 TB the salting list for operators.skew.salted_join /
+# salted_sum_count has to come from somewhere — this face derives it:
+# probe the increment's DISTINCT keys against the history's CMS grid
+# (KBs however large the history), take est >= T as candidates, and
+# exact-verify ONLY the candidates. est >= true is deterministic, so
+# candidates ⊇ true-heavy — the sketch can never MISS a hot key, it can
+# only send a few extra keys to the (cheap, semi-joined) verify pass.
+# Output = the verified hot keys; lower_ok / flagged assert the
+# deterministic CMS invariants per key in the driver hash.
+# ---------------------------------------------------------------------------
+_HOT_KEY_T = 15
+
+
+@register(
+    "orders_hot_custkeys_cms_check",
+    oracle=f"""
+    WITH inc AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 8 = 0
+    ),
+    cnt AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.o_custkey, c.exact_count, TRUE AS lower_ok, TRUE AS flagged
+    FROM cnt c JOIN inc USING (o_custkey)
+    WHERE c.exact_count >= {_HOT_KEY_T}
+    """,
+)
+def orders_hot_custkeys_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.sketch import cms_build, cms_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("k"))
+    grid = cms_build(keys, "k", depth=4, width=1024)
+    probe = (
+        orders.filter(F.col("o_orderkey") % 8 == 0)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    est = cms_estimate(grid, probe, "k", depth=4, width=1024)
+    cand = scoped_persist(est.filter(F.col("est") >= _HOT_KEY_T))
+    verified = (
+        keys.join(cand.select("k"), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .filter(F.col("exact_count") >= _HOT_KEY_T)
+    )
+    return verified.join(cand, "k").select(
+        F.col("k").alias("o_custkey"),
+        "exact_count",
+        (F.col("est") >= F.col("exact_count")).alias("lower_ok"),
+        (F.col("est") >= F.lit(_HOT_KEY_T)).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch-GUIDED exact selection (Munro-Paterson style): exact P50/P90/
 # P99 order statistics in two bounded passes, no global sort. Pass 1 is
 # the mergeable HDR grid; the rank's bracket AND the exact
