@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "ann_ivfpq_topk",  # IVF probe -> ADC shortlist -> exact rerank
     "events_exact_quantiles_sketch",  # two-pass EXACT order stats, no sort
     "orders_hot_custkeys_cms_check",  # sketch-driven salting-list detection
+    "events_value_mad_outliers",  # median/MAD robust outliers, no sort
     # --- last driver row r4 (oldest rows in the registry; full set) ---
     "revenue_by_nation",
     "multimodal_stats",

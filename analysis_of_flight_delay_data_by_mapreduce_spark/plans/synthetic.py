@@ -2589,6 +2589,73 @@ def events_exact_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection — the two-pass exact selector
+# COMPOSED: median in two bounded passes, MAD (median absolute
+# deviation) in two more over the derived |x − median| column, then one
+# counting pass — five bounded passes, zero global sorts, all integer.
+# The z-score face (events_value_zscore_outliers) is mean/stddev-based
+# and itself skewed by the outliers it hunts; median/MAD is the robust
+# production variant. Oracle recomputes via full sorts.
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+      WHERE value IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    med AS (
+      SELECT x AS med FROM (
+        SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v
+      ), n WHERE rn = (n.n * 500 + 999) // 1000
+    ),
+    dev AS (SELECT abs(v.x - med.med) AS d FROM v, med),
+    mad AS (
+      SELECT d AS mad FROM (
+        SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dev
+      ), n WHERE rn = (n.n * 500 + 999) // 1000
+    )
+    SELECT n.n AS n_rows, med.med AS median_cents, mad.mad AS mad_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v, med, mad
+            WHERE abs(v.x - med.med) >= 5 * mad.mad) AS n_outliers
+    FROM n, med, mad
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.sketch import exact_quantiles_two_pass
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = scoped_persist(
+        ev.select(F.round(F.col("value") * 100, 0).cast("bigint").alias("x"))
+    )
+    med = exact_quantiles_two_pass(vals, "x", [500]).select(
+        F.col("n_rows"), F.col("exact_value").alias("median_cents")
+    )
+    dev = vals.join(F.broadcast(med)).select(
+        F.abs(F.col("x") - F.col("median_cents")).alias("d")
+    )
+    mad = exact_quantiles_two_pass(dev, "d", [500]).select(
+        F.col("exact_value").alias("mad_cents")
+    )
+    outliers = (
+        vals.join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .filter(
+            F.abs(F.col("x") - F.col("median_cents"))
+            >= F.lit(5) * F.col("mad_cents")
+        )
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        med.join(F.broadcast(mad))
+        .join(F.broadcast(outliers))
+        .select("n_rows", "median_cents", "mad_cents", "n_outliers")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic distributed "reservoir" sample: the bottom-k-by-hash
 # sketch (k smallest md5(id) per source). Mergeable — the bottom-k of a
 # union is computable from per-partition bottom-ks — and stable across

@@ -49,6 +49,11 @@ _SINGLE_PARTITION_OK = {
                                       # resolution partitions by p
                                       # (hashpartitioning, in-bracket
                                       # rows only — never data-wide)
+    "events_value_mad_outliers",      # the same sketch-bounded
+                                      # SinglePartitions, twice (median
+                                      # pass + MAD pass) plus three 1-row
+                                      # aggregates (n/median/mad/outlier
+                                      # count) joined broadcast
     "ann_ivf_recall_check",
     "orders_join_size_cms_check",  # four 1-row aggregates (exact join
                                    # count, two side counts, min-over-4-

@@ -137,6 +137,9 @@ def test_no_forced_broadcast_of_scaling_tables():
                         # 25-value nation-key domain (nation_customer_counts)
         "shortlist",    # ADC candidate ids — LIMIT 50/100 by construction
                         # (ann_pq_rerank_topk / ann_ivfpq_topk)
+        "med",          # 1-row exact-median frame (events_value_mad_outliers)
+        "mad",          # 1-row exact-MAD frame (events_value_mad_outliers)
+        "outliers",     # 1-row outlier COUNT aggregate (same query)
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
