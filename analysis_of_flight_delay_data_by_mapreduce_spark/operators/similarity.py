@@ -44,6 +44,8 @@ __all__ = [
     "train_pq_codebooks_parquet",
     "pq_encode",
     "pq_adc_topk",
+    "build_ivfpq_table",
+    "query_ivfpq_table",
 ]
 
 
@@ -623,6 +625,91 @@ def pq_adc_topk(
     if round_to is not None:
         scored = scored.withColumn(out, F.round(F.col(out), round_to))
     return scored.orderBy(F.col(out).asc(), F.col(id_col).asc()).limit(k)
+
+
+def build_ivfpq_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    n_clusters: int = 16,
+    m: int = 16,
+    ksub: int = 16,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVF-PQ index: rows ``(id, code)`` — NO float
+    vectors — written partitioned by coarse cluster (hive layout). The
+    query path reads ``n_probe`` partition directories of an
+    ~8-bytes-per-row table; the raw-vector table is touched only by the
+    final shortlist rerank. At 100 TB the index is ~3 TB and a query
+    scans ~n_probe/n_clusters of it. Returns ``(centroids, codebooks)``
+    (persist them next to the table, like ``build_ann_table``)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_clusters=n_clusters, seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(df, vec_col, m=m, ksub=ksub, seed=seed)
+    coded = pq_encode(
+        assign_ivf_cluster(df, vec_col, centroids), vec_col, codebooks, "code"
+    )
+    coded.select(id_col, "code", "cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    return centroids, codebooks
+
+
+def query_ivfpq_table(
+    spark,
+    path: str,
+    rerank_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    out: str = "d2",
+) -> DataFrame:
+    """Top-k against a ``build_ivfpq_table`` index: the cluster IN-filter
+    prunes partitions before any file opens, ADC runs over the pruned
+    codes (``code_col`` path — no encode, no vectors), and only the
+    ``shortlist`` winners' float vectors are read from ``rerank_df`` for
+    the exact squared-L2 rerank."""
+    C = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    probes = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    codes = spark.read.parquet(path).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    ids = pq_adc_topk(
+        codes,
+        id_col,
+        vec_col="",
+        query_vec=query_vec,
+        codebooks=codebooks,
+        k=shortlist,
+        round_to=6,
+        code_col="code",
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            qlit,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        rerank_df.join(F.broadcast(ids), id_col, "left_semi")
+        .select(id_col, F.round(d2, 6).alias(out))
+        .orderBy(F.col(out).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def label_pca_summary(

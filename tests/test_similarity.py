@@ -284,3 +284,88 @@ def test_pq_adc_exact_when_vectors_sit_on_centroids(spark):
     want = [(int(i), float(d2[i])) for i in order]
     assert got == want
     assert got[0] == (0, 0.0)  # the query row itself at distance exactly 0
+
+
+def test_ivfpq_table_prunes_partitions_and_matches_inmemory(spark, tmp_path):
+    """build_ivfpq_table writes (id, code) partitioned by coarse cluster
+    — no float vectors in the index; query_ivfpq_table's codes scan
+    reads ONLY the probed partition directories (partition pruning) and
+    its shortlist+rerank answer equals the in-memory IVF-PQ pipeline
+    (assign -> filter -> ADC from codes -> exact rerank) row for row.
+    Also exercises pq_adc_topk's code_col path against its encode-in-plan
+    path."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        assign_ivf_cluster,
+        build_ivfpq_table,
+        pq_adc_topk,
+        query_ivfpq_table,
+        train_ivf_centroids_parquet,
+        train_pq_codebooks_parquet,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    C = train_ivf_centroids_parquet(src, n_clusters=16, seed=42)
+    cb = train_pq_codebooks_parquet(src, m=16, ksub=16, seed=42)
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_table(emb, path, "vec_id", "embedding", centroids=C, codebooks=cb)
+
+    qv = [
+        float(x)
+        for x in emb.filter(emb.vec_id == 0).first()["embedding"]
+    ]
+    got = [
+        (r.vec_id, r.d2)
+        for r in query_ivfpq_table(
+            spark, path, emb, "vec_id", "embedding", qv, C, cb, k=10
+        ).collect()
+    ]
+
+    # pruning: the cluster IN-filter must plan as a PARTITION filter
+    # (pruned pre-scan, like test_ann_table_partition_pruning) and the
+    # codes scan must not read any float-vector column
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import (
+        plan_text,
+    )
+    from pyspark.sql import functions as F
+
+    Ca = np.asarray(C, dtype="float64")
+    q = np.asarray(qv, dtype="float64")
+    probes = np.argsort(((Ca - q[None, :]) ** 2).sum(axis=1))[:4].tolist()
+    codes = spark.read.parquet(path).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    txt = plan_text(codes)
+    assert "PartitionFilters: [cluster" in txt.replace(
+        "PartitionFilters: [ cluster", "PartitionFilters: [cluster"
+    )
+    assert "embedding" not in txt  # the index holds codes, not vectors
+
+    # in-memory reference: same pipeline without the table
+    cands = assign_ivf_cluster(emb, "embedding", C).filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    ids = pq_adc_topk(
+        cands, "vec_id", "embedding", qv, cb, k=50, round_to=6
+    ).select("vec_id")
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            qlit,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    want = [
+        (r.vec_id, r.d2)
+        for r in emb.join(F.broadcast(ids), "vec_id", "left_semi")
+        .select("vec_id", F.round(d2, 6).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == want and len(got) == 10
