@@ -715,3 +715,81 @@ def test_stream_dsir_select_matches_batch(spark, tmp_path):
     replayed = run("ckpt2")  # fresh checkpoint replays every epoch
     assert replayed == want
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_stream_hot_key_alerts_match_batch(spark, tmp_path):
+    """Streaming CMS hot-key alerts == the batch probe of the same
+    increment against the same frozen grid, across a micro-batch split
+    (per-key decisions against a frozen grid are batch-split-invariant),
+    and epoch replay does not duplicate alerts. est >= true keeps the
+    alert set a superset of the truly-hot keys."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.hotkeys import (
+        run_hot_key_alert_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    hist = orders.select(F.col("o_custkey").alias("k"))
+    grid_path = str(tmp_path / "grid")
+    cms_build(hist, "k", depth=4, width=1024).write.parquet(grid_path)
+
+    inc = orders.filter(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    grid = spark.read.parquet(grid_path)
+    want = {
+        (r.o_custkey, r.est)
+        for r in cms_estimate(
+            grid, inc.select(F.col("o_custkey").alias("__k")).distinct(),
+            "__k", 4, 1024,
+        )
+        .filter(F.col("est") >= 15)
+        .select(F.col("__k").alias("o_custkey"), "est")
+        .collect()
+    }
+    assert 0 < len(want) < inc.select("o_custkey").distinct().count()
+    # no false negatives vs exact history counts
+    truly_hot = {
+        r.o_custkey
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(
+            (F.col("n") >= 15)
+            & F.col("o_custkey").isin([int(k) for k, _ in want] or [0])
+        )
+        .collect()
+    }
+    assert truly_hot <= {k for k, _ in want}
+
+    land = str(tmp_path / "land")
+    inc.filter(F.col("o_orderkey") % 16 == 0).coalesce(1).write.parquet(land)
+    inc.filter(F.col("o_orderkey") % 16 == 8).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    out = str(tmp_path / "alerts")
+
+    def run(ckpt):
+        q = run_hot_key_alert_stream(
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land),
+            "o_custkey",
+            grid_path,
+            15,
+            out,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        return {
+            (r.o_custkey, r.est)
+            for r in spark.read.parquet(out).select("o_custkey", "est").collect()
+        }
+
+    assert run("ckpt1") == want
+    assert run("ckpt2") == want  # fresh checkpoint = full epoch replay
