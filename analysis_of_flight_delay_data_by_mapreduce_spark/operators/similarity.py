@@ -46,6 +46,7 @@ __all__ = [
     "pq_adc_topk",
     "build_ivfpq_table",
     "query_ivfpq_table",
+    "upsert_ivfpq_table",
 ]
 
 
@@ -395,10 +396,18 @@ def upsert_ann_table(
     ``sinks.upsert_partitions`` (re-running a failed day replaces the
     same partitions with the same content).
     """
+    assigned = assign_ivf_cluster(new_df, vec_col, centroids)
+    _upsert_by_cluster(assigned, path, id_col)
+
+
+def _upsert_by_cluster(assigned: DataFrame, path: str, id_col: str) -> None:
+    """Key-replacing dynamic-partition upsert of a cluster-assigned
+    batch — the shared merge step of ``upsert_ann_table`` and
+    ``upsert_ivfpq_table`` (any row shape, as long as a ``cluster``
+    partition column and ``id_col`` are present)."""
     from ..sources.sinks import upsert_partitions
 
-    spark = new_df.sparkSession
-    assigned = assign_ivf_cluster(new_df, vec_col, centroids)
+    spark = assigned.sparkSession
     # Bootstrap: the first increment against a not-yet-existing index is
     # just the assigned batch (ADVICE r5 — a bare read raised
     # PATH_NOT_FOUND instead of creating the table). The Hadoop FS probe
@@ -424,6 +433,29 @@ def upsert_ann_table(
     )
     merged = existing.unionByName(assigned)
     upsert_partitions(merged, path, ["cluster"])
+
+
+def upsert_ivfpq_table(
+    new_df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add (or replace, by ``id_col``) a vector batch in a
+    ``build_ivfpq_table`` index without rebuilding it: assign the batch
+    to the EXISTING coarse centroids, encode against the EXISTING
+    codebooks, then dynamic-partition-overwrite exactly the touched
+    cluster directories — the ``upsert_ann_table`` maintenance recipe
+    applied to the codes index (both quantizers describe the
+    distribution, not the rows; retrain only on drift). Cost scales
+    with the touched clusters; the batch's float vectors are read once
+    to encode and never stored in the index."""
+    assigned = pq_encode(
+        assign_ivf_cluster(new_df, vec_col, centroids), vec_col, codebooks, "code"
+    ).select(id_col, "code", "cluster")
+    _upsert_by_cluster(assigned, path, id_col)
 
 
 def query_ann_table(

@@ -369,3 +369,82 @@ def test_ivfpq_table_prunes_partitions_and_matches_inmemory(spark, tmp_path):
         .collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_upsert_ivfpq_table_touches_only_batch_clusters(spark, tmp_path):
+    """A code-index increment rewrites only the clusters the batch
+    touches (other cluster files keep their mtimes), replaces
+    re-embedded ids instead of duplicating them, is idempotent on
+    re-run, and bootstraps a missing index — the upsert_ann_table
+    contract on the codes table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        build_ivfpq_table,
+        train_ivf_centroids_parquet,
+        train_pq_codebooks_parquet,
+        upsert_ivfpq_table,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    C = train_ivf_centroids_parquet(src, n_clusters=16, seed=42)
+    cb = train_pq_codebooks_parquet(src, m=16, ksub=16, seed=42)
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_table(base, path, "vec_id", "embedding", centroids=C, codebooks=cb)
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("cluster=")
+    }
+    # overlap: re-embed one existing id with a batch row (id 4 is in
+    # batch by construction; also plant a replacement of base id 0)
+    replant = emb.filter(F.col("vec_id") == 0)
+    upsert_ivfpq_table(
+        batch.unionByName(replant), path, C, cb, "vec_id", "embedding"
+    )
+
+    got = spark.read.parquet(path)
+    n_all = emb.count()
+    assert got.count() == n_all  # replaced, not duplicated
+    assert got.select("vec_id").distinct().count() == n_all
+    assert got.filter(F.col("vec_id") == 0).count() == 1
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        assign_ivf_cluster,
+        pq_encode,
+    )
+
+    touched = {
+        f"cluster={r.cluster}"
+        for r in assign_ivf_cluster(
+            batch.unionByName(replant), "embedding", C
+        ).select("cluster").distinct().collect()
+    }
+    for d, t in before.items():
+        if d not in touched:
+            assert os.path.getmtime(os.path.join(path, d)) == t, d
+
+    # codes in the index match a fresh encode of the same rows
+    want_codes = {
+        r.vec_id: list(r.code)
+        for r in pq_encode(emb, "embedding", cb, "code").select("vec_id", "code").collect()
+    }
+    got_codes = {r.vec_id: list(r.code) for r in got.select("vec_id", "code").collect()}
+    assert got_codes == want_codes
+
+    # idempotence: re-running the same increment changes nothing
+    upsert_ivfpq_table(
+        batch.unionByName(replant), path, C, cb, "vec_id", "embedding"
+    )
+    assert spark.read.parquet(path).count() == n_all
+
+    # bootstrap: upsert into a missing path creates the index
+    p2 = str(tmp_path / "fresh")
+    upsert_ivfpq_table(batch, p2, C, cb, "vec_id", "embedding")
+    assert spark.read.parquet(p2).count() == batch.count()
