@@ -150,12 +150,20 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
-    # stdout line: keep it parseable — per-query maps only in the file.
-    # At 137 registered queries even the `queries` map alone overflows the
-    # driver's 2 kB stdout tail buffer (BENCH_r05/r06 recorded
-    # `parsed: null`), so ALL per-query maps now live only in
-    # BENCH_FULL.json; stdout carries the scalars plus `requeued` (the
-    # contention-adjudication headline).
+    print(json.dumps(slim_stdout_payload(payload), separators=(",", ":")))
+    spark.stop()
+
+
+def slim_stdout_payload(payload: dict) -> dict:
+    """The stdout JSON line: scalars + ``requeued`` + ``n_queries`` only.
+
+    Every PER-QUERY map stays in BENCH_FULL.json — at 137+ registered
+    queries even the ``queries`` map alone overflows the driver's 2 kB
+    stdout tail buffer (BENCH_r05/r06 recorded ``parsed: null``; the
+    round-1 clipping regression recurring at registry scale). The size
+    contract is pinned by ``tests/test_driver_contract.py`` so registry
+    growth cannot silently re-break the driver's parse.
+    """
     slim = {
         k: v
         for k, v in payload.items()
@@ -168,9 +176,8 @@ def main() -> None:
             "requeue_medians",
         )
     }
-    slim["n_queries"] = len(timings)
-    print(json.dumps(slim, separators=(",", ":")))
-    spark.stop()
+    slim["n_queries"] = len(payload.get("queries", {}))
+    return slim
 
 
 if __name__ == "__main__":

@@ -43,3 +43,37 @@ def test_bare_session_driver_simulation():
         timeout=240,
     )
     assert "DRIVER_SIM_OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_bench_stdout_line_fits_driver_tail_buffer():
+    """The bench stdout JSON line must stay well under the driver's 2 kB
+    tail buffer AT ANY REGISTRY SIZE — the r1/r5/r6 clipping regression
+    (parsed: null) pinned structurally: per-query maps are stripped, so
+    the line size is constant in the query count."""
+    import json
+
+    from bench import slim_stdout_payload
+
+    payload = {
+        "metric": "sum of per-query median wall-clock",
+        "value": 123.4567,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.1234 for i in range(1000)},
+        "cold": {f"q{i}": 1.1234 for i in range(1000)},
+        "cold_total": 1234.5,
+        "load1_start": 0.12,
+        "load1_end": 3.45,
+        "load1_per_query": {f"q{i}": 1.0 for i in range(1000)},
+        "spread_per_query": {f"q{i}": 1.5 for i in range(1000)},
+        "requeued": [f"q{i}" for i in range(8)],
+        "requeue_medians": {f"q{i}": {"first": 1.0} for i in range(8)},
+        "sf": 0.1,
+    }
+    slim = slim_stdout_payload(payload)
+    line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) < 1024, len(line)
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 1000
+    assert parsed["value"] == 123.4567 and parsed["sf"] == 0.1
+    assert "queries" not in parsed and "cold" not in parsed
+    assert parsed["requeued"]  # the adjudication headline survives
