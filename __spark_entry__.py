@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "events_exact_quantiles_sketch",  # two-pass EXACT order stats, no sort
     "orders_hot_custkeys_cms_check",  # sketch-driven salting-list detection
     "events_value_mad_outliers",  # median/MAD robust outliers, no sort
+    "events_quantiles_by_type",  # per-group exact quantiles, no sort
     # --- last driver row r4 (oldest rows in the registry; full set) ---
     "revenue_by_nation",
     "multimodal_stats",

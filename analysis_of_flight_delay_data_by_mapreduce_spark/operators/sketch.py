@@ -30,6 +30,7 @@ __all__ = [
     "qsketch_merge",
     "qsketch_quantiles",
     "exact_quantiles_two_pass",
+    "exact_quantiles_by_group",
     "with_qsketch_bucket",
     "QSKETCH_PREC",
 ]
@@ -342,6 +343,103 @@ def exact_quantiles_two_pass(
         resolved.groupBy("p", "__n")
         .agg(F.min("__x").alias("exact_value"))
         .select("p", F.col("__n").alias("n_rows"), "exact_value")
+    )
+
+
+def exact_quantiles_by_group(
+    df: DataFrame, group_col: str, value_col: str, permille: list[int]
+) -> DataFrame:
+    """Per-GROUP exact permille quantiles — :func:`exact_quantiles_two_pass`
+    with every stage keyed by the group: per-group HDR grids (one
+    partial-aggregated shuffle on (group, bucket)), per-group cumulative
+    walks (window partitioned by group — each partition is ONE group's
+    grid, <= ~1k rows regardless of data), per-(group, p) brackets and
+    c_below from the same walk, and a pass-2 equi-join on the group with
+    the bracket range as residual — so the resolution is a hash join,
+    never a broadcast of something group-cardinality-sized. This is the
+    per-tenant / per-language percentile report at 100 TB: no global
+    sort, no per-group sort of raw values, state bounded by
+    groups × grid.
+
+    Output: ``(group_col, p, n_rows, exact_value)`` — the exact rank-th
+    order statistic within each group (same integer rank convention).
+    Groups are whatever values appear; NULL values are dropped (no
+    rank), NULL group keys group together as in any groupBy.
+    """
+    from pyspark.sql import Window as W
+
+    from .cache import scoped_persist
+
+    vals = scoped_persist(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("bigint").alias("__x"),
+        )
+    )
+    grid = (
+        with_qsketch_bucket(vals, "__x")
+        .groupBy("__g", "shift", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lo = F.expr("sub * shiftleft(cast(1 as bigint), shift)").cast("bigint")
+    hi = F.expr(
+        "(sub + 1) * shiftleft(cast(1 as bigint), shift) - 1"
+    ).cast("bigint")
+    w = (
+        W.partitionBy("__g")
+        .orderBy("__lo")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "__g", lo.alias("__lo"), hi.alias("__hi"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).withColumn("__cum", F.sum("cnt").over(w))
+    ps = F.explode(
+        F.array(*[F.lit(int(p)).cast("bigint") for p in permille])
+    ).alias("p")
+    ranks = (
+        cum.groupBy("__g")
+        .agg(F.sum("cnt").alias("__n"))
+        .select("__g", ps, "__n")
+        .select(
+            "__g",
+            "p",
+            F.expr("(__n * p + 999) div 1000").cast("bigint").alias("__rank"),
+            "__n",
+        )
+    )
+    brackets = scoped_persist(
+        cum.join(ranks, "__g").filter(
+            (F.col("__cum") >= F.col("__rank"))
+            & (F.col("__cum") - F.col("cnt") < F.col("__rank"))
+        ).select(
+            "__g", "p", "__rank", "__n", "__lo", "__hi",
+            (F.col("__cum") - F.col("cnt")).alias("__c_below"),
+        )
+    )
+    inside = vals.join(brackets, "__g").filter(
+        (F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi"))
+    )
+    per_val = inside.groupBy(
+        "__g", "p", "__rank", "__n", "__c_below", "__x"
+    ).agg(F.count(F.lit(1)).alias("__k"))
+    w2 = (
+        W.partitionBy("__g", "p")
+        .orderBy("__x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    resolved = per_val.withColumn("__vcum", F.sum("__k").over(w2)).filter(
+        F.col("__c_below") + F.col("__vcum") >= F.col("__rank")
+    )
+    return (
+        resolved.groupBy("__g", "p", "__n")
+        .agg(F.min("__x").alias("exact_value"))
+        .select(
+            F.col("__g").alias(group_col),
+            "p",
+            F.col("__n").alias("n_rows"),
+            "exact_value",
+        )
     )
 
 

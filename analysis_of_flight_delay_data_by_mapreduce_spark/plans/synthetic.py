@@ -2589,6 +2589,47 @@ def events_exact_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# The GROUPED face of the two-pass exact selector: per-event_type exact
+# P50/P90 — every stage keyed by the group (per-group grids, per-group
+# cumulative walks over grid-bounded window partitions, pass-2 as a
+# hash equi-join on the group with the bracket range residual). The
+# per-tenant/per-language percentile report at 100 TB: zero global
+# sorts, zero broadcasts of group-sized frames, state = groups × grid.
+# Oracle: per-group full sort.
+# ---------------------------------------------------------------------------
+@register(
+    "events_quantiles_by_type",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY event_type),
+    p(p) AS (VALUES (CAST(500 AS BIGINT)), (900)),
+    r AS (SELECT event_type, p, (n.n * p + 999) // 1000 AS rank, n.n AS n
+          FROM p, n),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn
+      FROM v
+    )
+    SELECT r.event_type, r.p AS p, r.n AS n_rows, ranked.x AS exact_value
+    FROM r JOIN ranked
+      ON ranked.event_type = r.event_type AND ranked.rn = r.rank
+    """,
+)
+def events_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import exact_quantiles_by_group
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    return exact_quantiles_by_group(ev, "event_type", "x", [500, 900])
+
+
+# ---------------------------------------------------------------------------
 # Robust (median/MAD) outlier detection — the two-pass exact selector
 # COMPOSED: median in two bounded passes, MAD (median absolute
 # deviation) in two more over the derived |x − median| column, then one

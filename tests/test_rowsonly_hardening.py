@@ -518,3 +518,34 @@ def test_exact_quantiles_two_pass_matches_full_sort(spark):
     want = {p: (n, s[(n * p + 999) // 1000 - 1]) for p in permille}
     assert got == want
     assert got[1][1] == 0 and got[1000][1] == 10**12 + 7
+
+
+def test_exact_quantiles_by_group_matches_per_group_sort(spark):
+    """The grouped two-pass selector returns each group's exact rank-th
+    element — against independent per-group python sorts — including a
+    single-row group and a group of identical values."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        exact_quantiles_by_group,
+    )
+
+    groups = {
+        "a": [0, 7, 7, 7, 100, 101, 1000, 10**9],
+        "b": [5],
+        "c": [42] * 20,
+        "d": list(range(200, 260)),
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    permille = [1, 500, 900, 1000]
+    got = {
+        (r.g, r.p): (r.n_rows, r.exact_value)
+        for r in exact_quantiles_by_group(df, "g", "x", permille).collect()
+    }
+    want = {}
+    for g, vs in groups.items():
+        s = sorted(vs)
+        n = len(s)
+        for p in permille:
+            want[(g, p)] = (n, s[(n * p + 999) // 1000 - 1])
+    assert got == want
+    assert got[("b", 1)] == (1, 5) and got[("c", 1000)] == (20, 42)
