@@ -47,33 +47,83 @@ def test_bare_session_driver_simulation():
 
 def test_bench_stdout_line_fits_driver_tail_buffer():
     """The bench stdout JSON line must stay well under the driver's 2 kB
-    tail buffer AT ANY REGISTRY SIZE — the r1/r5/r6 clipping regression
-    (parsed: null) pinned structurally: per-query maps are stripped, so
-    the line size is constant in the query count."""
+    tail buffer AT ANY REGISTRY SIZE AND ANY CONTENTION LEVEL — the
+    r1/r5/r6 clipping regression (parsed: null) pinned structurally:
+    per-query maps are stripped and the requeue list is capped (ADVICE
+    r7), so the line size is bounded even when EVERY query requeues."""
     import json
 
     from bench import slim_stdout_payload
 
+    n = 1000
+    long_names = [f"very_long_query_name_that_could_requeue_{i}" for i in range(n)]
     payload = {
         "metric": "sum of per-query median wall-clock",
         "value": 123.4567,
         "unit": "sec",
-        "queries": {f"q{i}": 0.1234 for i in range(1000)},
-        "cold": {f"q{i}": 1.1234 for i in range(1000)},
+        "queries": {q: 0.1234 for q in long_names},
+        "cold": {q: 1.1234 for q in long_names},
         "cold_total": 1234.5,
         "load1_start": 0.12,
         "load1_end": 3.45,
-        "load1_per_query": {f"q{i}": 1.0 for i in range(1000)},
-        "spread_per_query": {f"q{i}": 1.5 for i in range(1000)},
-        "requeued": [f"q{i}" for i in range(8)],
-        "requeue_medians": {f"q{i}": {"first": 1.0} for i in range(8)},
+        "load1_per_query": {q: 1.0 for q in long_names},
+        "spread_per_query": {q: 1.5 for q in long_names},
+        # worst case: heavy contention requeues the WHOLE registry
+        "requeued": long_names,
+        "requeue_medians": {q: {"first": 1.0} for q in long_names},
         "sf": 0.1,
     }
     slim = slim_stdout_payload(payload)
     line = json.dumps(slim, separators=(",", ":"))
     assert len(line) < 1024, len(line)
     parsed = json.loads(line)
-    assert parsed["n_queries"] == 1000
+    assert parsed["n_queries"] == n
     assert parsed["value"] == 123.4567 and parsed["sf"] == 0.1
     assert "queries" not in parsed and "cold" not in parsed
-    assert parsed["requeued"]  # the adjudication headline survives
+    # the adjudication headline survives: count + capped preview
+    assert parsed["n_requeued"] == n
+    assert parsed["requeued"] == long_names[:10]
+
+
+def test_bench_requeue_never_keeps_stamped_worse_sample():
+    """VERDICT r7 item 2: when BOTH the first batch and the retry carry a
+    contention stamp (the trigger condition never clears), the keep rule
+    must take the MIN of the two medians and self-label the row
+    ``contaminated`` — never preserve a known-worse sample (r7 kept 33.9s
+    over an 18.8s retry on events_value_mad_outliers)."""
+    from bench import adjudicate_requeue
+
+    limit = 3.0
+
+    # Case 1 (the r7 failure): both batches contended, retry better.
+    # first spread > 3 AND retry spread > 3 (trigger fires in both).
+    first = [30.0, 34.0, 120.0]  # median 34.0, spread 4.0
+    retry = [15.0, 18.8, 60.0]  # median 18.8, spread 4.0
+    chosen, rec = adjudicate_requeue(first, retry, cold_s=40.0, spread_limit=limit)
+    assert rec["kept"] == "retry" and rec["contaminated"] is True
+    assert chosen == retry
+    assert rec["first"] == 34.0 and rec["retry"] == 18.8
+
+    # Case 2: both contended, FIRST better — keep first, still labeled.
+    chosen, rec = adjudicate_requeue(retry, first, cold_s=40.0, spread_limit=limit)
+    assert rec["kept"] == "first" and rec["contaminated"] is True
+    assert chosen == retry  # retry was passed as `samples` here
+
+    # Case 3 (ADVICE r5 rule unchanged): retry clears the trigger — keep
+    # it and do NOT label, even if slightly slower than the first median.
+    first = [0.1, 0.11, 5.0]  # bursty: spread 50
+    clean = [0.12, 0.13, 0.14]  # spread ~1.2, median below cold*1.2
+    chosen, rec = adjudicate_requeue(first, clean, cold_s=0.5, spread_limit=limit)
+    assert rec["kept"] == "retry" and rec["contaminated"] is False
+    assert chosen == clean
+
+    # Case 4: a steady CODE REGRESSION is not masked — both batches agree
+    # on the slow median (low spread but median > cold*1.2 trips the
+    # trigger both times); the kept value is still the regressed time.
+    first = [10.0, 10.1, 10.2]
+    retry = [10.0, 10.05, 10.1]
+    chosen, rec = adjudicate_requeue(first, retry, cold_s=2.0, spread_limit=limit)
+    assert rec["contaminated"] is True
+    import statistics
+
+    assert statistics.median(chosen) >= 10.0  # regression still visible
