@@ -1032,7 +1032,9 @@ def _dup_gram_hits(
 
     ``fingerprint=True`` is the PB-scale shuffle-width variant (VERDICT
     r6 item 7): the gram string is replaced by a 128-bit fingerprint —
-    the pair ``(xxhash64(seed=0, g), xxhash64(seed=1, g))`` — BEFORE the
+    the pair ``(xxhash64(0, g), xxhash64(1, g))``, i.e. Spark's
+    fixed-seed (42) xxhash64 over the two-element tuples ``(lit 0, g)``
+    and ``(lit 1, g)``, NOT a reseeded hash — applied BEFORE the
     two gram-keyed exchanges, so the shuffle carries 16 bytes per site
     instead of the whole k-gram (~5 words ≈ 30-60 bytes at k=5, more
     for long-token corpora). Collision odds are ~n²/2^128 across

@@ -235,19 +235,29 @@ def train_ivf_centroids(
     sample_rows: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Coarse centroids for an IVF index via seeded mini k-means.
 
-    Trains on a bounded driver-side sample (``Dataset.limit`` after a
-    seeded repartition-free sample) — the standard IVF recipe: centroid
-    quality needs only a sketch of the distribution, so the driver never
-    holds more than ``sample_rows`` vectors regardless of table size.
-    Deterministic for fixed seed/sample.
+    Trains on a bounded driver-side sample — the standard IVF recipe:
+    centroid quality needs only a sketch of the distribution, so the
+    driver never holds more than ``sample_rows`` vectors regardless of
+    table size.
+
+    Determinism (ADVICE r7): pass ``id_col`` to select the sample as the
+    ``sample_rows`` SMALLEST ids (``TakeOrderedAndProject`` — one
+    distributed bottom-k, layout-independent, and IDENTICAL to the
+    selection the :func:`train_ivf_centroids_parquet` twin makes, so
+    both trainers produce the same centroids bit-for-bit). Without
+    ``id_col`` the sample is a plain ``limit`` — partition-order
+    dependent across cluster layouts, fine for throwaway indexes only.
     """
-    sample = [
-        list(r[0])
-        for r in df.select(vec_col).sample(False, 1.0, seed).limit(sample_rows).collect()
-    ]
+    sel = df.select(*([id_col] if id_col else []), vec_col)
+    if id_col:
+        sel = sel.orderBy(F.col(id_col).asc()).limit(sample_rows).select(vec_col)
+    else:
+        sel = sel.limit(sample_rows)
+    sample = [list(r[0]) for r in sel.collect()]
     X = np.asarray(sample, dtype="float64")
     return _kmeans(X, n_clusters, iters, seed).tolist()
 
@@ -358,14 +368,18 @@ def build_ann_table(
     centroids: list[list[float]] | None = None,
     n_clusters: int = 16,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Materialize an IVF-indexed ANN table: rows written partitioned by
     nearest-centroid cluster (hive layout). A top-k probe then reads only
     ``n_probe`` partition directories — at 100 TB this is the difference
     between scanning everything and scanning ~n_probe/n_clusters of it.
-    Returns the centroids (persist them next to the table)."""
+    Returns the centroids (persist them next to the table). Pass
+    ``id_col`` for a layout-independent trainer sample (ADVICE r7)."""
     if centroids is None:
-        centroids = train_ivf_centroids(df, vec_col, n_clusters=n_clusters, seed=seed)
+        centroids = train_ivf_centroids(
+            df, vec_col, n_clusters=n_clusters, seed=seed, id_col=id_col
+        )
     assign_ivf_cluster(df, vec_col, centroids).write.mode("overwrite").partitionBy(
         "cluster"
     ).parquet(path)
@@ -418,7 +432,27 @@ def _upsert_by_cluster(assigned: DataFrame, path: str, id_col: str) -> None:
     if not fs.exists(hpath):
         upsert_partitions(assigned, path, ["cluster"])
         return
-    touched = [int(r["cluster"]) for r in assigned.select("cluster").distinct().collect()]
+    touched = {int(r["cluster"]) for r in assigned.select("cluster").distinct().collect()}
+    # A re-embedded vector can assign to a DIFFERENT coarse cluster than
+    # its previous row (ADVICE r7): rewriting only the batch's clusters
+    # would leave the stale row in the old partition — duplicate ids,
+    # queries returning the superseded code/vector. Locate the batch's
+    # ids across the WHOLE index and extend the rewrite set with their
+    # current clusters. Cost at scale: a two-thin-column (id, cluster)
+    # projection scan semi-joined against the broadcast batch ids — no
+    # vector/code bytes read (column pruning), no shuffle; the rewrite
+    # itself still touches only the union of old+new clusters.
+    batch_ids = assigned.select(id_col)
+    stale = (
+        spark.read.parquet(path)
+        .select(id_col, "cluster")
+        .join(F.broadcast(batch_ids), id_col, "left_semi")
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    touched |= {int(r["cluster"]) for r in stale}
+    touched = sorted(touched)
     # Spark refuses to overwrite a path its plan is reading
     # (InsertIntoHadoopFsRelation input-path check), so the touched
     # partitions are materialized off-path first. localCheckpoint keeps
@@ -428,7 +462,7 @@ def _upsert_by_cluster(assigned: DataFrame, path: str, id_col: str) -> None:
     existing = (
         spark.read.parquet(path)
         .filter(F.col("cluster").isin(touched))
-        .join(assigned.select(id_col), id_col, "left_anti")
+        .join(batch_ids, id_col, "left_anti")
         .localCheckpoint(eager=True)
     )
     merged = existing.unionByName(assigned)
@@ -509,16 +543,22 @@ def train_pq_codebooks(
     sample_rows: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks via seeded mini k-means on a bounded
-    driver-side sample (the Spark-sampled production trainer, same
-    recipe as :func:`train_ivf_centroids`). ``codebooks[j]`` holds
+    driver-side sample (the Spark-side production trainer, same recipe —
+    and same ``id_col`` determinism contract (ADVICE r7) — as
+    :func:`train_ivf_centroids`: with ``id_col`` the sample is the
+    bottom-``sample_rows`` ids, matching the parquet twin bit-for-bit;
+    without it the sample is layout-dependent). ``codebooks[j]`` holds
     ``ksub`` centroids of dimension ``d/m`` for subspace ``j`` (seeded
     ``seed + j`` so subspaces decorrelate deterministically)."""
-    sample = [
-        list(r[0])
-        for r in df.select(vec_col).sample(False, 1.0, seed).limit(sample_rows).collect()
-    ]
+    sel = df.select(*([id_col] if id_col else []), vec_col)
+    if id_col:
+        sel = sel.orderBy(F.col(id_col).asc()).limit(sample_rows).select(vec_col)
+    else:
+        sel = sel.limit(sample_rows)
+    sample = [list(r[0]) for r in sel.collect()]
     X = np.asarray(sample, dtype="float64")
     return _pq_fit(X, m, ksub, iters, seed)
 
@@ -679,9 +719,13 @@ def build_ivfpq_table(
     scans ~n_probe/n_clusters of it. Returns ``(centroids, codebooks)``
     (persist them next to the table, like ``build_ann_table``)."""
     if centroids is None:
-        centroids = train_ivf_centroids(df, vec_col, n_clusters=n_clusters, seed=seed)
+        centroids = train_ivf_centroids(
+            df, vec_col, n_clusters=n_clusters, seed=seed, id_col=id_col
+        )
     if codebooks is None:
-        codebooks = train_pq_codebooks(df, vec_col, m=m, ksub=ksub, seed=seed)
+        codebooks = train_pq_codebooks(
+            df, vec_col, m=m, ksub=ksub, seed=seed, id_col=id_col
+        )
     coded = pq_encode(
         assign_ivf_cluster(df, vec_col, centroids), vec_col, codebooks, "code"
     )

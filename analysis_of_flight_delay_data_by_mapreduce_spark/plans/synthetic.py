@@ -1350,7 +1350,9 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to pick which clusters to probe — one bounded keyed fetch, the
     # stand-in for "the request supplies the vector".
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    centroids = train_ivf_centroids(emb, "embedding", n_clusters=16, seed=42)
+    centroids = train_ivf_centroids(
+        emb, "embedding", n_clusters=16, seed=42, id_col="vec_id"
+    )
     return cosine_topk_ivf(
         emb, "vec_id", "embedding", qv, centroids, k=10, n_probe=4
     )
@@ -1410,7 +1412,9 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    centroids = train_ivf_centroids(emb, "embedding", n_clusters=16, seed=42)
+    centroids = train_ivf_centroids(
+        emb, "embedding", n_clusters=16, seed=42, id_col="vec_id"
+    )
     ivf = cosine_topk_ivf(emb, "vec_id", "embedding", qv, centroids, k=10, n_probe=4)
     brute = cosine_topk(emb, "vec_id", "embedding", qv, k=10, round_to=6)
 

@@ -185,6 +185,54 @@ def test_upsert_ann_table_touches_only_batch_clusters(spark, tmp_path):
     assert spark.read.parquet(fresh).count() == batch.count() + 7
 
 
+def test_upsert_ann_table_reembedded_vector_moves_cluster(spark, tmp_path):
+    """ADVICE r7 (medium): a re-embedded vector whose new embedding
+    assigns to a DIFFERENT coarse cluster must supersede its old row —
+    the upsert locates the id's existing cluster and rewrites that
+    partition too, so the index never holds duplicate ids."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        assign_ivf_cluster,
+        build_ann_table,
+        upsert_ann_table,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+    from conftest import SF_DIR
+
+    emb = read_parquet_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ann-move")
+    centroids = build_ann_table(emb, path, n_clusters=8, seed=42)
+
+    # pick a victim id and re-embed it AS another vector that lives in a
+    # different cluster (guaranteed cluster move, no numerics to tune)
+    assigned = assign_ivf_cluster(emb, "embedding", centroids)
+    a = assigned.first()
+    donor = assigned.filter(F.col("cluster") != a.cluster).first()
+    assert donor is not None
+    victim_id, old_cluster, new_cluster = a.vec_id, a.cluster, donor.cluster
+
+    reembedded = spark.createDataFrame(
+        [(victim_id, list(donor.embedding))], "vec_id long, embedding array<float>"
+    )
+    upsert_ann_table(reembedded, path, centroids)
+
+    back = spark.read.parquet(path)
+    dup = (
+        back.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0, "duplicate ids after a cluster-moving re-embed"
+    rows = back.filter(F.col("vec_id") == victim_id).collect()
+    assert len(rows) == 1
+    assert rows[0].cluster == new_cluster != old_cluster
+    assert list(rows[0].embedding) == list(donor.embedding)
+    assert back.count() == emb.count()
+
+
 def test_label_pca_summary_string_labels(spark):
     """The label rides through at its input type — string cluster names
     work, not just int labels."""
