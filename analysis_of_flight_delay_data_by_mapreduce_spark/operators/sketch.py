@@ -31,6 +31,7 @@ __all__ = [
     "qsketch_quantiles",
     "exact_quantiles_two_pass",
     "exact_quantiles_by_group",
+    "median_mad_two_pass",
     "with_qsketch_bucket",
     "QSKETCH_PREC",
 ]
@@ -343,6 +344,163 @@ def exact_quantiles_two_pass(
         resolved.groupBy("p", "__n")
         .agg(F.min("__x").alias("exact_value"))
         .select("p", F.col("__n").alias("n_rows"), "exact_value")
+    )
+
+
+def median_mad_two_pass(vals: DataFrame, value_col: str) -> DataFrame:
+    """Exact ``(n_rows, median, mad)`` of a non-negative BIGINT column in
+    THREE bounded passes — the median/MAD core of robust outlier
+    detection with the deviation grid ELIMINATED (VERDICT r7 item 3).
+
+    The naive composition runs :func:`exact_quantiles_two_pass` twice:
+    grid over x, resolve median, grid over the derived ``|x − median|``
+    column (a second full scan + shuffle), resolve MAD — four passes.
+    But the deviation distribution is fully described by the EXISTING
+    x-grid walked outward from the median: a bucket ``[lo, hi]`` lying
+    entirely inside ``[m−t, m+t]`` contributes all its rows to
+    ``#{d ≤ t}`` (lower bound L(t)); any bucket merely intersecting it
+    bounds from above (U(t)). Evaluating both at every candidate
+    deviation ``t ∈ {|edge − m|}`` (grid-sized arithmetic, no data scan)
+    yields a bracket: ``d_lo = max{t : U(t) < rank}`` (MAD > d_lo, since
+    at most U(d_lo) < rank deviations are ≤ d_lo) and ``d_hi = min{t :
+    L(t) ≥ rank}`` (MAD ≤ d_hi, since at least rank deviations are
+    ≤ d_hi; d_hi exists — the widest candidate covers every bucket).
+
+    Pass 3 then resolves the MAD in ONE conditional-aggregation scan of
+    ``x ∈ [m−d_hi, m+d_hi]``: rows with ``d ≤ d_lo`` collapse into a
+    single count group (they only offset the rank — exactly the
+    ``c_below`` of the base selector, counted in-scan instead of from a
+    second grid), rows in the ``(d_lo, d_hi]`` band group by exact
+    deviation, and the cumulative walk picks the smallest band value
+    crossing the rank. Rows outside the scan have ``d > d_hi`` and
+    cannot affect ranks ≤ rank. Pure integer throughout — hash-identical
+    to a full-sort oracle by construction.
+
+    Pass ledger vs the naive form: grid(x) + resolve(median) +
+    band-scan(MAD) = 3 scans of ``vals`` and ONE bucket-key shuffle,
+    versus 4 scans and two shuffles. The band scan's groupBy state is
+    bounded by the bracket's distinct deviations (U−L gaps come from
+    ≤ 2 partially-covered buckets per side, each ≤ 2^-QSKETCH_PREC
+    relative width) — same adversarial-distribution caveat as the base
+    selector's bracket (a single degenerate bucket holding most mass
+    widens the band to that bucket's width).
+
+    ``vals`` should be persisted by the caller (it is scanned three
+    times here plus typically once more by the consumer).
+    """
+    from pyspark.sql import Window as W
+
+    from .cache import scoped_persist
+
+    x = vals.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("bigint").alias("__x")
+    )
+    cum = scoped_persist(_qsketch_cum(qsketch_build(x, "__x")))
+
+    # -- pass 1+2: exact median from the grid (inlined two-pass selector,
+    # reusing the persisted cum grid for both the rank and the bracket)
+    ranks = _qsketch_ranks(cum, [500])
+    m_brackets = cum.join(
+        F.broadcast(ranks),
+        (F.col("__cum") >= F.col("__rank"))
+        & (F.col("__cum") - F.col("cnt") < F.col("__rank")),
+    ).select(
+        "__rank",
+        "__n",
+        "__lo",
+        "__hi",
+        (F.col("__cum") - F.col("cnt")).alias("__c_below"),
+    )
+    m_inside = x.join(
+        F.broadcast(m_brackets),
+        (F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi")),
+    )
+    m_per_val = m_inside.groupBy("__rank", "__n", "__c_below", "__x").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    mw = W.orderBy("__x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    med = scoped_persist(
+        m_per_val.withColumn("__vcum", F.sum("__k").over(mw))
+        .filter(F.col("__c_below") + F.col("__vcum") >= F.col("__rank"))
+        .groupBy("__rank", "__n")
+        .agg(F.min("__x").alias("__m"))
+    )  # 1 row: (__rank, __n, __m) — same rank applies to the MAD (same n)
+
+    # -- grid-only bracket derivation for the MAD (NO data scan): every
+    # bucket edge's deviation from the median is a candidate t; L/U are
+    # full-cover / any-overlap count sums over the (tiny) grid.
+    gm = cum.join(F.broadcast(med))
+    cand = (
+        gm.select(
+            F.explode(
+                F.array(
+                    F.when(F.col("__hi") >= F.col("__m"), F.col("__hi") - F.col("__m")),
+                    F.when(F.col("__lo") <= F.col("__m"), F.col("__m") - F.col("__lo")),
+                )
+            ).alias("__t")
+        )
+        .filter(F.col("__t").isNotNull())
+        .distinct()
+    )
+    lu = (
+        F.broadcast(cand)
+        .join(
+            gm,
+            (F.col("__hi") >= F.col("__m") - F.col("__t"))
+            & (F.col("__lo") <= F.col("__m") + F.col("__t")),
+        )
+        .groupBy("__t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__lo") >= F.col("__m") - F.col("__t"))
+                    & (F.col("__hi") <= F.col("__m") + F.col("__t")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("__L"),
+            F.sum("cnt").alias("__U"),
+            F.first("__rank").alias("__rank"),
+        )
+    )
+    band = scoped_persist(
+        lu.agg(
+            F.min(F.when(F.col("__L") >= F.col("__rank"), F.col("__t"))).alias(
+                "__dhi"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("__U") < F.col("__rank"), F.col("__t"))),
+                F.lit(-1).cast("bigint"),
+            ).alias("__dlo"),
+        ).join(F.broadcast(med))
+    )  # 1 row: (__dhi, __dlo, __rank, __n, __m)
+
+    # -- pass 3: one conditional-aggregation scan resolves the MAD
+    scan = x.join(F.broadcast(band)).filter(
+        (F.col("__x") >= F.col("__m") - F.col("__dhi"))
+        & (F.col("__x") <= F.col("__m") + F.col("__dhi"))
+    )
+    per_d = scan.select(
+        "__rank",
+        F.when(
+            F.abs(F.col("__x") - F.col("__m")) <= F.col("__dlo"), F.lit(-1)
+        )
+        .otherwise(F.abs(F.col("__x") - F.col("__m")))
+        .cast("bigint")
+        .alias("__d"),
+    ).groupBy("__rank", "__d").agg(F.count(F.lit(1)).alias("__k"))
+    dw = W.orderBy("__d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    mad = (
+        per_d.withColumn("__dc", F.sum("__k").over(dw))
+        .filter(F.col("__dc") >= F.col("__rank"))
+        .agg(F.min("__d").alias("mad"))
+    )  # the -1 (c_below) group cannot cross the rank: #{d ≤ d_lo} < rank
+    return (
+        med.join(F.broadcast(mad))
+        .select(
+            F.col("__n").alias("n_rows"),
+            F.col("__m").alias("median"),
+            F.col("mad"),
+        )
     )
 
 

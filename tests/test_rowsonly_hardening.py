@@ -549,3 +549,81 @@ def test_exact_quantiles_by_group_matches_per_group_sort(spark):
             want[(g, p)] = (n, s[(n * p + 999) // 1000 - 1])
     assert got == want
     assert got[("b", 1)] == (1, 5) and got[("c", 1000)] == (20, 42)
+
+
+def test_median_mad_two_pass_matches_full_sort(spark):
+    """The grid-derived-bracket median/MAD (VERDICT r7 item 3 — the
+    deviation grid eliminated) returns EXACTLY the full-sort median and
+    MAD on: octave-spanning values with duplicates at the median, a
+    MAD=0 distribution (more than half the values identical), a
+    single-bucket distribution (no candidate clears U < rank, the
+    d_lo = −1 fallback), a single row, and two rows in distant octaves."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        median_mad_two_pass,
+    )
+
+    def replica(vals):
+        s = sorted(vals)
+        n = len(s)
+        rank = (n * 500 + 999) // 1000
+        m = s[rank - 1]
+        d = sorted(abs(v - m) for v in vals)
+        return (n, m, d[rank - 1])
+
+    cases = [
+        # octaves + heavy median duplicates + huge outliers
+        [0, 0, 1, 2, 3] + [7] * 40 + [100] * 25 + [101, 103, 130]
+        + list(range(1000, 1040)) + [10**12, 10**12 + 7],
+        # MAD = 0: >half identical
+        [42] * 30 + [0, 7, 100, 10**9],
+        # single HDR bucket (all values equal) — d_lo = −1 path
+        [17] * 12,
+        # single row
+        [5],
+        # two rows, distant octaves
+        [3, 10**10],
+        # dense band straddling an octave boundary
+        list(range(250, 270)) * 3,
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        row = median_mad_two_pass(df, "x").collect()
+        assert len(row) == 1, vals[:5]
+        got = (row[0].n_rows, row[0].median, row[0].mad)
+        assert got == replica(vals), (got, replica(vals), vals[:8])
+
+
+def test_median_mad_two_pass_matches_full_sort_random(spark):
+    """Randomized cross-check of the grid-derived MAD bracket: 20 seeded
+    draws from mixed distributions (uniform, log-uniform octave spread,
+    heavy point masses) — every one must equal the python full sort."""
+    import random
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        median_mad_two_pass,
+    )
+
+    rng = random.Random(8)
+    for trial in range(20):
+        kind = trial % 3
+        n = rng.randint(1, 400)
+        if kind == 0:
+            vals = [rng.randint(0, 1000) for _ in range(n)]
+        elif kind == 1:
+            vals = [int(2 ** (rng.random() * 40)) for _ in range(n)]
+        else:
+            point = rng.randint(0, 10**6)
+            vals = [point] * (n // 2) + [
+                rng.randint(0, 10**7) for _ in range(n - n // 2)
+            ]
+        s = sorted(vals)
+        rank = (len(s) * 500 + 999) // 1000
+        m = s[rank - 1]
+        mad = sorted(abs(v - m) for v in vals)[rank - 1]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        row = median_mad_two_pass(df, "x").collect()[0]
+        assert (row.n_rows, row.median, row.mad) == (len(vals), m, mad), (
+            trial,
+            kind,
+            n,
+        )
