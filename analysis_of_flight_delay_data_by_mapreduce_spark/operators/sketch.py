@@ -34,6 +34,7 @@ __all__ = [
     "median_mad_two_pass",
     "with_qsketch_bucket",
     "QSKETCH_PREC",
+    "QSKETCH_BRACKET_LIMIT",
 ]
 
 
@@ -276,8 +277,55 @@ def _qsketch_ranks(cum: DataFrame, permille: list[int]) -> DataFrame:
     )
 
 
+QSKETCH_BRACKET_LIMIT = 1 << 22
+"""Max distinct in-bracket values a two-pass selector resolves in one
+window partition (VERDICT r7 item 7). A bucket is <= 2^-QSKETCH_PREC
+relative width, so at any realistic skew the bracket holds a tiny
+fraction of the distinct values; an adversarial distribution can still
+concentrate arbitrarily many DISTINCT values inside one bucket, and the
+resolution window would then sort them all in a single partition. The
+documented escape (re-sketch the bracket rows at a finer offset, one
+bounded pass per level) is deliberately NOT implemented — no realistic
+distribution needs it — so the selectors fail LOUDLY at this limit
+instead of silently shipping a degenerate single-partition sort. 2^22
+rows of (key, value, count) sort comfortably within one task's memory."""
+
+
+def _bracket_guard(per_val: DataFrame, keys: list[str], limit: int) -> DataFrame:
+    """Fail-loud width check between pass 2's per-value aggregation and
+    the resolution window: count distinct in-bracket values per bracket
+    (a streamed partial aggregation — never materializes a partition,
+    unlike a count-over-window, so the guard itself is safe on the very
+    input it rejects), broadcast the per-bracket counts back, and raise
+    through ``assert_true`` on the first over-limit row. The filter
+    wrapper (``assert_true(...).isNull()`` — null on success) keeps the
+    assertion referenced so column pruning cannot drop it."""
+    cnt = per_val.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nvals"))
+    return (
+        per_val.join(F.broadcast(cnt), keys)
+        .filter(
+            F.assert_true(
+                F.col("__nvals") <= F.lit(limit),
+                F.concat(
+                    F.lit(
+                        "qsketch bracket holds more distinct values than "
+                        f"the single-partition resolution limit ({limit}); "
+                        "re-sketch the bracket at a finer offset "
+                        "(recurse-into-bracket) for this distribution: "
+                    ),
+                    F.concat_ws(
+                        ",", *[F.col(k).cast("string") for k in keys]
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("__nvals")
+    )
+
+
 def exact_quantiles_two_pass(
-    df: DataFrame, value_col: str, permille: list[int]
+    df: DataFrame, value_col: str, permille: list[int],
+    bracket_limit: int = QSKETCH_BRACKET_LIMIT,
 ) -> DataFrame:
     """EXACT permille quantiles of a non-negative BIGINT column in two
     bounded passes — no global sort, the sketch-guided selection
@@ -296,10 +344,12 @@ def exact_quantiles_two_pass(
     The per-p resolution window runs over distinct values within ONE
     bucket (relative width <= 2^-QSKETCH_PREC); for adversarial
     distributions where a single bucket still holds too many distinct
-    values, recurse: re-sketch the bracket rows at a finer offset —
-    one extra bounded pass per level, log_16 levels worst case. Not
-    needed at any realistic skew (a bucket is 6.25% of its value's
-    magnitude).
+    values, the escape is recursion — re-sketch the bracket rows at a
+    finer offset, one extra bounded pass per level, log_16 levels worst
+    case. Not needed at any realistic skew (a bucket is 6.25% of its
+    value's magnitude), so it is not implemented; instead a fail-loud
+    guard (``bracket_limit``, VERDICT r7 item 7) raises before the
+    resolution window would sort an over-wide bracket in one partition.
 
     Output: ``(p, n_rows, exact_value)`` — hash-identical to a full-sort
     oracle by construction (pure integer ranks and counts).
@@ -334,6 +384,7 @@ def exact_quantiles_two_pass(
     per_val = inside.groupBy("p", "__rank", "__n", "__c_below", "__x").agg(
         F.count(F.lit(1)).alias("__k")
     )
+    per_val = _bracket_guard(per_val, ["p"], bracket_limit)
     w = W.partitionBy("p").orderBy("__x").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -347,7 +398,10 @@ def exact_quantiles_two_pass(
     )
 
 
-def median_mad_two_pass(vals: DataFrame, value_col: str) -> DataFrame:
+def median_mad_two_pass(
+    vals: DataFrame, value_col: str,
+    bracket_limit: int = QSKETCH_BRACKET_LIMIT,
+) -> DataFrame:
     """Exact ``(n_rows, median, mad)`` of a non-negative BIGINT column in
     THREE bounded passes — the median/MAD core of robust outlier
     detection with the deviation grid ELIMINATED (VERDICT r7 item 3).
@@ -418,6 +472,7 @@ def median_mad_two_pass(vals: DataFrame, value_col: str) -> DataFrame:
     m_per_val = m_inside.groupBy("__rank", "__n", "__c_below", "__x").agg(
         F.count(F.lit(1)).alias("__k")
     )
+    m_per_val = _bracket_guard(m_per_val, ["__rank"], bracket_limit)
     mw = W.orderBy("__x").rowsBetween(W.unboundedPreceding, W.currentRow)
     med = scoped_persist(
         m_per_val.withColumn("__vcum", F.sum("__k").over(mw))
@@ -488,6 +543,7 @@ def median_mad_two_pass(vals: DataFrame, value_col: str) -> DataFrame:
         .cast("bigint")
         .alias("__d"),
     ).groupBy("__rank", "__d").agg(F.count(F.lit(1)).alias("__k"))
+    per_d = _bracket_guard(per_d, ["__rank"], bracket_limit)
     dw = W.orderBy("__d").rowsBetween(W.unboundedPreceding, W.currentRow)
     mad = (
         per_d.withColumn("__dc", F.sum("__k").over(dw))
@@ -505,7 +561,8 @@ def median_mad_two_pass(vals: DataFrame, value_col: str) -> DataFrame:
 
 
 def exact_quantiles_by_group(
-    df: DataFrame, group_col: str, value_col: str, permille: list[int]
+    df: DataFrame, group_col: str, value_col: str, permille: list[int],
+    bracket_limit: int = QSKETCH_BRACKET_LIMIT,
 ) -> DataFrame:
     """Per-GROUP exact permille quantiles — :func:`exact_quantiles_two_pass`
     with every stage keyed by the group: per-group HDR grids (one
@@ -581,6 +638,7 @@ def exact_quantiles_by_group(
     per_val = inside.groupBy(
         "__g", "p", "__rank", "__n", "__c_below", "__x"
     ).agg(F.count(F.lit(1)).alias("__k"))
+    per_val = _bracket_guard(per_val, ["__g", "p"], bracket_limit)
     w2 = (
         W.partitionBy("__g", "p")
         .orderBy("__x")

@@ -551,6 +551,52 @@ def test_exact_quantiles_by_group_matches_per_group_sort(spark):
     assert got[("b", 1)] == (1, 5) and got[("c", 1000)] == (20, 42)
 
 
+def test_two_pass_selectors_fail_loudly_on_oversized_bracket(spark):
+    """VERDICT r7 item 7: an adversarial distribution that concentrates
+    more distinct values inside one HDR bucket than ``bracket_limit``
+    must raise through the fail-loud guard — never silently sort the
+    oversized bracket in a single window partition. The recursion escape
+    is documented, not implemented; the guard is the pinned posture.
+    Planted distribution: hundreds of distinct values inside one
+    high-octave bucket (width 2^20/16 = 65536 covers them all), so the
+    median bracket's distinct count exceeds a tiny test limit."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        exact_quantiles_by_group,
+        exact_quantiles_two_pass,
+        median_mad_two_pass,
+    )
+
+    base = 1 << 20
+    heavy = [base + i for i in range(300)]  # 300 distinct, one bucket
+    df = spark.createDataFrame([(v,) for v in heavy], "x long")
+    gdf = spark.createDataFrame([("a", v) for v in heavy], "g string, x long")
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e1:
+        exact_quantiles_two_pass(df, "x", [500], bracket_limit=10).collect()
+    assert "qsketch bracket" in str(e1.value)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e2:
+        exact_quantiles_by_group(
+            gdf, "g", "x", [500], bracket_limit=10
+        ).collect()
+    assert "qsketch bracket" in str(e2.value)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e3:
+        median_mad_two_pass(df, "x", bracket_limit=10).collect()
+    assert "qsketch bracket" in str(e3.value)
+
+    # the same data resolves exactly once the limit accommodates it
+    got = exact_quantiles_two_pass(df, "x", [500], bracket_limit=300).collect()
+    s = sorted(heavy)
+    assert got[0].exact_value == s[(len(s) * 500 + 999) // 1000 - 1]
+
+    # and an ordinary distribution is untouched by the default limit
+    ok = exact_quantiles_by_group(gdf, "g", "x", [500]).collect()
+    assert ok[0].exact_value == s[(len(s) * 500 + 999) // 1000 - 1]
+
+
 def test_median_mad_two_pass_matches_full_sort(spark):
     """The grid-derived-bracket median/MAD (VERDICT r7 item 3 — the
     deviation grid eliminated) returns EXACTLY the full-sort median and
