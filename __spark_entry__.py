@@ -24,83 +24,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-7 rotation (VERDICT r6
-# item 3): lead with queries NEW this round (embedding_label_pca_check —
-# the oracle-asserted companion the last rows-only query was missing),
-# then execute the queued refill: the ENTIRE remaining r4-stamped set
-# (the oldest driver rows in the registry — events_funnel, the events
-# interval/retention shapes, tpch_q2/q4/q8/q10/q13/q14/q18,
-# parties_union, revenue_decimal…, 37 queries), then the oldest slice of
-# the r5-stamped set with the remaining slots. After this window lands,
-# no green row in the registry is older than r5. Every rotated-out query
-# is still re-verified each round by the full local check_oracle sweep
-# and the pytest oracle replicas.
+# entries; registry order is ours to choose. Round-8 rotation (VERDICT r7
+# item 6): lead with the queries NEW this round (the five derived-table
+# TPC-H shapes), then the r5-stamped set — now the oldest driver rows in
+# the registry (48 queries; 5 + 48 = 53, so the LAST THREE listed here
+# overflow the 50-row window and keep their r5 stamp until round 9 —
+# three stable dimension-count/pivot shapes were chosen as the
+# overflow). Every rotated-out query is still re-verified each round by
+# the full local check_oracle sweep and the pytest oracle replicas.
 _CHECK_FIRST = [
-    # --- new in r7 ---
-    "embedding_label_pca_check",  # per-label eigenvalues vs twin literals
-    "docs_lm_perplexity",  # CCNet-style bigram-LM quality gate
-    "embedding_pq_codes",  # PQ encode: 8-byte codes, twin-trained books
-    "ann_pq_adc_topk",  # ADC top-10 from codes, literal LUT
-    "ann_pq_rerank_topk",  # ADC shortlist-100 -> exact rerank (production)
-    "ann_pq_recall_check",  # rerank recall >= 7/10 vs exact top-10
-    "ann_ivfpq_topk",  # IVF probe -> ADC shortlist -> exact rerank
-    "events_exact_quantiles_sketch",  # two-pass EXACT order stats, no sort
-    "orders_hot_custkeys_cms_check",  # sketch-driven salting-list detection
-    "events_value_mad_outliers",  # median/MAD robust outliers, no sort
-    "events_quantiles_by_type",  # per-group exact quantiles, no sort
-    # --- last driver row r4 (oldest rows in the registry; full set) ---
-    "revenue_by_nation",
-    "multimodal_stats",
-    "text_pii_scrub",
-    "tpch_q3_shipping_priority",
-    "customer_running_spend",
-    "events_interval_join",
-    "purchases_asof_error",
-    "events_session_window",
-    "events_salted_stats",
-    "orders_grouping_sets",
-    "tpch_q4_priority_semijoin",
-    "tpch_q5_local_supplier_volume",
-    "parties_union",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "events_stream_interval_join",
-    "dedup_components",
-    "top_terms",
-    "multimodal_frame_sample",
-    "multimodal_features_ann",
-    "text_repetition",
-    "text_decontaminate",
-    "dedup_ngram_jaccard_ppjoin",
-    "events_funnel",
-    "events_purchase_gaps",
-    "events_retention_cohorts",
-    "users_error_no_recovery",
-    "revenue_decimal_by_flag",
-    "lineitem_price_qty_corr",
-    "docs_chunk_overlap",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_orders",
-    "events_value_zscore_outliers",
-    "text_bigram_lm",
-    "events_trailing_7d_spend",
-    # --- last driver row r5 (next-oldest; refill with remaining slots) ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_incremental",
-    "dedup_incremental_minhash_check",
-    "docs_top_quality_per_source",
-    "customers_without_orders",
-    "events_asof_signup",
+    # --- new in r8: true TPC-H shapes over derived extension tables ---
+    "tpch_q11_important_stock",  # scalar-agg-subquery HAVING, partsupp
+    "tpch_q12_shipmodes",  # late-lineitem pivot, derived commit/receipt
+    "tpch_q16_parts_supplier",  # NOT IN -> anti join, COUNT(DISTINCT)
+    "tpch_q20_potential_promotion",  # nested IN + correlated scalar agg
+    "tpch_q21_waiting_suppliers",  # EXISTS/NOT EXISTS vs aggregate rewrite
+    # --- last driver row r5 (the oldest rows; full set minus overflow) ---
     "ann_cosine_topk_ivf",
     "ann_ivf_probe_topk",
+    "corpus_prepare",
+    "corpus_prepare_audit",
+    "corpus_prepare_semantic",
+    "customer_rfm",
+    "customer_snapshot_diff",
+    "customers_without_orders",
+    "dedup_incremental",
+    "dedup_incremental_minhash_check",
+    "dedup_minhash",
     "dedup_semantic",
-    # --- past the window: the rest of the r5-stamped set rotates back
-    # in next round ---
+    "dedup_semantic_incremental",
+    "dedup_simhash",
+    "docs_difficulty_quartiles",
+    "docs_hash_split",
+    "docs_mixture_sample",
+    "docs_pack_chunks",
+    "docs_source_budget_cap",
+    "docs_top_quality_per_source",
+    "embedding_label_centroids",
+    "events_asof_signup",
+    "events_json_props",
+    "events_latest_state",
+    "events_segment_spend",
+    "events_sessionize",
+    "events_user_overlap_check",
+    "events_user_overlap_sketch",
+    "events_user_sketch_check",
+    "events_user_sketch_rollup",
+    "orders_above_customer_avg",
+    "text_bm25",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_inactive_rich",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit_by_nation_year",
+    "user_spend_quartiles",
+    "user_state_intervals",
+    "users_purchase_and_error",
+    "users_purchase_no_refund_day",
+    "vocab_build",
+    # --- the three designated overflow rows (slots 51-53; stamped r9) ---
+    "nation_customer_counts",
+    "pivot_status_revenue",
+    "sales_cube",
 ]
 
 

@@ -6884,3 +6884,412 @@ def docs_dsir_selected_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sel = dsir_select(docs, "doc_id", "text", _dsir_logratios_cached(sf_dir), 1)
     return sel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_selected"))
+
+
+# =============================================================================
+# Derived TPC-H extension tables (VERDICT r7 item 4). The synthetic set
+# has no partsupp table and no l_commitdate / l_receiptdate / l_shipmode
+# columns, which blocked the true Q11/Q12/Q16/Q20/Q21 shapes. Rather
+# than asking the driver for fixtures, the missing data is DERIVED from
+# the existing keys with engine-shared integer arithmetic — the
+# trained-constants move applied to data: the same formulas are rendered
+# in the Spark plan and in the DuckDB oracle CTE, so both engines
+# materialize identical extension tables and the hash check covers the
+# derivation itself. All derived quantities are BIGINT (dates become
+# epoch-day numbers), so no float/rounding/date-dialect trap applies.
+#
+# partsupp: 4 rows per part — ps_suppkey = (p_partkey*7 + i) % |supplier|
+# for i in 0..3 (distinct for any supplier count >= 4; suppkeys are
+# 0-based in the synthetic set), ps_availqty in [1, 9999], and
+# ps_supplycost_cents in [10000, 99999], both keyed off (partkey, i).
+#
+# lineitem extension: l_shipday = epoch days of l_shipdate;
+# l_commitday = shipday + (orderkey*3 + linenumber*7) % 61 - 30 (commit
+# promised up to 30 days either side of actual shipment);
+# l_receiptday = shipday + (orderkey*5 + linenumber*11) % 30 + 1
+# (receipt 1-30 days after shipment); l_shipmode = one of 7 modes by
+# (orderkey + linenumber*3) % 7.
+# =============================================================================
+
+_SHIPMODES = ["AIR", "MAIL", "SHIP", "TRUCK", "RAIL", "FOB", "REG AIR"]
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    scnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("__s"))
+    i = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    pk = F.col("ps_partkey")
+    return (
+        part.join(F.broadcast(scnt))
+        .select(F.col("p_partkey").alias("ps_partkey"), "__s", i)
+        .select(
+            "ps_partkey",
+            ((pk * 7 + F.col("i")) % F.col("__s")).cast("long").alias("ps_suppkey"),
+            ((pk * 31 + F.col("i") * 17) % 9999 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            ((pk * 53 + F.col("i") * 29) % 90000 + 10000)
+            .cast("long")
+            .alias("ps_supplycost_cents"),
+        )
+    )
+
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             CAST((p_partkey * 7 + i) % (SELECT COUNT(*) FROM supplier)
+                  AS BIGINT) AS ps_suppkey,
+             CAST((p_partkey * 31 + i * 17) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+             CAST((p_partkey * 53 + i * 29) % 90000 + 10000 AS BIGINT)
+               AS ps_supplycost_cents
+      FROM part, (VALUES (0), (1), (2), (3)) AS gen(i)
+    )
+"""
+
+
+def _lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    shipday = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    k = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("long")
+    idx = (k + ln * 3) % 7
+    expr = None
+    for m, name in enumerate(_SHIPMODES):
+        expr = (
+            F.when(idx == m, F.lit(name))
+            if expr is None
+            else expr.when(idx == m, F.lit(name))
+        )
+    return (
+        li.withColumn("l_shipday", shipday)
+        .withColumn("l_commitday", F.col("l_shipday") + (k * 3 + ln * 7) % 61 - 30)
+        .withColumn("l_receiptday", F.col("l_shipday") + (k * 5 + ln * 11) % 30 + 1)
+        .withColumn("l_shipmode", expr)
+    )
+
+
+_LINEITEM_EXT_CTE = """
+    lx0 AS (
+      SELECT l.*,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                  AS BIGINT) AS l_shipday
+      FROM lineitem l
+    ),
+    lx AS (
+      SELECT lx0.*,
+             l_shipday + (l_orderkey * 3 + CAST(l_linenumber AS BIGINT) * 7) % 61
+               - 30 AS l_commitday,
+             l_shipday + (l_orderkey * 5 + CAST(l_linenumber AS BIGINT) * 11) % 30
+               + 1 AS l_receiptday,
+             CASE CAST((l_orderkey + CAST(l_linenumber AS BIGINT) * 3) % 7
+                       AS INTEGER)
+               WHEN 0 THEN 'AIR' WHEN 1 THEN 'MAIL' WHEN 2 THEN 'SHIP'
+               WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL' WHEN 5 THEN 'FOB'
+               ELSE 'REG AIR' END AS l_shipmode
+      FROM lx0
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape (important stock identification): per-part inventory
+# value within one nation's suppliers, kept when the part's value
+# exceeds the nation-wide average by 10% — the scalar-aggregate-subquery
+# HAVING decorrelated into a broadcast join of a 1-row (total, n_parts)
+# aggregate. Pure-integer threshold (value * n * 10 > total * 11) — no
+# division, scale-free across SFs. At 100 TB: partsupp shuffles once on
+# ps_partkey; the supplier/nation dim filter reduces it first; the
+# global total is a second pass over the SAME filtered frame (persisted,
+# grid-small output) rather than a re-derivation.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_stock",
+    oracle="WITH"
+    + _PARTSUPP_CTE
+    + """
+    , psn AS (
+      SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+    ),
+    byp AS (
+      SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+      FROM psn GROUP BY ps_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n FROM byp
+    )
+    SELECT ps_partkey, value_cents
+    FROM byp, tot
+    WHERE value_cents * n * 10 > total * 11
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    psn = ps.join(
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+            "s_suppkey"
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+    )
+    byp = scoped_persist(
+        psn.groupBy("ps_partkey").agg(F.sum("v").alias("value_cents"))
+    )
+    tot = byp.agg(
+        F.sum("value_cents").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        byp.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("__n") * 10 > F.col("__total") * 11)
+        .select("ps_partkey", "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (shipping modes / late lineitems): orders joined to
+# lineitems that were received in 1996, shipped before committed and
+# committed before received, restricted to two ship modes; pivoted
+# counts of high- vs low-priority orders per mode. One equi-join shuffle
+# on orderkey (both sides SF-scaled — AQE picks the strategy); the mode
+# and day-window predicates prune the lineitem side before the join.
+# Day arithmetic is pure BIGINT epoch-days (no date-dialect surface).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q12_shipmodes",
+    oracle="WITH"
+    + _LINEITEM_EXT_CTE
+    + """
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lx ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitday < l_receiptday
+      AND l_shipday < l_commitday
+      AND l_receiptday >= 9496 AND l_receiptday < 9862
+    GROUP BY l_shipmode
+    """,
+)
+def tpch_q12_shipmodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lx = _lineitem_ext(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    late = lx.filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitday") < F.col("l_receiptday"))
+        & (F.col("l_shipday") < F.col("l_commitday"))
+        & (F.col("l_receiptday") >= 9496)
+        & (F.col("l_receiptday") < 9862)
+    ).select("l_orderkey", "l_shipmode")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (parts/supplier relationship): how many distinct
+# suppliers can provide each (brand, type, size) combination, excluding
+# one brand, one type, sizes outside a fixed IN-list, and a
+# "complaints" supplier set (synthetic stand-in: s_suppkey % 10 = 3 —
+# the set has no s_comment column). The NOT IN becomes a left_anti
+# join (ps_suppkey is never NULL by construction, so anti == NOT IN
+# here); COUNT(DISTINCT) shuffles once on the group key with a
+# partial-distinct map side.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q16_parts_supplier",
+    oracle="WITH"
+    + _PARTSUPP_CTE
+    + """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 3)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 3)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(complaints, ps.ps_suppkey == complaints.s_suppkey, "left_anti")
+        .join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape (potential part promotion): suppliers holding excess
+# stock — ps_availqty more than half of their own 1996 shipments of
+# 'small%' parts. The correlated scalar subquery (per (part, supplier)
+# shipped quantity) decorrelates into a grouped aggregate joined back on
+# the composite key; the double-nested IN becomes a semi-join chain.
+# Integer-exact: 2*availqty > sum_qty (l_quantity is integral). Pairs
+# with no 1996 shipments drop out of the inner join — exactly the
+# NULL-comparison semantics of the correlated form. Output is the
+# distinct qualifying supplier set.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="WITH"
+    + _PARTSUPP_CTE
+    + """
+    , qty AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT ps_suppkey
+      FROM partsupp
+      JOIN qty ON qty.l_partkey = ps_partkey AND qty.l_suppkey = ps_suppkey
+      WHERE ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND 2 * ps_availqty > sum_qty
+    )
+    """,
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+    excess = (
+        ps.join(small, ps.ps_partkey == small.p_partkey, "left_semi")
+        .join(
+            qty,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("sum_qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        sup.join(excess, sup.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept orders waiting): suppliers whose
+# lineitem was received late (receipt > commit) on a finalized
+# multi-supplier order where NO OTHER supplier was late. The oracle
+# keeps the textbook correlated EXISTS / NOT EXISTS pair; the Spark
+# plan is the scalable decorrelated rewrite — ONE per-order aggregate
+# (distinct suppliers, distinct LATE suppliers) joined back to the late
+# lineitems: EXISTS(other supplier) == n_supp >= 2, NOT EXISTS(other
+# late supplier) == n_late_supp = 1 given the row itself is late. Hash
+# equality between the two formulations is the proof of the rewrite.
+# One lineitem shuffle on l_orderkey for the aggregate, reused by the
+# join; orders acts as a filter dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="WITH"
+    + _LINEITEM_EXT_CTE
+    + """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lx l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE l1.l_receiptday > l1.l_commitday
+      AND EXISTS (
+        SELECT 1 FROM lx l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lx l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_receiptday > l3.l_commitday
+      )
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lx = _lineitem_ext(spark, sf_dir).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_receiptday") > F.col("l_commitday")).alias("__late"),
+    )
+    per_order = lx.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    forders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    l1 = (
+        lx.filter(F.col("__late"))
+        .join(forders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(
+            per_order.filter(
+                (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
+            ).select(F.col("l_orderkey").alias("__ok")),
+            F.col("l_orderkey") == F.col("__ok"),
+            "left_semi",
+        )
+    )
+    return (
+        l1.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -80,6 +80,13 @@ _SINGLE_PARTITION_OK = {
                              # test_customer_rfm_no_data_wide_single_partition
     "user_spend_quartiles",
     "docs_pack_chunks",
+    # derived-partsupp queries (r8): the 1-row |supplier| COUNT aggregate
+    # that parameterizes the ps_suppkey modulus — dimension-bounded by
+    # definition (it counts the supplier dim); q11 adds the 1-row
+    # (total, n_parts) threshold aggregate of the per-part value frame
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
 }
 
 
