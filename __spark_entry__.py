@@ -25,20 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for only the first 50 registered
 # entries; registry order is ours to choose. Round-8 rotation (VERDICT r7
-# item 6): lead with the queries NEW this round (the five derived-table
-# TPC-H shapes), then the r5-stamped set — now the oldest driver rows in
-# the registry (48 queries; 5 + 48 = 53, so the LAST THREE listed here
-# overflow the 50-row window and keep their r5 stamp until round 9 —
-# three stable dimension-count/pivot shapes were chosen as the
-# overflow). Every rotated-out query is still re-verified each round by
-# the full local check_oracle sweep and the pytest oracle replicas.
+# item 6): lead with the queries NEW this round (five derived-table
+# TPC-H shapes + the real-BMP codec check face), then the r5-stamped
+# set — now the oldest driver rows in the registry (48 queries;
+# 6 + 48 = 54, so the LAST FOUR listed here overflow the 50-row window
+# and keep their r5 stamp until round 9 — four stable
+# dimension-count/pivot shapes were chosen as the overflow). Every
+# rotated-out query is still re-verified each round by the full local
+# check_oracle sweep and the pytest oracle replicas.
 _CHECK_FIRST = [
-    # --- new in r8: true TPC-H shapes over derived extension tables ---
+    # --- new in r8 ---
     "tpch_q11_important_stock",  # scalar-agg-subquery HAVING, partsupp
     "tpch_q12_shipmodes",  # late-lineitem pivot, derived commit/receipt
     "tpch_q16_parts_supplier",  # NOT IN -> anti join, COUNT(DISTINCT)
     "tpch_q20_potential_promotion",  # nested IN + correlated scalar agg
     "tpch_q21_waiting_suppliers",  # EXISTS/NOT EXISTS vs aggregate rewrite
+    "multimodal_bmp_decode_check",  # REAL stdlib BMP decode vs meta dims
     # --- last driver row r5 (the oldest rows; full set minus overflow) ---
     "ann_cosine_topk_ivf",
     "ann_ivf_probe_topk",
@@ -84,8 +86,8 @@ _CHECK_FIRST = [
     "user_state_intervals",
     "users_purchase_and_error",
     "users_purchase_no_refund_day",
+    # --- the four designated overflow rows (slots 51-54; stamped r9) ---
     "vocab_build",
-    # --- the three designated overflow rows (slots 51-53; stamped r9) ---
     "nation_customer_counts",
     "pivot_status_revenue",
     "sales_cube",

@@ -3,9 +3,19 @@
 Images/audio/video are opaque ``binary`` payloads plus a typed metadata
 struct (schema.MULTIMODAL_ASSET). The Spark-side plumbing — schema, Arrow
 batch shape, ``mapInPandas`` iteration, partition sizing — is real and
-tested; the actual codec step is STUBBED with a deterministic fake because
-no image/audio libraries exist in this container (clearly marked below —
-swap ``_fake_decode_*`` for PIL/librosa/av calls in a real deployment).
+tested. Codecs (VERDICT r7 item 5):
+
+- **REAL, stdlib-only**: uncompressed 24-bit BMP (``encode_bmp`` /
+  ``decode_bmp`` via ``struct`` — true header+pixel bytes) and PCM WAV
+  (``encode_wav`` / ``decode_wav`` via the stdlib ``wave`` module).
+  ``decode_images`` parses a strictly-validated BMP payload for its TRUE
+  dimensions; ``decode_audio`` reads the true sample rate / duration
+  from WAV headers.
+- **STUBBED**: any payload that is not a self-consistent BMP falls back
+  to the deterministic ``_fake_decode_image`` (the oracle face — its
+  sha256 arithmetic is replicated in SQL), and compressed formats
+  (JPEG/PNG/MP4) remain out of scope until PIL/av exist in the image
+  (re-checked absent 2026-08-15).
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``mapInPandas`` is an iterator — never materializes a partition);
@@ -17,6 +27,7 @@ payloads are large. Decode is per-row parallel: zero shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,7 +36,14 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "attach_payload",
+    "attach_synthetic_bmp",
+    "attach_synthetic_wav",
+    "decode_audio",
+    "decode_bmp",
     "decode_images",
+    "decode_wav",
+    "encode_bmp",
+    "encode_wav",
     "extract_features",
     "sample_video_frames",
     "stub_features",
@@ -63,6 +81,115 @@ def attach_payload(
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs (no PIL/av needed): uncompressed 24-bit BI_RGB BMP
+# and PCM WAV. These are complete, spec-correct encoders/decoders for
+# their (uncompressed) formats — the decode step reads true header and
+# pixel/sample bytes, not a hash of them.
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode ``height*width*3`` BGR bytes (top-down row order) as an
+    uncompressed 24-bit BI_RGB BMP: 14-byte file header, 40-byte info
+    header, rows padded to 4-byte boundaries and stored bottom-up (the
+    positive-height convention)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"bmp: need {width * height * 3} BGR bytes, got {len(pixels)}"
+        )
+    row = width * 3
+    padded = (row + 3) & ~3
+    img_size = padded * height
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_SIZE + img_size, 0, 0, _BMP_HEADER_SIZE
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (padded - row)
+    rows = [
+        pixels[y * row : (y + 1) * row] + pad for y in range(height - 1, -1, -1)
+    ]
+    return file_header + info_header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit BMP → ``(width, height, pixels)``
+    with pixels as top-down BGR bytes. Raises ``ValueError`` on anything
+    that is not a self-consistent BI_RGB 24-bit file."""
+    meta = _bmp_meta(payload)
+    if meta is None:
+        raise ValueError("not an uncompressed 24-bit BMP payload")
+    width, height, offset = meta
+    row = width * 3
+    padded = (row + 3) & ~3
+    rows = [
+        payload[offset + y * padded : offset + y * padded + row]
+        for y in range(height - 1, -1, -1)  # stored bottom-up
+    ]
+    return width, height, b"".join(rows)
+
+
+def _bmp_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """``(width, height, pixel_offset)`` if ``payload`` is a strictly
+    self-consistent uncompressed 24-bit BMP, else None. The strictness
+    (magic AND size fields AND bpp AND compression AND total length all
+    agreeing) is what lets ``decode_images`` auto-detect real images
+    without any chance of misreading a text payload that merely starts
+    with the bytes "BM"."""
+    if len(payload) < _BMP_HEADER_SIZE or payload[:2] != b"BM":
+        return None
+    file_size, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
+    hdr, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if (
+        hdr != 40
+        or planes != 1
+        or bpp != 24
+        or compression != 0
+        or width <= 0
+        or height <= 0
+        or offset < _BMP_HEADER_SIZE
+    ):
+        return None
+    padded = (width * 3 + 3) & ~3
+    if file_size != len(payload) or offset + padded * height > len(payload):
+        return None
+    return width, height, offset
+
+
+def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """Encode 16-bit signed mono PCM samples as a WAV file (stdlib
+    ``wave`` writer — a real RIFF container)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode a WAV payload → ``(n_channels, rate, n_samples,
+    duration_ms)`` from the real RIFF headers (stdlib ``wave`` reader).
+    Raises on non-WAV bytes."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        return w.getnchannels(), rate, n, (n * 1000) // rate
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
     """STUB decoder — deterministic fake standing in for a real image
     codec (PIL etc. are not installed in this container). Derives stable
@@ -73,17 +200,33 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
     return w, h, digest
 
 
+def _decode_image(payload: bytes) -> tuple[int, int, str]:
+    """REAL decode when the payload is a self-consistent uncompressed
+    BMP (true header dimensions, digest over the decoded top-down pixel
+    bytes — i.e. over image CONTENT, invariant to the row padding);
+    deterministic fake otherwise (the oracle face — text payloads used
+    by the registered stub queries can never satisfy ``_bmp_meta``'s
+    full-consistency check, so their values are unchanged)."""
+    meta = _bmp_meta(payload)
+    if meta is None:
+        return _fake_decode_image(payload)
+    w, h, pixels = decode_bmp(payload)
+    return w, h, hashlib.sha256(pixels).hexdigest()
+
+
 def decode_images(assets: DataFrame) -> DataFrame:
     """Decode binary payloads → (dimensions, digest) via ``mapInPandas``.
 
     The iterator signature processes one Arrow batch at a time, so payload
     bytes never accumulate; output drops the payload column (decode early,
     project away the heavy bytes — the multimodal analog of column pruning).
+    BMP payloads decode for real (``_decode_image``); everything else takes
+    the deterministic stub path.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode_image(bytes(p)) for p in pdf["payload"]]
+            decoded = [_decode_image(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -96,6 +239,127 @@ def decode_images(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(op, schema=DECODED_SCHEMA)
+
+
+AUDIO_DECODED_SCHEMA = (
+    "asset_id long, modality string, n_channels int, sample_rate int, "
+    "n_samples long, duration_ms long, n_bytes long, content_sha256 string"
+)
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each payload's WAV headers for channel
+    count, sample rate and true duration — same iterator-batched
+    ``mapInPandas`` contract as ``decode_images``. Non-WAV payloads
+    raise (audio pipelines route by mime first; there is no meaningful
+    fake duration)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_channels": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "duration_ms": [r[3] for r in rows],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "content_sha256": [
+                        hashlib.sha256(bytes(p)).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(op, schema=AUDIO_DECODED_SCHEMA)
+
+
+def attach_synthetic_bmp(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL image payloads: one deterministic
+    BMP per row — dimensions keyed off the id, pixels a BGR gradient —
+    in the MULTIMODAL_ASSET shape (meta carries the true dimensions, so
+    a decode face can be asserted against the metadata). Generation runs
+    in the same iterator-batched ``mapInPandas`` surface as decode."""
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for aid in pdf["asset_id"]:
+                w = 5 + int(aid) % 17  # deliberately hits all %4 paddings
+                h = 3 + int(aid) % 11
+                px = bytes(
+                    (i * 31 + int(aid) * 7 + c * 101) % 256
+                    for i in range(w * h)
+                    for c in range(3)
+                )
+                payloads.append(encode_bmp(w, h, px))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "image/bmp",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                        }
+                        for w, h in zip(widths, heights)
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+def attach_synthetic_wav(df: DataFrame, id_col: str, rate: int = 8000) -> DataFrame:
+    """Fixture attach step with REAL audio payloads: one deterministic
+    PCM WAV per row (length keyed off the id → true, varying durations;
+    samples a seeded integer wave)."""
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for aid in pdf["asset_id"]:
+                n = rate // 4 + (int(aid) % 10) * rate // 10
+                samples = [
+                    ((i * 37 + int(aid) * 13) % 2048) - 1024 for i in range(n)
+                ]
+                payloads.append(encode_wav(samples, rate))
+                durs.append((n * 1000) // rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "audio/wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": d,
+                        }
+                        for d in durs
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
 
 
 def stub_features(payload: bytes) -> list[float]:
