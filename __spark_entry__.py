@@ -26,13 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records CORRECTNESS rows for only the first 50 registered
 # entries; registry order is ours to choose. Round-8 rotation (VERDICT r7
 # item 6): lead with the queries NEW this round (five derived-table
-# TPC-H shapes + the real-BMP codec check face), then the r5-stamped
-# set — now the oldest driver rows in the registry (48 queries;
-# 6 + 48 = 54, so the LAST FOUR listed here overflow the 50-row window
-# and keep their r5 stamp until round 9 — four stable
-# dimension-count/pivot shapes were chosen as the overflow). Every
-# rotated-out query is still re-verified each round by the full local
-# check_oracle sweep and the pytest oracle replicas.
+# TPC-H shapes + the real-BMP codec check face + the grouped
+# median/MAD face), then the r5-stamped set — now the oldest driver
+# rows in the registry (48 queries; 7 + 48 = 55, so the LAST FIVE
+# listed here overflow the 50-row window and keep their r5 stamp until
+# round 9 — five stable dimension-count/pivot shapes were chosen as
+# the overflow). Every rotated-out query is still re-verified each
+# round by the full local check_oracle sweep and the pytest oracle
+# replicas.
 _CHECK_FIRST = [
     # --- new in r8 ---
     "tpch_q11_important_stock",  # scalar-agg-subquery HAVING, partsupp
@@ -41,6 +42,7 @@ _CHECK_FIRST = [
     "tpch_q20_potential_promotion",  # nested IN + correlated scalar agg
     "tpch_q21_waiting_suppliers",  # EXISTS/NOT EXISTS vs aggregate rewrite
     "multimodal_bmp_decode_check",  # REAL stdlib BMP decode vs meta dims
+    "events_mad_outliers_by_type",  # grouped two-pass median/MAD outliers
     # --- last driver row r5 (the oldest rows; full set minus overflow) ---
     "ann_cosine_topk_ivf",
     "ann_ivf_probe_topk",
@@ -85,8 +87,8 @@ _CHECK_FIRST = [
     "user_spend_quartiles",
     "user_state_intervals",
     "users_purchase_and_error",
+    # --- the five designated overflow rows (slots 51-55; stamped r9) ---
     "users_purchase_no_refund_day",
-    # --- the four designated overflow rows (slots 51-54; stamped r9) ---
     "vocab_build",
     "nation_customer_counts",
     "pivot_status_revenue",

@@ -32,6 +32,7 @@ __all__ = [
     "exact_quantiles_two_pass",
     "exact_quantiles_by_group",
     "median_mad_two_pass",
+    "median_mad_by_group",
     "with_qsketch_bucket",
     "QSKETCH_PREC",
     "QSKETCH_BRACKET_LIMIT",
@@ -557,6 +558,52 @@ def median_mad_two_pass(
             F.col("__m").alias("median"),
             F.col("mad"),
         )
+    )
+
+
+def median_mad_by_group(
+    df: DataFrame, group_col: str, value_col: str,
+    bracket_limit: int = QSKETCH_BRACKET_LIMIT,
+) -> DataFrame:
+    """Per-GROUP exact ``(n_rows, median, mad)`` — the grouped
+    composition of the two-pass selector (median per group, deviations
+    via a hash equi-join on the group, MAD per group over them). Every
+    stage is keyed by the group; zero global sorts; state bounded by
+    groups × grid. The single-group variant
+    (:func:`median_mad_two_pass`) additionally derives the MAD bracket
+    from the median pass's grid — worth it there because the saved scan
+    is data-wide; here the per-group grids are already the dominant
+    bounded state and the composition keeps the code one re-read deep.
+
+    Output: ``(group_col, n_rows, median, mad)``.
+    """
+    from .cache import scoped_persist
+
+    vals = scoped_persist(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(group_col).alias("__g0"),
+            F.col(value_col).cast("bigint").alias("__x0"),
+        )
+    )
+    med = scoped_persist(
+        exact_quantiles_by_group(vals, "__g0", "__x0", [500], bracket_limit)
+        .select(
+            F.col("__g0"),
+            F.col("n_rows"),
+            F.col("exact_value").alias("__med"),
+        )
+    )
+    dev = vals.join(med.select("__g0", "__med"), "__g0").select(
+        "__g0", F.abs(F.col("__x0") - F.col("__med")).alias("__d0")
+    )
+    mad = exact_quantiles_by_group(dev, "__g0", "__d0", [500], bracket_limit).select(
+        F.col("__g0"), F.col("exact_value").alias("__mad")
+    )
+    return med.join(mad, "__g0").select(
+        F.col("__g0").alias(group_col),
+        "n_rows",
+        F.col("__med").alias("median"),
+        F.col("__mad").alias("mad"),
     )
 
 

@@ -7342,3 +7342,93 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED robust (median/MAD) outlier detection — the per-tenant /
+# per-event-type production variant of events_value_mad_outliers: every
+# stage keyed by the group (per-group grids and brackets via
+# exact_quantiles_by_group), deviations derived by a hash equi-join on
+# the group (never a broadcast of group-cardinality data), and one
+# counting pass. Zero global sorts; state bounded by groups × grid.
+# Oracle: independent per-group full sorts.
+# ---------------------------------------------------------------------------
+@register(
+    "events_mad_outliers_by_type",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY event_type),
+    med AS (
+      SELECT r.event_type, r.x AS med FROM (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn
+        FROM v
+      ) r JOIN n ON n.event_type = r.event_type
+      WHERE r.rn = (n.n * 500 + 999) // 1000
+    ),
+    dev AS (
+      SELECT v.event_type, abs(v.x - med.med) AS d
+      FROM v JOIN med ON med.event_type = v.event_type
+    ),
+    mad AS (
+      SELECT r.event_type, r.d AS mad FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM dev
+      ) r JOIN n ON n.event_type = r.event_type
+      WHERE r.rn = (n.n * 500 + 999) // 1000
+    )
+    SELECT n.event_type, n.n AS n_rows, med.med AS median_cents,
+           mad.mad AS mad_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+            WHERE v.event_type = n.event_type
+              AND abs(v.x - med.med) >= 5 * mad.mad) AS n_outliers
+    FROM n
+    JOIN med ON med.event_type = n.event_type
+    JOIN mad ON mad.event_type = n.event_type
+    """,
+)
+def events_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.sketch import median_mad_by_group
+
+    vals = scoped_persist(
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        )
+    )
+    mm = scoped_persist(
+        median_mad_by_group(vals, "event_type", "x").select(
+            "event_type",
+            "n_rows",
+            F.col("median").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+        )
+    )
+    outliers = (
+        vals.join(mm.select("event_type", "median_cents", "mad_cents"), "event_type")
+        .filter(
+            F.abs(F.col("x") - F.col("median_cents"))
+            >= F.lit(5) * F.col("mad_cents")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    # left join: a group with ZERO outliers must still report (the
+    # oracle's correlated COUNT returns 0, not no-row)
+    return mm.join(outliers, "event_type", "left").select(
+        "event_type",
+        "n_rows",
+        "median_cents",
+        "mad_cents",
+        F.coalesce(F.col("n_outliers"), F.lit(0).cast("bigint")).alias(
+            "n_outliers"
+        ),
+    )

@@ -639,6 +639,40 @@ def test_median_mad_two_pass_matches_full_sort(spark):
         assert got == replica(vals), (got, replica(vals), vals[:8])
 
 
+def test_median_mad_by_group_matches_per_group_sort(spark):
+    """Grouped median/MAD equals independent per-group python full
+    sorts — including a single-row group, an all-identical group
+    (MAD=0), and a tight cluster whose zero-outlier property downstream
+    left-joins must preserve."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        median_mad_by_group,
+    )
+
+    groups = {
+        "a": [0, 7, 7, 7, 100, 101, 1000, 10**9],
+        "b": [5],
+        "c": [42] * 20,
+        "d": list(range(200, 260)),
+        "e": [10**6, 10**6 + 1, 10**6 + 2],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        r.g: (r.n_rows, r.median, r.mad)
+        for r in median_mad_by_group(df, "g", "x").collect()
+    }
+    want = {}
+    for g, vs in groups.items():
+        s = sorted(vs)
+        n = len(s)
+        rank = (n * 500 + 999) // 1000
+        m = s[rank - 1]
+        want[g] = (n, m, sorted(abs(v - m) for v in vs)[rank - 1])
+    assert got == want
+    assert got["c"] == (20, 42, 0)  # MAD = 0 group
+    assert got["b"] == (1, 5, 0)  # single-row group
+
+
 def test_median_mad_two_pass_matches_full_sort_random(spark):
     """Randomized cross-check of the grid-derived MAD bracket: 20 seeded
     draws from mixed distributions (uniform, log-uniform octave spread,
