@@ -27,13 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; registry order is ours to choose. Round-8 rotation (VERDICT r7
 # item 6): lead with the queries NEW this round (five derived-table
 # TPC-H shapes + the real-BMP codec check face + the grouped
-# median/MAD face), then the r5-stamped set — now the oldest driver
-# rows in the registry (48 queries; 7 + 48 = 55, so the LAST FIVE
-# listed here overflow the 50-row window and keep their r5 stamp until
-# round 9 — five stable dimension-count/pivot shapes were chosen as
-# the overflow). Every rotated-out query is still re-verified each
-# round by the full local check_oracle sweep and the pytest oracle
-# replicas.
+# median/MAD face + the repetition filter + the weighted sample), then
+# the r5-stamped set — now the oldest driver rows in the registry (48
+# queries; 9 + 48 = 57, so the LAST SEVEN listed here overflow the
+# 50-row window and keep their r5 stamp until round 9 — seven stable
+# dimension-count/pivot/interval shapes were chosen as the overflow).
+# Every rotated-out query is still re-verified each round by the full
+# local check_oracle sweep and the pytest oracle replicas.
 _CHECK_FIRST = [
     # --- new in r8 ---
     "tpch_q11_important_stock",  # scalar-agg-subquery HAVING, partsupp
@@ -43,6 +43,8 @@ _CHECK_FIRST = [
     "tpch_q21_waiting_suppliers",  # EXISTS/NOT EXISTS vs aggregate rewrite
     "multimodal_bmp_decode_check",  # REAL stdlib BMP decode vs meta dims
     "events_mad_outliers_by_type",  # grouped two-pass median/MAD outliers
+    "docs_repetition_filter",  # Gopher repetition rules, integer micro-units
+    "docs_weighted_sample",  # A-ES weighted sampling, md5-u + micro keys
     # --- last driver row r5 (the oldest rows; full set minus overflow) ---
     "ann_cosine_topk_ivf",
     "ann_ivf_probe_topk",
@@ -85,9 +87,9 @@ _CHECK_FIRST = [
     "tpch_q7_nation_volume",
     "tpch_q9_profit_by_nation_year",
     "user_spend_quartiles",
+    # --- the seven designated overflow rows (slots 51-57; stamped r9) ---
     "user_state_intervals",
     "users_purchase_and_error",
-    # --- the five designated overflow rows (slots 51-55; stamped r9) ---
     "users_purchase_no_refund_day",
     "vocab_build",
     "nation_customer_counts",

@@ -53,6 +53,7 @@ __all__ = [
     "dsir_select",
     "hashed_ngram_features",
     "train_dsir_logratios_parquet",
+    "weighted_sample_topk",
 ]
 
 #: Java's \s character class (ASCII-only), the tokenizer contract shared
@@ -261,3 +262,59 @@ def train_dsir_logratios_parquet(
         )
         for b in range(n_buckets)
     ]
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    key_scale: int = 10**6,
+    salt: str = "aes1",
+    out_key: str = "key_micro",
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): keep the ``k`` rows per group with
+    the largest ``u^(1/w)`` where ``u ~ U(0,1]`` — equivalently the
+    largest ``ln(u)/w``. Inclusion probability is proportional to the
+    weight, the draw is a pure function of the row id (never ``rand()``
+    — stable across runs, engines and partitionings, the
+    ``docs_reservoir_sample`` convention weighted), and the selection is
+    mergeable: the top-k of a union is computable from per-partition
+    top-ks, so at 100 TB this is one ``topk_per_group`` pass, no global
+    sort.
+
+    Cross-engine determinism: ``u = (md5_52bits(salt || id) + 1) / 2^52``
+    is bit-identical in Spark/DuckDB/Python (md5 + exact power-of-two
+    division); the only float op is one ``ln`` per row (ulp-class
+    engine difference), neutralized by quantizing the key to
+    ``key_scale`` units (micro by default) before ranking —
+    ``round(ln(u) * key_scale / w)`` as BIGINT — with the boundary
+    margin measured by ``tools/measure_margins.py``. Quantization ties
+    rank deterministically by ``id_col`` in both engines.
+
+    Rows with non-positive or NULL weight are excluded (they have zero
+    inclusion probability in A-ES). Output: input columns + ``out_key``
+    (the BIGINT key) + ``rk`` (1-based rank within the group).
+    """
+    from .aggregates import topk_per_group
+
+    w = F.col(weight_col)
+    bits = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (bits.cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
+    key = (
+        F.round(F.log(u) * F.lit(float(key_scale)) / w.cast("double"))
+        .cast("bigint")
+        .alias(out_key)
+    )
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(out_key, key)
+    return topk_per_group(
+        keyed, group_cols, out_key, k, tiebreak=id_col, descending=True
+    )

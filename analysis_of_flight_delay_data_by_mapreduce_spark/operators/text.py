@@ -18,6 +18,7 @@ __all__ = [
     "token_count_bpe",
     "quality_features",
     "quality_score",
+    "repetition_features",
     "language_id",
     "language_id_trigram",
     "tf_idf",
@@ -111,6 +112,122 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
         + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10.0 + F.col("digit_ratio") * 5.0, F.lit(1.0)))
     )
     return feats.withColumn(out, F.round(score, 6))
+
+
+def _sorted_run_stats(arr: Column) -> Column:
+    """``struct(top, dup)`` over a SORTED array<string>: ``top`` is the
+    longest run length (= the max multiplicity of any element) and
+    ``dup`` counts elements that occur in runs of length >= 2, with
+    multiplicity (= total occurrences of duplicated elements). One
+    left-to-right fold; the lambda touches only the accumulator and the
+    current element (cheap comparisons — the no-CSE-in-lambda trap only
+    bites O(n) subexpressions). The "" sentinel is safe: tokenizers here
+    never emit empty strings."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("top"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            (
+                acc["dup"]
+                + F.when(run == 2, F.lit(2).cast("bigint"))
+                .when(run > 2, F.lit(1).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(
+        arr,
+        init,
+        step,
+        lambda acc: F.struct(acc["top"].alias("top"), acc["dup"].alias("dup")),
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1),
+    adapted to word n-grams: the corpora here have no line/paragraph
+    structure, and the fractions are OCCURRENCE-based, not
+    character-based (documented deviation — integer-exact cross-engine,
+    no float ratios). Appends, all BIGINT micro-units (1e6 = 100%):
+
+    - ``n_tokens`` — whitespace token count;
+    - ``top_tok_micro``  — occurrences of the most frequent token
+      ``* 1e6 div n_tokens``;
+    - ``dup_tok_micro``  — occurrences of tokens appearing >= 2 times
+      ``* 1e6 div n_tokens``;
+    - ``top_2gram_micro`` / ``dup_2gram_micro`` — the same over word
+      2-grams (``n-1`` of them; 0 when fewer than 2 tokens).
+
+    Per-row, zero shuffle: sort the token (and 2-gram) array, then one
+    fold computes max-run and duplicated-occurrence counts — no
+    explode/groupBy, runs at scan speed under whole-stage codegen.
+    Division is Spark ``div`` / DuckDB ``//`` on non-negative operands
+    (identical truncation)."""
+    c = F.col(text_col)
+    sep = F.lit("\x1f")
+    df2 = (
+        df.withColumn("__rep_toks", word_tokens(c))
+        .withColumn("n_tokens", F.size("__rep_toks").cast("bigint"))
+        .withColumn(
+            "__rep_grams",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("n_tokens") - 1).cast("int")),
+                    lambda i: F.concat(
+                        F.element_at("__rep_toks", i),
+                        sep,
+                        F.element_at("__rep_toks", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn("__rep_ts", _sorted_run_stats(F.array_sort("__rep_toks")))
+        .withColumn("__rep_gs", _sorted_run_stats(F.array_sort("__rep_grams")))
+    )
+    zero = "cast(0 as bigint)"
+    return (
+        df2.withColumn(
+            "top_tok_micro",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (__rep_ts.top * cast(1000000 as"
+                f" bigint)) div n_tokens ELSE {zero} END"
+            ),
+        )
+        .withColumn(
+            "dup_tok_micro",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (__rep_ts.dup * cast(1000000 as"
+                f" bigint)) div n_tokens ELSE {zero} END"
+            ),
+        )
+        .withColumn(
+            "top_2gram_micro",
+            F.expr(
+                "CASE WHEN n_tokens > 1 THEN (__rep_gs.top * cast(1000000 as"
+                f" bigint)) div (n_tokens - 1) ELSE {zero} END"
+            ),
+        )
+        .withColumn(
+            "dup_2gram_micro",
+            F.expr(
+                "CASE WHEN n_tokens > 1 THEN (__rep_gs.dup * cast(1000000 as"
+                f" bigint)) div (n_tokens - 1) ELSE {zero} END"
+            ),
+        )
+        .drop("__rep_toks", "__rep_grams", "__rep_ts", "__rep_gs")
+    )
 
 
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:

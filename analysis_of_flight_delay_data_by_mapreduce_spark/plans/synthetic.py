@@ -7432,3 +7432,125 @@ def events_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (Rae et al. 2021, appendix A1.1) adapted
+# to word n-grams: occurrence-based top/duplicate fractions as exact
+# BIGINT micro-units — no float ratios, no explode/groupBy (the Spark
+# side is a per-row sorted-array fold, zero shuffle; the oracle unnests
+# and group-counts — different algorithm, same integers). The `kept`
+# thresholds are corpus-adapted (Gopher's own 20%/2-gram cut keeps 100%
+# of this synthetic word-soup corpus); the BOUNDARY is what the hash
+# pins.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_repetition_filter",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKENS_SQL.format(col="text")} AS tk
+      FROM documents
+    ),
+    n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+    tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+    tc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY doc_id, w),
+    ts AS (SELECT doc_id, MAX(c) AS topt,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupt
+           FROM tc GROUP BY doc_id),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || chr(31) || tk[i+1])) AS gm
+          FROM t WHERE len(tk) >= 2),
+    gc AS (SELECT doc_id, gm, CAST(COUNT(*) AS BIGINT) AS c
+           FROM g GROUP BY doc_id, gm),
+    gs AS (SELECT doc_id, MAX(c) AS topg,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupg
+           FROM gc GROUP BY doc_id),
+    m AS (
+      SELECT n.doc_id, n.n_tokens,
+             CASE WHEN n.n_tokens > 0
+                  THEN (COALESCE(ts.topt, 0) * 1000000) // n.n_tokens
+                  ELSE 0 END AS top_tok_micro,
+             CASE WHEN n.n_tokens > 0
+                  THEN (COALESCE(ts.dupt, 0) * 1000000) // n.n_tokens
+                  ELSE 0 END AS dup_tok_micro,
+             CASE WHEN n.n_tokens > 1
+                  THEN (COALESCE(gs.topg, 0) * 1000000) // (n.n_tokens - 1)
+                  ELSE 0 END AS top_2gram_micro,
+             CASE WHEN n.n_tokens > 1
+                  THEN (COALESCE(gs.dupg, 0) * 1000000) // (n.n_tokens - 1)
+                  ELSE 0 END AS dup_2gram_micro
+      FROM n
+      LEFT JOIN ts ON ts.doc_id = n.doc_id
+      LEFT JOIN gs ON gs.doc_id = n.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(top_tok_micro AS BIGINT) AS top_tok_micro,
+           CAST(dup_tok_micro AS BIGINT) AS dup_tok_micro,
+           CAST(top_2gram_micro AS BIGINT) AS top_2gram_micro,
+           CAST(dup_2gram_micro AS BIGINT) AS dup_2gram_micro,
+           (top_tok_micro <= 100000 AND dup_2gram_micro <= 80000) AS kept
+    FROM m
+    """,
+)
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = text_ops.repetition_features(docs)
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "top_tok_micro",
+        "dup_tok_micro",
+        "top_2gram_micro",
+        "dup_2gram_micro",
+        (
+            (F.col("top_tok_micro") <= 100000)
+            & (F.col("dup_2gram_micro") <= 80000)
+        ).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# k docs per source with probability proportional to length — the
+# token-budget-aware eval/inspection sample. The draw is a pure
+# function of the doc id (md5-derived u, never rand()), the key is
+# ln(u)/w quantized to micro BIGINTs (one ulp-class ln per row,
+# margin-measured), and the selection is one skew-safe topk_per_group —
+# mergeable, no global sort. Oracle replicates the exact arithmetic:
+# u = (52-bit md5 prefix + 1) / 2^52 is bit-identical in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             CAST(ROUND(
+               ln((CAST(CAST(('0x' || substr(md5('aes1' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 1.0)
+                  / 4503599627370496.0)
+               * 1000000.0 / CAST(n_chars AS DOUBLE)
+             ) AS BIGINT) AS key_micro
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars, key_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key_micro DESC, doc_id) AS rk
+      FROM w
+    )
+    SELECT source, doc_id, n_chars, key_micro, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    top = weighted_sample_topk(
+        docs, ["source"], "doc_id", "n_chars", k=5
+    )
+    return top.select(
+        "source", "doc_id", "n_chars", "key_micro", F.col("rk").cast("long").alias("rk")
+    )

@@ -183,3 +183,50 @@ def test_cms_inner_product_disjoint_inputs_read_zero(spark):
         cms_build(b, "k", depth=4, width=1 << 16),
     ).collect()[0]["est"]
     assert est == 0
+
+
+def test_weighted_sample_topk_matches_python_replica(spark):
+    """weighted_sample_topk == a brute-force A-ES replica (same md5-u,
+    same micro quantization, same DESC-key doc_id-tiebreak rank), and
+    excludes NULL/zero/negative weights."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        weighted_sample_topk,
+    )
+
+    rows = [
+        ("s1", 1, 100),
+        ("s1", 2, 2000),
+        ("s1", 3, 50),
+        ("s1", 4, 800),
+        ("s1", 5, None),  # excluded: NULL weight
+        ("s2", 6, 10),
+        ("s2", 7, 0),  # excluded: zero weight
+        ("s2", 8, -5),  # excluded: negative weight
+        ("s2", 9, 300),
+        ("s2", 10, 300),  # same weight as 9: key differs only via u
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    got = {
+        (r.source, r.doc_id): (r.key_micro, r.rk)
+        for r in weighted_sample_topk(df, ["source"], "doc_id", "w", k=2).collect()
+    }
+
+    def key(doc_id, w):
+        bits = int(hashlib.md5(f"aes1{doc_id}".encode()).hexdigest()[:13], 16)
+        u = (float(bits) + 1.0) / float(1 << 52)
+        v = math.log(u) * 1e6 / float(w)
+        # Spark round() is HALF_UP (away from zero); the keys here are
+        # nowhere near .5 so floor(x+0.5) on |v| suffices
+        return -int(abs(v) + 0.5) if v < 0 else int(v + 0.5)
+
+    want = {}
+    for src in ("s1", "s2"):
+        cand = [
+            (key(d, w), d)
+            for s, d, w in rows
+            if s == src and w is not None and w > 0
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (kv, d) in enumerate(cand[:2], start=1):
+            want[(src, d)] = (kv, rk)
+    assert got == want

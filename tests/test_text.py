@@ -393,3 +393,81 @@ def test_bigram_lm_scores_match_python_replica(spark):
     # except inside the single-occurrence chains)
     assert got[1][1] == min(got[i][1] for i in (1, 2, 3))
     assert all(got[i][1] > 0 for i in (1, 2, 3))
+
+
+def test_repetition_features_match_python_replica(spark):
+    """repetition_features == a brute-force Counter replica (top/dup
+    occurrence fractions in integer micro-units) on planted docs
+    covering: empty text, single token, all-distinct, all-identical,
+    alternating 2-gram repetition, and a mixed doc."""
+    from collections import Counter
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        repetition_features,
+    )
+
+    texts = {
+        1: "a a a b c",
+        2: "",
+        3: "x",
+        4: "p q p q p q",
+        5: "u v w x y z",
+        6: "m m m m m",
+        7: "one two two three three three  four\tfour",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def replica(t):
+        toks = [w for w in t.split() if w]
+        n = len(toks)
+        grams = [
+            toks[i] + "\x1f" + toks[i + 1] for i in range(n - 1)
+        ]
+
+        def stats(items):
+            c = Counter(items)
+            top = max(c.values(), default=0)
+            dup = sum(v for v in c.values() if v >= 2)
+            return top, dup
+
+        tt, td = stats(toks)
+        gt, gd = stats(grams)
+        ng = max(n - 1, 0)
+        return (
+            n,
+            (tt * 10**6) // n if n else 0,
+            (td * 10**6) // n if n else 0,
+            (gt * 10**6) // ng if ng else 0,
+            (gd * 10**6) // ng if ng else 0,
+        )
+
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.top_tok_micro,
+            r.dup_tok_micro,
+            r.top_2gram_micro,
+            r.dup_2gram_micro,
+        )
+        for r in repetition_features(df).collect()
+    }
+    assert got == {i: replica(t) for i, t in texts.items()}
+    assert got[6] == (5, 10**6, 10**6, 10**6, 10**6)  # fully repeated
+    assert got[5][1:] == (166666, 0, 200000, 0)  # all distinct
+
+
+def test_repetition_features_zero_shuffle_plan(spark):
+    """The repetition pass is per-row: no Exchange anywhere in the plan
+    (sorted-array folds, not explode+groupBy)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        repetition_features,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.inspect import (
+        plan_text,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    txt = plan_text(repetition_features(docs), "simple")
+    assert "Exchange" not in txt, txt

@@ -232,6 +232,30 @@ def measure(sf_dir: str) -> list[tuple[str, float, float, bool]]:
         _round_margin(lps) * 1e-6,
         ULP_NOISE,
     )
+
+    # --- docs_weighted_sample: the A-ES key ln(u) * 1e6 / w rounds to a
+    # BIGINT; one libm ln per row is the only engine-variant op, so the
+    # floor is |key| * ulp (relative), checked at the worst |key| ---
+    import hashlib as _hashlib
+
+    dw = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    keys = []
+    for doc_id, n_chars in zip(
+        dw.column("doc_id").to_pylist(), dw.column("n_chars").to_pylist()
+    ):
+        if not n_chars or n_chars <= 0:
+            continue
+        bits = int(_hashlib.md5(f"aes1{doc_id}".encode()).hexdigest()[:13], 16)
+        u = (float(bits) + 1.0) / float(1 << 52)
+        keys.append(np.log(u) * 1e6 / float(n_chars))
+    kv = np.array(keys)
+    check(
+        "docs_weighted_sample key_micro boundary (abs, ulp-class)",
+        _round_margin(kv, 0),
+        float(np.abs(kv).max()) * ULP_NOISE,
+    )
     return out
 
 
