@@ -139,7 +139,13 @@ def test_no_forced_broadcast_of_scaling_tables():
                         # (ann_pq_rerank_topk / ann_ivfpq_topk)
         "med",          # 1-row exact-median frame (events_value_mad_outliers)
         "mad",          # 1-row exact-MAD frame (events_value_mad_outliers)
+        "mm",           # 1-row (n, median, mad) frame — the r8 pass-cut
+                        # combined face (events_value_mad_outliers)
         "outliers",     # 1-row outlier COUNT aggregate (same query)
+        "scnt",         # 1-row |supplier| COUNT — parameterizes the
+                        # derived-partsupp modulus (r8 _partsupp)
+        "tot",          # 1-row (total, n_parts) threshold aggregate
+                        # (tpch_q11_important_stock, r8)
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
