@@ -27,13 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; registry order is ours to choose. Round-8 rotation (VERDICT r7
 # item 6): lead with the queries NEW this round (five derived-table
 # TPC-H shapes + the real-BMP codec check face + the grouped
-# median/MAD face + the repetition filter + the weighted sample), then
-# the r5-stamped set — now the oldest driver rows in the registry (48
-# queries; 9 + 48 = 57, so the LAST SEVEN listed here overflow the
-# 50-row window and keep their r5 stamp until round 9 — seven stable
-# dimension-count/pivot/interval shapes were chosen as the overflow).
-# Every rotated-out query is still re-verified each round by the full
-# local check_oracle sweep and the pytest oracle replicas.
+# median/MAD face + the repetition filter + the weighted sample + its
+# merge-check face), then the r5-stamped set — now the oldest driver
+# rows in the registry (48 queries; 10 + 48 = 58, so the LAST EIGHT
+# listed here overflow the 50-row window and keep their r5 stamp until
+# round 9 — eight stable dimension-count/pivot/interval shapes were
+# chosen as the overflow). Every rotated-out query is still re-verified
+# each round by the full local check_oracle sweep and the pytest oracle
+# replicas.
 _CHECK_FIRST = [
     # --- new in r8 ---
     "tpch_q11_important_stock",  # scalar-agg-subquery HAVING, partsupp
@@ -45,6 +46,7 @@ _CHECK_FIRST = [
     "events_mad_outliers_by_type",  # grouped two-pass median/MAD outliers
     "docs_repetition_filter",  # Gopher repetition rules, integer micro-units
     "docs_weighted_sample",  # A-ES weighted sampling, md5-u + micro keys
+    "docs_weighted_sample_merge_check",  # merge(topk,topk)==topk(union)
     # --- last driver row r5 (the oldest rows; full set minus overflow) ---
     "ann_cosine_topk_ivf",
     "ann_ivf_probe_topk",
@@ -86,8 +88,8 @@ _CHECK_FIRST = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
     "tpch_q9_profit_by_nation_year",
+    # --- the eight designated overflow rows (slots 51-58; stamped r9) ---
     "user_spend_quartiles",
-    # --- the seven designated overflow rows (slots 51-57; stamped r9) ---
     "user_state_intervals",
     "users_purchase_and_error",
     "users_purchase_no_refund_day",

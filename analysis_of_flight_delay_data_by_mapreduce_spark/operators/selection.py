@@ -53,6 +53,7 @@ __all__ = [
     "dsir_select",
     "hashed_ngram_features",
     "train_dsir_logratios_parquet",
+    "weighted_sample_merge",
     "weighted_sample_topk",
 ]
 
@@ -317,4 +318,38 @@ def weighted_sample_topk(
     keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(out_key, key)
     return topk_per_group(
         keyed, group_cols, out_key, k, tiebreak=id_col, descending=True
+    )
+
+
+def weighted_sample_merge(
+    parts: list[DataFrame],
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    key_col: str = "key_micro",
+) -> DataFrame:
+    """Merge per-partition A-ES selections into the selection of the
+    union — the mergeability that makes :func:`weighted_sample_topk` a
+    one-pass 100 TB operator and a bounded-state streaming one: a row in
+    the union's top-k is in the top-k of whichever part carried it
+    (keys are pure per-row functions), so re-ranking the union of
+    survivor sets (``|parts| × groups × k`` rows, never data-sized)
+    loses nothing. Duplicate ids across parts (epoch replay, overlapping
+    shards) collapse first — the merge is idempotent. Inputs must carry
+    ``key_col`` from :func:`weighted_sample_topk` (its ``rk`` is
+    recomputed here)."""
+    from functools import reduce
+
+    from .aggregates import topk_per_group
+
+    u = reduce(lambda a, b: a.unionByName(b), parts).drop("rk")
+    dedup = u.groupBy(*group_cols, id_col).agg(
+        *[
+            F.first(c).alias(c)
+            for c in u.columns
+            if c not in set(group_cols) | {id_col}
+        ]
+    )
+    return topk_per_group(
+        dedup, group_cols, key_col, k, tiebreak=id_col, descending=True
     )

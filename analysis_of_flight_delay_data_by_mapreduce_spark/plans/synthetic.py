@@ -7554,3 +7554,54 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "source", "doc_id", "n_chars", "key_micro", F.col("rk").cast("long").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeability check face for A-ES weighted sampling: select per-shard
+# (doc_id parity split), merge the survivor sets, re-rank — and the
+# oracle computes the DIRECT selection over the whole corpus. Hash
+# equality proves merge(topk(A), topk(B)) == topk(A ∪ B), the property
+# that makes the operator one bounded pass at 100 TB and a
+# bounded-state streaming selection (streaming.sampling).
+# ---------------------------------------------------------------------------
+@register(
+    "docs_weighted_sample_merge_check",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             CAST(ROUND(
+               ln((CAST(CAST(('0x' || substr(md5('aes1' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 1.0)
+                  / 4503599627370496.0)
+               * 1000000.0 / CAST(n_chars AS DOUBLE)
+             ) AS BIGINT) AS key_micro
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars, key_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key_micro DESC, doc_id) AS rk
+      FROM w
+    )
+    SELECT source, doc_id, n_chars, key_micro, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def docs_weighted_sample_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import weighted_sample_merge, weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    halves = [
+        weighted_sample_topk(
+            docs.filter(F.col("doc_id") % 2 == parity),
+            ["source"],
+            "doc_id",
+            "n_chars",
+            k=5,
+        )
+        for parity in (0, 1)
+    ]
+    merged = weighted_sample_merge(halves, ["source"], "doc_id", k=5)
+    return merged.select(
+        "source", "doc_id", "n_chars", "key_micro", F.col("rk").cast("long").alias("rk")
+    )

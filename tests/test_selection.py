@@ -230,3 +230,40 @@ def test_weighted_sample_topk_matches_python_replica(spark):
         for rk, (kv, d) in enumerate(cand[:2], start=1):
             want[(src, d)] = (kv, rk)
     assert got == want
+
+
+def test_weighted_sample_merge_idempotent_and_lossless(spark):
+    """merge(topk(A), topk(B)) == topk(A ∪ B) on a planted split, and
+    merging a selection with itself is the selection (duplicate-id
+    collapse — the epoch-replay property the streaming face leans on)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        weighted_sample_merge,
+        weighted_sample_topk,
+    )
+
+    rows = [("s%d" % (i % 3), i, 50 + 13 * (i % 17)) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    direct = {
+        (r.source, r.doc_id, r.key_micro, r.rk)
+        for r in weighted_sample_topk(df, ["source"], "doc_id", "w", 4).collect()
+    }
+    halves = [
+        weighted_sample_topk(
+            df.filter(F.col("doc_id") % 2 == p), ["source"], "doc_id", "w", 4
+        )
+        for p in (0, 1)
+    ]
+    merged = {
+        (r.source, r.doc_id, r.key_micro, r.rk)
+        for r in weighted_sample_merge(halves, ["source"], "doc_id", 4).collect()
+    }
+    assert merged == direct
+    self_merged = {
+        (r.source, r.doc_id, r.key_micro, r.rk)
+        for r in weighted_sample_merge(
+            [halves[0], halves[0]], ["source"], "doc_id", 4
+        ).collect()
+    }
+    assert self_merged == {
+        (r.source, r.doc_id, r.key_micro, r.rk) for r in halves[0].collect()
+    }

@@ -793,3 +793,59 @@ def test_stream_hot_key_alerts_match_batch(spark, tmp_path):
 
     assert run("ckpt1") == want
     assert run("ckpt2") == want  # fresh checkpoint = full epoch replay
+
+
+def test_stream_weighted_sample_matches_batch(spark, tmp_path):
+    """The rolling A-ES sample state after a micro-batch-split drain ==
+    the batch weighted_sample_topk over the union (mergeability across
+    epochs), and a fresh-checkpoint replay over the same backlog
+    rewrites the same epochs with the same rows."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        weighted_sample_topk,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.sampling import (
+        latest_sample_state,
+        run_weighted_sample_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    want = {
+        (r.source, r.doc_id, r.key_micro, r.rk)
+        for r in weighted_sample_topk(
+            docs, ["source"], "doc_id", "n_chars", k=3
+        ).collect()
+    }
+    assert want
+
+    land = str(tmp_path / "land")
+    for third in range(3):
+        docs.filter(F.col("doc_id") % 3 == third).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        q = run_weighted_sample_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land),
+            ["source"],
+            "doc_id",
+            "n_chars",
+            3,
+            state,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        return {
+            (r.source, r.doc_id, r.key_micro, r.rk)
+            for r in latest_sample_state(spark, state).collect()
+        }
+
+    assert run("ckpt1") == want
+    assert run("ckpt2") == want  # aligned replay: same epochs, same rows
