@@ -7309,16 +7309,27 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lx = _lineitem_ext(spark, sf_dir).select(
-        "l_orderkey",
-        "l_suppkey",
-        (F.col("l_receiptday") > F.col("l_commitday")).alias("__late"),
+    from ..operators.cache import scoped_persist
+
+    # lx feeds BOTH the per-order supplier profile and the late-row
+    # probe side — materialize it once (the cross-operator no-CSE rule)
+    lx = scoped_persist(
+        _lineitem_ext(spark, sf_dir).select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_receiptday") > F.col("l_commitday")).alias("__late"),
+        )
     )
-    per_order = lx.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("__n_supp"),
-        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late_supp"
-        ),
+    # two-level distinct: dedup (order, supplier) first, then count — the
+    # double count_distinct form plans an Expand that pushes 2x the rows
+    # through the aggregate (A/B at sf0.1: 2.6s -> 1.6s with both fixes,
+    # rows identical)
+    per_supp = lx.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("__late"), 1).otherwise(0)).alias("__late_any")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__late_any").alias("__n_late_supp"),
     )
     forders = (
         _t(spark, sf_dir, "orders")
