@@ -33,7 +33,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["latest_sample_state", "run_weighted_sample_stream"]
+__all__ = [
+    "compact_sample_state",
+    "latest_sample_state",
+    "run_weighted_sample_stream",
+]
 
 
 def _epochs_on_disk(state_path: str) -> list[int]:
@@ -61,6 +65,25 @@ def latest_sample_state(
     if not epochs:
         return None
     return spark.read.parquet(f"{state_path}/epoch={epochs[-1]}")
+
+
+def compact_sample_state(state_path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` epoch directories (each
+    epoch's selection is COMPLETE — it already merged its predecessor —
+    so older epochs are pure history, not state). Keeping >= 2 leaves
+    the newest epoch's predecessor in place, so an at-least-once replay
+    of the newest epoch after a compaction still reads the same
+    predecessor it read the first time. Returns the removed epoch ids.
+    Run between drains, not concurrently with an active stream."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
+    epochs = _epochs_on_disk(state_path)
+    drop = epochs[:-keep_last] if keep_last < len(epochs) else []
+    for e in drop:
+        shutil.rmtree(os.path.join(state_path, f"epoch={e}"))
+    return drop
 
 
 def run_weighted_sample_stream(

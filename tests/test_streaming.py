@@ -849,3 +849,71 @@ def test_stream_weighted_sample_matches_batch(spark, tmp_path):
 
     assert run("ckpt1") == want
     assert run("ckpt2") == want  # aligned replay: same epochs, same rows
+
+
+def test_compact_sample_state_keeps_latest_and_continues(spark, tmp_path):
+    """Compacting old sampling epochs preserves the newest state (and its
+    predecessor for replay safety), and a later drain merges on top of
+    the compacted state correctly."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        weighted_sample_topk,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.sampling import (
+        _epochs_on_disk,
+        compact_sample_state,
+        latest_sample_state,
+        run_weighted_sample_stream,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    land = str(tmp_path / "land")
+    for third in range(3):
+        docs.filter(F.col("doc_id") % 3 == third).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+    state = str(tmp_path / "state")
+    q = run_weighted_sample_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land),
+        ["source"], "doc_id", "n_chars", 3, state, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    before = {
+        (r.source, r.doc_id, r.rk)
+        for r in latest_sample_state(spark, state).collect()
+    }
+    dropped = compact_sample_state(state, keep_last=2)
+    assert dropped == [0]
+    assert _epochs_on_disk(state) == [1, 2]
+    after = {
+        (r.source, r.doc_id, r.rk)
+        for r in latest_sample_state(spark, state).collect()
+    }
+    assert after == before
+    # a later increment merges on top of the compacted state
+    docs.limit(0).coalesce(1).write.mode("append").parquet(land)  # no-op file
+    extra = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    extra.coalesce(1).write.mode("append").parquet(land)
+    q2 = run_weighted_sample_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land),
+        ["source"], "doc_id", "n_chars", 3, state, str(tmp_path / "ck1"),
+    )
+    q2.awaitTermination(120)
+    want = {
+        (r.source, r.doc_id, r.rk)
+        for r in weighted_sample_topk(
+            docs.unionByName(extra), ["source"], "doc_id", "n_chars", 3
+        ).collect()
+    }
+    got = {
+        (r.source, r.doc_id, r.rk)
+        for r in latest_sample_state(spark, state).collect()
+    }
+    assert got == want
