@@ -337,18 +337,31 @@ def weighted_sample_merge(
     loses nothing. Duplicate ids across parts (epoch replay, overlapping
     shards) collapse first — the merge is idempotent. Inputs must carry
     ``key_col`` from :func:`weighted_sample_topk` (its ``rk`` is
-    recomputed here)."""
+    recomputed here).
+
+    Duplicate resolution is DETERMINISTIC (ADVICE r8): duplicates of an
+    id collapse to the single row with the max ``key_col`` (ties by the
+    remaining columns), taken atomically via max-of-struct — so a
+    re-ingested id whose weight changed across parts/epochs resolves
+    the same way on every run and every cluster layout. In the normal
+    case (duplicates bit-identical — the key is a pure function of id
+    and weight) this is exactly the old collapse; when weights DO
+    conflict, the max-key row is the selection-favorable one, which may
+    legitimately differ from a fresh selection computed from only the
+    latest weights — re-ingestion with changed weights should rebuild,
+    not merge."""
     from functools import reduce
 
     from .aggregates import topk_per_group
 
     u = reduce(lambda a, b: a.unionByName(b), parts).drop("rk")
+    others = [c for c in u.columns if c not in set(group_cols) | {id_col}]
+    ordered = [key_col] + [c for c in others if c != key_col]
     dedup = u.groupBy(*group_cols, id_col).agg(
-        *[
-            F.first(c).alias(c)
-            for c in u.columns
-            if c not in set(group_cols) | {id_col}
-        ]
+        F.max(F.struct(*ordered)).alias("__row")
+    )
+    dedup = dedup.select(
+        *group_cols, id_col, *[F.col(f"__row.{c}").alias(c) for c in ordered]
     )
     return topk_per_group(
         dedup, group_cols, key_col, k, tiebreak=id_col, descending=True

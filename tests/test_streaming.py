@@ -887,9 +887,9 @@ def test_compact_sample_state_keeps_latest_and_continues(spark, tmp_path):
         (r.source, r.doc_id, r.rk)
         for r in latest_sample_state(spark, state).collect()
     }
-    dropped = compact_sample_state(state, keep_last=2)
-    assert dropped == [0]
-    assert _epochs_on_disk(state) == [1, 2]
+    dropped = compact_sample_state(spark, state, keep_last=2)
+    assert dropped == ["run=0/epoch=0"]
+    assert _epochs_on_disk(spark, state, run=0) == [1, 2]
     after = {
         (r.source, r.doc_id, r.rk)
         for r in latest_sample_state(spark, state).collect()
@@ -917,3 +917,113 @@ def test_compact_sample_state_keeps_latest_and_continues(spark, tmp_path):
         for r in latest_sample_state(spark, state).collect()
     }
     assert got == want
+
+
+def test_fresh_checkpoint_new_run_not_shadowed_by_stale_epochs(spark, tmp_path):
+    """ADVICE r8: a fresh-checkpoint restart against an existing
+    state_path must NOT serve stale higher-numbered epochs from the
+    previous run. The first run drains 3 files (epochs 0..2); the
+    second run (fresh checkpoint) drains a SMALLER backlog (1 file →
+    epoch 0 only). latest_sample_state must return the new run's
+    selection, not the old run's epoch 2."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        weighted_sample_topk,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.sampling import (
+        _runs_on_disk,
+        latest_sample_state,
+        run_weighted_sample_stream,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    state = str(tmp_path / "state")
+
+    land1 = str(tmp_path / "land1")
+    for third in range(3):
+        docs.filter(F.col("doc_id") % 3 == third).coalesce(1).write.mode(
+            "append"
+        ).parquet(land1)
+    q1 = run_weighted_sample_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land1),
+        ["source"], "doc_id", "n_chars", 3, state, str(tmp_path / "ck1"),
+    )
+    q1.awaitTermination(120)
+
+    small = docs.filter(F.col("doc_id") % 3 == 0)
+    land2 = str(tmp_path / "land2")
+    small.coalesce(1).write.parquet(land2)
+    q2 = run_weighted_sample_stream(
+        spark.readStream.schema(docs.schema).parquet(land2),
+        ["source"], "doc_id", "n_chars", 3, state, str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+
+    assert _runs_on_disk(spark, state) == [0, 1]
+    want = {
+        (r.source, r.doc_id, r.rk)
+        for r in weighted_sample_topk(
+            small, ["source"], "doc_id", "n_chars", 3
+        ).collect()
+    }
+    got = {
+        (r.source, r.doc_id, r.rk)
+        for r in latest_sample_state(spark, state).collect()
+    }
+    assert got == want  # pre-fence, the stale run-0 epoch=2 would win
+
+
+def test_compact_sample_state_rejects_unsafe_keep_last(spark, tmp_path):
+    """keep_last=1 would let an at-least-once replay of the newest epoch
+    find no predecessor and silently rebuild from its batch alone —
+    rejected loudly (ADVICE r8)."""
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.sampling import (
+        compact_sample_state,
+    )
+
+    with pytest.raises(ValueError, match="keep_last"):
+        compact_sample_state(spark, str(tmp_path / "state"), keep_last=1)
+
+
+def test_weighted_sample_merge_conflicting_weights_deterministic(spark):
+    """ADVICE r8: duplicate ids with DIFFERENT weights across parts
+    (re-ingested doc) must resolve deterministically — the max-key row
+    wins atomically (key and weight travel together), so the merge
+    cannot return a run-to-run-varying mix of the two rows."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        weighted_sample_merge,
+        weighted_sample_topk,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    from pyspark.sql import functions as F
+
+    a = weighted_sample_topk(docs, ["source"], "doc_id", "n_chars", k=4)
+    reweighted = docs.withColumn("n_chars", F.col("n_chars") * 2 + 1)
+    b = weighted_sample_topk(reweighted, ["source"], "doc_id", "n_chars", k=4)
+    runs = [
+        {
+            tuple(r)
+            for r in weighted_sample_merge(
+                [a, b] if flip else [b, a], ["source"], "doc_id", k=4
+            ).collect()
+        }
+        for flip in (False, True, False)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # and every surviving row is one COHERENT source row: its key_micro
+    # must be exactly the key of (doc_id, its own n_chars)
+    both = a.unionByName(b).select("doc_id", "n_chars", "key_micro").distinct()
+    valid = {(r.doc_id, r.n_chars, r.key_micro) for r in both.collect()}
+    merged = weighted_sample_merge([a, b], ["source"], "doc_id", k=4)
+    for r in merged.collect():
+        assert (r.doc_id, r.n_chars, r.key_micro) in valid
