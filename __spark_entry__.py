@@ -24,71 +24,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-8 rotation (VERDICT r7
-# item 6): lead with the queries NEW this round (five derived-table
-# TPC-H shapes + the real-BMP codec check face + the grouped
-# median/MAD face + the repetition filter + the weighted sample + its
-# merge-check face), then the r5-stamped set — now the oldest driver
-# rows in the registry (48 queries; 10 + 48 = 58, so the LAST EIGHT
-# listed here overflow the 50-row window and keep their r5 stamp until
-# round 9 — eight stable dimension-count/pivot/interval shapes were
+# entries; registry order is ours to choose. Round-9 rotation (VERDICT r8
+# item 1): lead with the query NEW this round (the real-PNG codec check
+# face), then the eight r5-stamped overflow rows from the r8 window —
+# the oldest driver stamps in the registry — then the r6-stamped block
+# (50 queries; 1 + 8 + 41 fit, so the NINE r6 rows listed after slot 50
+# overflow and keep their r6 stamp until round 10 — nine stable
+# count/profile/rollup shapes with full pytest oracle replicas were
 # chosen as the overflow). Every rotated-out query is still re-verified
 # each round by the full local check_oracle sweep and the pytest oracle
 # replicas.
 _CHECK_FIRST = [
-    # --- new in r8 ---
-    "tpch_q11_important_stock",  # scalar-agg-subquery HAVING, partsupp
-    "tpch_q12_shipmodes",  # late-lineitem pivot, derived commit/receipt
-    "tpch_q16_parts_supplier",  # NOT IN -> anti join, COUNT(DISTINCT)
-    "tpch_q20_potential_promotion",  # nested IN + correlated scalar agg
-    "tpch_q21_waiting_suppliers",  # EXISTS/NOT EXISTS vs aggregate rewrite
-    "multimodal_bmp_decode_check",  # REAL stdlib BMP decode vs meta dims
-    "events_mad_outliers_by_type",  # grouped two-pass median/MAD outliers
-    "docs_repetition_filter",  # Gopher repetition rules, integer micro-units
-    "docs_weighted_sample",  # A-ES weighted sampling, md5-u + micro keys
-    "docs_weighted_sample_merge_check",  # merge(topk,topk)==topk(union)
-    # --- last driver row r5 (the oldest rows; full set minus overflow) ---
-    "ann_cosine_topk_ivf",
-    "ann_ivf_probe_topk",
-    "corpus_prepare",
-    "corpus_prepare_audit",
-    "corpus_prepare_semantic",
-    "customer_rfm",
-    "customer_snapshot_diff",
-    "customers_without_orders",
-    "dedup_incremental",
-    "dedup_incremental_minhash_check",
-    "dedup_minhash",
-    "dedup_semantic",
-    "dedup_semantic_incremental",
-    "dedup_simhash",
-    "docs_difficulty_quartiles",
-    "docs_hash_split",
-    "docs_mixture_sample",
-    "docs_pack_chunks",
-    "docs_source_budget_cap",
-    "docs_top_quality_per_source",
-    "embedding_label_centroids",
-    "events_asof_signup",
-    "events_json_props",
-    "events_latest_state",
-    "events_segment_spend",
-    "events_sessionize",
-    "events_user_overlap_check",
-    "events_user_overlap_sketch",
-    "events_user_sketch_check",
-    "events_user_sketch_rollup",
-    "orders_above_customer_avg",
-    "text_bm25",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q22_inactive_rich",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit_by_nation_year",
-    # --- the eight designated overflow rows (slots 51-58; stamped r9) ---
+    # --- new in r9 ---
+    "multimodal_png_decode_check",  # REAL stdlib zlib PNG decode vs meta dims
+    # --- last driver row r5 (the r8 window's designated overflow) ---
     "user_spend_quartiles",
     "user_state_intervals",
     "users_purchase_and_error",
@@ -97,6 +46,58 @@ _CHECK_FIRST = [
     "nation_customer_counts",
     "pivot_status_revenue",
     "sales_cube",
+    # --- last driver row r6 (oldest remaining; full set minus overflow) ---
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "ann_ivf_recall_check",
+    "corpus_prepare_cc",
+    "dedup_embedding",
+    "dedup_minhash_recall_check",
+    "dedup_simhash_check",
+    "dedup_winnow_pairs",
+    "docs_bpe_token_counts",
+    "docs_dsir_selected_mixture",
+    "docs_dsir_weights",
+    "docs_dup_span_profile",
+    "docs_dup_span_strip",
+    "docs_dup_spans",
+    "docs_quantile_sketch",
+    "docs_quantile_sketch_check",
+    "docs_reservoir_sample",
+    "docs_tfidf_cosine_pairs",
+    "embedding_label_pca",
+    "events_interval_join_binned",
+    "events_quantile_merge_check",
+    "events_sliding",
+    "events_value_quantile_check",
+    "orders_bloom_semijoin",
+    "orders_join_size_cms_check",
+    "purchase_age_salted_join",
+    "q1_delay",
+    "q2_late",
+    "q3_wordcount",
+    "q4_repeat_visits",
+    "q5_dup_dates",
+    "supplier_authority_pagerank",
+    "text_language_id",
+    "text_language_id_trigram",
+    "text_quality",
+    "text_tfidf",
+    "text_token_counts",
+    "text_winnow_fingerprint",
+    "tokens_cms_check",
+    "tokens_cms_sketch",
+    "vocab_bpe_pair_counts",
+    # --- the nine designated overflow rows (slots 51-59; stamped r10) ---
+    "customer_name_ids",
+    "distinct_users_by_type",
+    "events_value_stats",
+    "events_windowed",
+    "orders_by_month",
+    "orders_profile",
+    "sales_rollup",
+    "token_histogram",
+    "top_parts_by_brand",
 ]
 
 

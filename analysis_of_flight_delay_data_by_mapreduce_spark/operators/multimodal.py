@@ -6,16 +6,20 @@ batch shape, ``mapInPandas`` iteration, partition sizing — is real and
 tested. Codecs (VERDICT r7 item 5):
 
 - **REAL, stdlib-only**: uncompressed 24-bit BMP (``encode_bmp`` /
-  ``decode_bmp`` via ``struct`` — true header+pixel bytes) and PCM WAV
-  (``encode_wav`` / ``decode_wav`` via the stdlib ``wave`` module).
-  ``decode_images`` parses a strictly-validated BMP payload for its TRUE
-  dimensions; ``decode_audio`` reads the true sample rate / duration
-  from WAV headers.
-- **STUBBED**: any payload that is not a self-consistent BMP falls back
-  to the deterministic ``_fake_decode_image`` (the oracle face — its
-  sha256 arithmetic is replicated in SQL), and compressed formats
-  (JPEG/PNG/MP4) remain out of scope until PIL/av exist in the image
-  (re-checked absent 2026-08-15).
+  ``decode_bmp`` via ``struct`` — true header+pixel bytes), COMPRESSED
+  non-interlaced 8-bit RGB/RGBA PNG (``encode_png`` / ``decode_png``
+  via ``zlib`` + ``struct`` — chunk CRC validation, zlib inflate,
+  per-scanline unfilter of all five PNG filter types incl. Paeth), and
+  PCM WAV (``encode_wav`` / ``decode_wav`` via the stdlib ``wave``
+  module). ``decode_images`` parses a strictly-validated BMP or PNG
+  payload for its TRUE dimensions and digests the decoded PIXELS;
+  ``decode_audio`` reads the true sample rate / duration from WAV
+  headers.
+- **STUBBED**: any payload that is neither a self-consistent BMP nor a
+  valid PNG falls back to the deterministic ``_fake_decode_image`` (the
+  oracle face — its sha256 arithmetic is replicated in SQL), and
+  codec-heavy formats (JPEG/MP4) remain out of scope until PIL/av exist
+  in the image (re-checked absent 2026-08-15).
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``mapInPandas`` is an iterator — never materializes a partition);
@@ -28,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,12 +42,15 @@ from pyspark.sql import functions as F
 __all__ = [
     "attach_payload",
     "attach_synthetic_bmp",
+    "attach_synthetic_png",
     "attach_synthetic_wav",
     "decode_audio",
     "decode_bmp",
     "decode_images",
+    "decode_png",
     "decode_wav",
     "encode_bmp",
+    "encode_png",
     "encode_wav",
     "extract_features",
     "sample_video_frames",
@@ -190,6 +198,186 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
         return w.getnchannels(), rate, n, (n * 1000) // rate
 
 
+# ---------------------------------------------------------------------------
+# REAL compressed-image codec (VERDICT r8 item 2): non-interlaced 8-bit
+# RGB/RGBA PNG on nothing but stdlib zlib + struct. The decoder is a
+# complete, spec-correct implementation for that (by far the most
+# common) PNG subclass: chunk walk with CRC-32 validation, IDAT
+# concatenation, bounded zlib inflate, and per-scanline reversal of all
+# five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG filter 4): the neighbor (left, up,
+    up-left) closest to the linear estimate ``left + up - upleft``,
+    ties resolved left → up → up-left (the spec's order)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_mode: str | int = "cycle",
+) -> bytes:
+    """Encode ``height*width*channels`` top-down RGB(A) bytes as a real
+    zlib-compressed non-interlaced 8-bit PNG. ``filter_mode="cycle"``
+    rotates scanlines through all five PNG filter types (so a decoder
+    round-trip exercises every unfilter path); an int pins one type."""
+    if channels not in (3, 4):
+        raise ValueError(f"png: channels must be 3 (RGB) or 4 (RGBA), got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"png: need {width * height * channels} bytes, got {len(pixels)}"
+        )
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = (y % 5) if filter_mode == "cycle" else int(filter_mode)
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:
+            raw += bytes(
+                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:
+            raw += bytes(
+                (
+                    row[i]
+                    - ((row[i - channels] if i >= channels else 0) + prev[i]) // 2
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2 if channels == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG → ``(width, height,
+    channels, pixels)`` with pixels as top-down RGB(A) bytes. Every
+    chunk CRC is validated; the inflate is BOUNDED to the geometry the
+    header declares (a truncated or over-long stream — e.g. a
+    decompression bomb — raises instead of allocating). Raises
+    ``ValueError`` on anything outside the supported subclass
+    (interlaced, paletted, 16-bit)."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC on {tag!r} chunk")
+        if ihdr is None:
+            if tag != b"IHDR":
+                raise ValueError("png: first chunk is not IHDR")
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_end or not idat:
+        raise ValueError("png: missing IHDR/IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "png: only non-interlaced 8-bit RGB/RGBA supported "
+            f"(depth={depth} color={color} interlace={interlace})"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("png: bad dimensions")
+    channels = 3 if color == 2 else 4
+    stride = width * channels
+    expected = height * (1 + stride)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected)
+    if len(raw) != expected or not dec.eof or dec.decompress(b"", 1):
+        raise ValueError("png: IDAT stream does not match the declared geometry")
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ft} on row {y}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return width, height, channels, bytes(out)
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
     """STUB decoder — deterministic fake standing in for a real image
     codec (PIL etc. are not installed in this container). Derives stable
@@ -202,16 +390,24 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
 
 def _decode_image(payload: bytes) -> tuple[int, int, str]:
     """REAL decode when the payload is a self-consistent uncompressed
-    BMP (true header dimensions, digest over the decoded top-down pixel
-    bytes — i.e. over image CONTENT, invariant to the row padding);
-    deterministic fake otherwise (the oracle face — text payloads used
-    by the registered stub queries can never satisfy ``_bmp_meta``'s
-    full-consistency check, so their values are unchanged)."""
+    BMP or a valid non-interlaced 8-bit RGB/RGBA PNG (true header
+    dimensions, digest over the decoded top-down pixel bytes — i.e.
+    over image CONTENT, invariant to BMP row padding / PNG filter and
+    compression choices); deterministic fake otherwise (the oracle
+    face — text payloads used by the registered stub queries can never
+    satisfy ``_bmp_meta``'s full-consistency check or carry the 8-byte
+    PNG signature + valid chunk CRCs, so their values are unchanged)."""
     meta = _bmp_meta(payload)
-    if meta is None:
-        return _fake_decode_image(payload)
-    w, h, pixels = decode_bmp(payload)
-    return w, h, hashlib.sha256(pixels).hexdigest()
+    if meta is not None:
+        w, h, pixels = decode_bmp(payload)
+        return w, h, hashlib.sha256(pixels).hexdigest()
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            w, h, _, pixels = decode_png(payload)
+        except ValueError:
+            return _fake_decode_image(payload)
+        return w, h, hashlib.sha256(pixels).hexdigest()
+    return _fake_decode_image(payload)
 
 
 def decode_images(assets: DataFrame) -> DataFrame:
@@ -306,6 +502,58 @@ def attach_synthetic_bmp(df: DataFrame, id_col: str) -> DataFrame:
                     "meta": [
                         {
                             "mime": "image/bmp",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                        }
+                        for w, h in zip(widths, heights)
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+def attach_synthetic_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL compressed image payloads: one
+    deterministic PNG per row — dimensions keyed off the id, RGB or
+    RGBA alternating by id parity, pixels a seeded gradient, scanline
+    filters cycling through all five PNG filter types (so a fleet-wide
+    decode exercises every unfilter path) — in the MULTIMODAL_ASSET
+    shape (meta carries the true dimensions, so a decode face can be
+    asserted against the metadata)."""
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for aid in pdf["asset_id"]:
+                w = 4 + int(aid) % 13
+                h = 3 + int(aid) % 7
+                ch = 3 + (int(aid) % 2)  # RGB / RGBA alternating
+                # the first 8 bytes spell the asset id, so pixel CONTENT
+                # is distinct per asset BY CONSTRUCTION (a pure gradient
+                # collides across equal-length geometries whenever the
+                # additive constants agree mod 256) — the face's
+                # n_distinct == n_assets pin holds at every SF.
+                px = struct.pack(">Q", int(aid)) + bytes(
+                    (i * 29 + int(aid) * 11) % 256 for i in range(8, w * h * ch)
+                )
+                payloads.append(encode_png(w, h, px, channels=ch))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "image/png",
                             "width": w,
                             "height": h,
                             "duration_ms": 0,

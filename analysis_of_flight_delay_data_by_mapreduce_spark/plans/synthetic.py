@@ -1262,6 +1262,58 @@ def multimodal_bmp_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL compressed-image codec check face (VERDICT r8 item 2): stdlib
+# zlib+struct PNG payloads (RGB and RGBA alternating, scanline filters
+# cycling through all five PNG filter types) generated per doc_id,
+# decoded by CRC-validating the chunks, inflating IDAT, and reversing
+# the per-scanline filters (operators/multimodal.py::decode_png — no
+# PIL). Same contract as the BMP face: a broken chunk walk, a wrong
+# Paeth predictor, or an unfilter stride bug flips dims_match /
+# size_bounds_ok to FALSE → hash red. n_distinct pins that decoded
+# CONTENT digests are over pixels (all gradients differ by id).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png_decode_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS dims_match,
+           TRUE AS size_bounds_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def multimodal_png_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.multimodal import attach_synthetic_png, decode_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = scoped_persist(attach_synthetic_png(docs, "doc_id"))
+    dec = decode_images(assets)
+    joined = dec.join(
+        assets.select(
+            "asset_id",
+            F.col("meta.width").alias("__mw"),
+            F.col("meta.height").alias("__mh"),
+        ),
+        "asset_id",
+    )
+    ok = (F.col("width") == F.col("__mw")) & (F.col("height") == F.col("__mh"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        (F.sum(F.when(ok, 1).otherwise(0)) == F.count(F.lit(1))).alias(
+            "dims_match"
+        ),
+        (
+            (F.min("width") >= 4)
+            & (F.max("width") <= 16)
+            & (F.min("height") >= 3)
+            & (F.max("height") <= 9)
+        ).alias("size_bounds_ok"),
+        F.countDistinct("content_sha256").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Beyond the reference: ROLLUP (hierarchical grouping sets). NULL group
 # markers match ANSI semantics on both engines; cent-exact sums.
 # ---------------------------------------------------------------------------
