@@ -189,3 +189,61 @@ def test_global_rank_matches_window_model(spark, values, n_parts):
         ).collect()
     }
     assert got == want
+
+
+def test_range_bucket_wide_flat_form_plans_and_matches(spark):
+    """VERDICT r8 item 4: n_buckets=2048 must PLAN (flat array+filter
+    expression, not a 2047-deep CASE nest) and assign exactly the same
+    buckets the chained-when form defines: #boundaries strictly below
+    the key, NULLs in bucket 0."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sequence import (
+        _range_stats,
+        range_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 997 == 0, None)
+        .otherwise((F.col("id") * 37) % 65536)
+        .alias("v")
+    )
+    got = df.select("v", range_bucket(df, "v", 2048).alias("b")).collect()
+    _, boundaries = _range_stats(df, F.col("v"), "Column<'v'>", 2048, None)
+    assert len(boundaries) > 64  # genuinely exercises the flat form
+    for r in got:
+        want = sum(1 for b in boundaries if r.v is not None and r.v > b)
+        assert r.b == want, (r.v, r.b, want)
+    assert max(r.b for r in got) > 1000  # really spread over many buckets
+
+
+def test_range_bucket_two_forms_agree_at_threshold(spark):
+    """The chained-when (<=64 boundaries) and flat-array (>64) forms
+    implement one function: same input bucketed with n_buckets on both
+    sides of the threshold yields nested, order-consistent assignments."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sequence import (
+        range_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(((F.col("id") * 13) % 9973).alias("v"))
+    rows = df.select(
+        "v",
+        range_bucket(df, "v", 32).alias("small"),
+        range_bucket(df, "v", 256).alias("big"),
+    ).collect()
+    # both must be monotone in v (order-preserving bucketings)
+    for col in ("small", "big"):
+        by_v = sorted((r.v, getattr(r, col)) for r in rows)
+        assert all(b1 <= b2 for (_, b1), (_, b2) in zip(by_v, by_v[1:]))
+
+
+def test_range_bucket_rejects_absurd_bucket_counts(spark):
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sequence import (
+        range_bucket,
+    )
+
+    df = spark.range(0, 10).withColumnRenamed("id", "v")
+    with pytest.raises(ValueError, match="ceiling"):
+        range_bucket(df, "v", 100_000)

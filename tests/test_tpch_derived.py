@@ -127,3 +127,57 @@ def test_q21_decorrelated_rewrite_matches_bruteforce(spark):
         for r in tpch_q21_waiting_suppliers(spark, SF_DIR).collect()
     }
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 7: the full TPC-H suite as a by-name parametrized
+# sweep — a regression that drops or de-oracles any one of the 22 is
+# caught here BY NAME (the value-level hash equality itself runs for
+# every one of these in test_synthetic_oracle.py::test_oracle_match,
+# which parametrizes over all registered oracles).
+# ---------------------------------------------------------------------------
+_TPCH_SUITE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_semijoin",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmodes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_inactive_rich",
+]
+
+
+def test_tpch_suite_is_exactly_q1_to_q22():
+    """All 22 TPC-H shapes, one per query number, nothing missing."""
+    import re
+
+    nums = sorted(int(re.match(r"tpch_q(\d+)_", n).group(1)) for n in _TPCH_SUITE)
+    assert nums == list(range(1, 23))
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name", _TPCH_SUITE)
+def test_tpch_query_registered_and_oracle_checked(name):
+    """Each TPC-H query must be registered AND carry a DuckDB oracle
+    (hash-green enforced by the all-oracles sweep + the driver gate)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans import synthetic
+
+    assert name in synthetic.QUERIES, f"{name} not registered"
+    assert name in synthetic.ORACLES, f"{name} has no DuckDB oracle"
