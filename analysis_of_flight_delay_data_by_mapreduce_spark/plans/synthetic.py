@@ -2926,10 +2926,85 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Composed training-data prep pipeline: quality gate → exact dedup →
-# MinHash near-dedup. Rows-only (the LSH stage is approximate by
-# construction); stage-by-stage behavior pinned in tests/test_pipeline.py.
+# MinHash near-dedup (pairwise drop-the-larger rule). ORACLE-CHECKED
+# (VERDICT r8 item 6): the LSH stage only PROPOSES candidates — every
+# surviving pair is verified at exact Jaccard >= 0.5 — so the Spark
+# output is a SUBSET-equality claim against the deterministic pairwise
+# exact-Jaccard rule, which DuckDB reconstructs below (same CTE chain
+# as corpus_prepare_cc up through `pairs`, then drop each pair's larger
+# id instead of the component closure). Hash equality therefore
+# witnesses 100% LSH recall on this corpus (empirically exact at all
+# three SFs — the near-dup pairs are high-Jaccard, where 8-band/32-hash
+# collision probability is ~1). A parameter change that loses a true
+# pair SHOULD go red here; tests/test_rowsonly_hardening.py pins the
+# same equality in-suite.
 # ---------------------------------------------------------------------------
-@register("corpus_prepare")
+@register(
+    "corpus_prepare",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_WS_TOKENS_SQL.format(col="text")},
+                      t -> list_contains({_EN_STOP_SQL}, lower(t)))) AS BIGINT) AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             round(0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least(CASE WHEN n_tokens > 0
+                        THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 10.0
+                      + CASE WHEN n_chars > 0
+                        THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)),
+               6) AS quality
+      FROM feats
+    ), qual AS (
+      SELECT * FROM scored WHERE quality >= 0.4
+    ), fps AS (
+      SELECT doc_id, text, quality,
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
+      FROM qual
+    ), keep1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), kept AS (
+      SELECT f.doc_id, f.text, f.quality FROM fps f JOIN keep1 USING (doc_id)
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
+      FROM kept
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    ), losers AS (
+      SELECT DISTINCT id_b AS doc_id FROM pairs
+    )
+    SELECT k.doc_id, k.text, k.quality
+    FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    """,
+)
 def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import prepare_corpus
 
