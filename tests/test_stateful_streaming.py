@@ -192,3 +192,177 @@ def test_dedup_stream_stateful_first_seen(spark, tmp_path):
         (r.fp, r.doc_id) for r in spark.sql("SELECT * FROM fs_dedup").collect()
     }
     assert got == {("a", 10), ("b", 20), ("c", 40)}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r8 item 5: kill-and-resume recovery parity. A stopped stream
+# (availableNow drains the current backlog and exits — exactly the
+# state a killed job leaves after its last checkpoint commit) must,
+# after state compaction and more arrivals, RESUME from the same
+# checkpoint to the same answer an uninterrupted run produces.
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_kill_compact_resume_matches_uninterrupted(
+    spark, tmp_path
+):
+    """Rolling A-ES sample: drain half the backlog (run 'killed' at the
+    checkpoint boundary) → compact the epoch state → land more files →
+    resume the SAME checkpoint. The resumed state must equal both an
+    uninterrupted single-drain run over the full backlog and the batch
+    operator on the union."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.selection import (
+        weighted_sample_topk,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.sampling import (
+        compact_sample_state,
+        latest_sample_state,
+        run_weighted_sample_stream,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    land = str(tmp_path / "land")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def _drain(land_dir, state_dir, ckpt):
+        q = run_weighted_sample_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land_dir),
+            ["source"], "doc_id", "n_chars", 3, state_dir, ckpt,
+        )
+        q.awaitTermination(120)
+
+    for quarter in (0, 1):
+        docs.filter(F.col("doc_id") % 4 == quarter).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+    _drain(land, state, ck)  # epochs 0,1 committed — the "kill" point
+    dropped = compact_sample_state(spark, state, keep_last=2)
+    assert dropped == []  # only 2 epochs exist; predecessor preserved
+
+    for quarter in (2, 3):
+        docs.filter(F.col("doc_id") % 4 == quarter).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+    _drain(land, state, ck)  # RESUME: same checkpoint, epochs 2,3
+
+    resumed = {
+        (r.source, r.doc_id, r.key_micro, r.rk)
+        for r in latest_sample_state(spark, state).collect()
+    }
+    # uninterrupted control: one drain over the identical full backlog
+    control_state = str(tmp_path / "state2")
+    _drain(land, control_state, str(tmp_path / "ck2"))
+    control = {
+        (r.source, r.doc_id, r.key_micro, r.rk)
+        for r in latest_sample_state(spark, control_state).collect()
+    }
+    want = {
+        (r.source, r.doc_id, r.key_micro, r.rk)
+        for r in weighted_sample_topk(
+            docs, ["source"], "doc_id", "n_chars", k=3
+        ).collect()
+    }
+    assert resumed == control == want
+
+
+def test_minhash_dedup_stream_kill_resume_union_parity(spark, tmp_path):
+    """Incremental MinHash dedup: drain half the backlog, 'kill', land
+    the other half, resume the SAME checkpoint — the union of epoch
+    partitions equals the whole-batch survivor set (no lost epochs, no
+    replayed duplicates)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        dedup_stream_against_index_minhash,
+        run_minhash_dedup_stream,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    new_b = docs.filter(F.col("doc_id") % 5 == 4)
+    old_b = docs.filter(F.col("doc_id") % 5 != 4)
+    want = {
+        r.doc_id
+        for r in dedup_stream_against_index_minhash(new_b, old_b, threshold=0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert 0 < len(want) < new_b.count()
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "surv")
+    ck = str(tmp_path / "ck")
+    new_b.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+    def _drain():
+        q = run_minhash_dedup_stream(
+            spark.readStream.schema(new_b.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land),
+            old_b, out, ck, threshold=0.3,
+        )
+        q.awaitTermination(120)
+
+    _drain()  # epoch 0 committed — the "kill" point
+    partial = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert partial < want  # strictly a prefix of the answer
+
+    new_b.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    _drain()  # RESUME: same checkpoint processes only the new file
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == want
+
+
+def test_semantic_dedup_stream_kill_resume_union_parity(spark, tmp_path):
+    """Incremental semantic (embedding) dedup: same kill-and-resume
+    contract as the MinHash face, with trained-centroid literals."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        train_ivf_centroids_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        dedup_stream_against_index_semantic,
+        run_semantic_dedup_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    C = train_ivf_centroids_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    new_b = emb.filter(F.col("vec_id") % 5 == 4)
+    old_b = emb.filter(F.col("vec_id") % 5 != 4)
+    want = {
+        r.vec_id
+        for r in dedup_stream_against_index_semantic(new_b, old_b, C)
+        .select("vec_id")
+        .collect()
+    }
+    assert want
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "surv")
+    ck = str(tmp_path / "ck")
+    new_b.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+    def _drain():
+        q = run_semantic_dedup_stream(
+            spark.readStream.schema(new_b.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land),
+            old_b, C, out, ck,
+        )
+        q.awaitTermination(120)
+
+    _drain()
+    new_b.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    _drain()
+    got = {r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()}
+    assert got == want
