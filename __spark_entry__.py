@@ -27,18 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; registry order is ours to choose. Round-9 rotation (VERDICT r8
 # item 1): lead with the rows NEW or newly ORACLE-CHECKED this round
 # (the real-PNG codec check face; corpus_prepare converted from
-# rows-only to hash-checked), then the eight r5-stamped overflow rows
-# from the r8 window — the oldest driver stamps in the registry — then
-# the r6-stamped block (50 queries; 2 + 8 + 40 fit, so the TEN r6 rows
-# listed after slot 50 overflow and keep their r6 stamp until round 10
-# — ten stable count/profile/rollup shapes with full pytest oracle
-# replicas were chosen as the overflow). Every rotated-out query is still re-verified
-# each round by the full local check_oracle sweep and the pytest oracle
-# replicas.
+# rows-only to hash-checked; the IVF-PQ upsert-parity face), then the
+# eight r5-stamped overflow rows from the r8 window — the oldest driver
+# stamps in the registry — then the r6-stamped block (50 queries;
+# 3 + 8 + 39 fit, so the ELEVEN r6 rows listed after slot 50 overflow
+# and keep their r6 stamp until round 10 — stable count/profile/rollup/
+# sketch shapes with full pytest oracle replicas were chosen as the
+# overflow). Every rotated-out query is still re-verified each round by
+# the full local check_oracle sweep and the pytest oracle replicas.
 _CHECK_FIRST = [
     # --- new in r9 ---
     "multimodal_png_decode_check",  # REAL stdlib zlib PNG decode vs meta dims
     "corpus_prepare",  # rows-only -> ORACLE: minhash == exact-pairwise rule
+    "ann_ivfpq_upsert_check",  # upsert-assembled index == full rebuild
     # --- last driver row r5 (the r8 window's designated overflow) ---
     "user_spend_quartiles",
     "user_state_intervals",
@@ -88,8 +89,8 @@ _CHECK_FIRST = [
     "text_token_counts",
     "text_winnow_fingerprint",
     "tokens_cms_check",
-    "tokens_cms_sketch",
-    # --- the ten designated overflow rows (slots 51-60; stamped r10) ---
+    # --- the eleven designated overflow rows (slots 51-61; stamped r10) ---
+    "tokens_cms_sketch",  # its check face stays in-window
     "vocab_bpe_pair_counts",
     "customer_name_ids",
     "distinct_users_by_type",

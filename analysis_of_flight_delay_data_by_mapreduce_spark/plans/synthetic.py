@@ -2117,6 +2117,83 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_upsert_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per embeddings content) an IVF-PQ index built
+    INCREMENTALLY rather than in one shot: an 80% base build, then an
+    upsert that re-embeds the 20% holdout with WRONG (reversed) vectors,
+    then the corrective re-upsert with the true vectors. The corrective
+    batch exercises every maintenance path at once — bootstrap-free
+    adds, key replacement, and cross-cluster stale-row relocation (a
+    reversed vector usually assigns to a different coarse cluster than
+    the true one). If the upsert machinery is correct, the final index
+    is bit-identical to a clean full build.
+
+    The index is cached under /tmp keyed by the embeddings file's
+    identity (size + mtime) and committed by staging-dir rename, so
+    repeated calls time only the probe-pruned query — the steady-state
+    shape of a MAINTAINED index, which is the thing this face checks.
+    """
+    import hashlib
+    import shutil
+
+    from ..operators.similarity import build_ivfpq_table, upsert_ivfpq_table
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/spark_graft_ivfpq_upsert_{key}"
+    marker = os.path.join(path, "_UPSERT_COMMITTED")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    cb, _qv2 = _pq_shared_cached(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    hold = F.col("vec_id") % 5 == 0
+
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    build_ivfpq_table(
+        emb.filter(~hold), staging, "vec_id", "embedding",
+        centroids=C, codebooks=cb,
+    )
+    upsert_ivfpq_table(
+        emb.filter(hold).withColumn("embedding", F.reverse("embedding")),
+        staging, C, cb, "vec_id", "embedding",
+    )
+    upsert_ivfpq_table(emb.filter(hold), staging, C, cb, "vec_id", "embedding")
+    with open(os.path.join(staging, "_UPSERT_COMMITTED"), "w") as fh:
+        fh.write("ok\n")
+    os.rename(staging, path)
+    return path
+
+
+@register("ann_ivfpq_upsert_check", oracle=_ann_ivfpq_oracle)
+def ann_ivfpq_upsert_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance parity: the IVF-PQ top-10 queried against
+    an index assembled by UPSERTS (80% build → wrong-vector re-embed →
+    corrective re-upsert, see :func:`_ivfpq_upsert_index`) must equal the
+    full-build answer — the oracle is ``ann_ivfpq_topk``'s, computed over
+    the whole table, so a hash match proves the upsert path (key
+    replacement + cross-cluster stale-row relocation) converges to the
+    rebuild. At 100 TB this is the invariant that lets a daily embedding
+    batch land as a handful of partition rewrites instead of a 3 TB
+    index rebuild."""
+    from ..operators.similarity import query_ivfpq_table
+
+    C, _qv, _probes = _ivf_shared_cached(sf_dir)
+    cb, qv = _pq_shared_cached(sf_dir)
+    path = _ivfpq_upsert_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return query_ivfpq_table(
+        spark, path, emb, "vec_id", "embedding", qv, C, cb,
+        k=10, n_probe=4, shortlist=50, out="d2",
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval scoring (Okapi; the classic lexical-retrieval ranking a
 # training-data pipeline uses for eval-set mining and query-based corpus

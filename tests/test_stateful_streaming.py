@@ -366,3 +366,133 @@ def test_semantic_dedup_stream_kill_resume_union_parity(spark, tmp_path):
     _drain()
     got = {r.vec_id for r in spark.read.parquet(out).select("vec_id").collect()}
     assert got == want
+
+
+def test_ann_ingest_stream_matches_batch_build(spark, tmp_path):
+    """Streaming IVF-PQ ingest: embeddings drained in micro-batches
+    through run_ann_ingest_stream produce EXACTLY the index a one-shot
+    build_ivfpq_table writes — same (id, code, cluster) rows — and the
+    probe-pruned query returns the same top-k."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        build_ivfpq_table,
+        query_ivfpq_table,
+        train_ivf_centroids_parquet,
+        train_pq_codebooks_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.ann import (
+        run_ann_ingest_stream,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    C = train_ivf_centroids_parquet(src, n_clusters=16, seed=42)
+    cb = train_pq_codebooks_parquet(src, m=16, ksub=16, seed=42)
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+
+    land = str(tmp_path / "land")
+    for part in (0, 1, 2):
+        emb.filter(F.col("vec_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    streamed = str(tmp_path / "streamed")
+    q = run_ann_ingest_stream(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land),
+        streamed, C, cb, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    batch = str(tmp_path / "batch")
+    build_ivfpq_table(emb, batch, "vec_id", "embedding", centroids=C, codebooks=cb)
+
+    def _rows(path):
+        return {
+            (r.vec_id, tuple(r.code), r.cluster)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert _rows(streamed) == _rows(batch)
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = query_ivfpq_table(
+        spark, streamed, emb, "vec_id", "embedding", qv, C, cb, k=10
+    ).collect()
+    want = query_ivfpq_table(
+        spark, batch, emb, "vec_id", "embedding", qv, C, cb, k=10
+    ).collect()
+    assert [(r.vec_id, r.d2) for r in got] == [(r.vec_id, r.d2) for r in want]
+    assert got[0].vec_id == 0  # the query vector finds itself
+
+
+def test_ann_ingest_stream_kill_resume_reembed_relocates(spark, tmp_path):
+    """Kill-and-resume + re-embedding through the streaming face: epoch 0
+    lands WRONG (reversed) vectors for a slice of ids, the stream is
+    'killed', the corrected vectors land, and the resumed checkpoint
+    upserts them — the final index equals a clean full build (stale rows
+    relocated across coarse clusters, no duplicate ids)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        assign_ivf_cluster,
+        build_ivfpq_table,
+        train_ivf_centroids_parquet,
+        train_pq_codebooks_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.ann import (
+        run_ann_ingest_stream,
+    )
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    C = train_ivf_centroids_parquet(src, n_clusters=16, seed=42)
+    cb = train_pq_codebooks_parquet(src, m=16, ksub=16, seed=42)
+    emb = read_parquet_table(spark, SF_DIR, "embeddings")
+    hold = F.col("vec_id") % 5 == 0
+    wrong = emb.filter(hold).withColumn("embedding", F.reverse("embedding"))
+
+    # the wrong vectors must land at least one id in a different coarse
+    # cluster, or the relocation path isn't exercised
+    moved = (
+        assign_ivf_cluster(wrong, "embedding", C)
+        .select("vec_id", F.col("cluster").alias("wrong_cluster"))
+        .join(
+            assign_ivf_cluster(emb.filter(hold), "embedding", C).select(
+                "vec_id", "cluster"
+            ),
+            "vec_id",
+        )
+        .filter(F.col("wrong_cluster") != F.col("cluster"))
+        .count()
+    )
+    assert moved > 0
+
+    land = str(tmp_path / "land")
+    emb.filter(~hold).unionByName(wrong).coalesce(1).write.mode("append").parquet(land)
+
+    streamed = str(tmp_path / "streamed")
+    ck = str(tmp_path / "ck")
+
+    def _drain():
+        q = run_ann_ingest_stream(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land),
+            streamed, C, cb, ck,
+        )
+        q.awaitTermination(120)
+
+    _drain()  # epoch 0 committed (wrong vectors in) — the "kill" point
+    emb.filter(hold).coalesce(1).write.mode("append").parquet(land)
+    _drain()  # RESUME: the corrective batch replaces the wrong rows
+
+    batch = str(tmp_path / "batch")
+    build_ivfpq_table(emb, batch, "vec_id", "embedding", centroids=C, codebooks=cb)
+
+    def _rows(path):
+        return {
+            (r.vec_id, tuple(r.code), r.cluster)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    got = spark.read.parquet(streamed)
+    assert got.count() == emb.count()
+    assert got.select("vec_id").distinct().count() == emb.count()
+    assert _rows(streamed) == _rows(batch)
