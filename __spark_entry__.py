@@ -27,10 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries; registry order is ours to choose. Round-9 rotation (VERDICT r8
 # item 1): lead with the rows NEW or newly ORACLE-CHECKED this round
 # (the real-PNG codec check face; corpus_prepare converted from
-# rows-only to hash-checked; the IVF-PQ upsert-parity face), then the
+# rows-only to hash-checked; the IVF-PQ upsert-parity face; the real
+# PCM audio-features face), then the
 # eight r5-stamped overflow rows from the r8 window — the oldest driver
 # stamps in the registry — then the r6-stamped block (50 queries;
-# 3 + 8 + 39 fit, so the ELEVEN r6 rows listed after slot 50 overflow
+# 4 + 8 + 38 fit, so the TWELVE r6 rows listed after slot 50 overflow
 # and keep their r6 stamp until round 10 — stable count/profile/rollup/
 # sketch shapes with full pytest oracle replicas were chosen as the
 # overflow). Every rotated-out query is still re-verified each round by
@@ -40,6 +41,7 @@ _CHECK_FIRST = [
     "multimodal_png_decode_check",  # REAL stdlib zlib PNG decode vs meta dims
     "corpus_prepare",  # rows-only -> ORACLE: minhash == exact-pairwise rule
     "ann_ivfpq_upsert_check",  # upsert-assembled index == full rebuild
+    "multimodal_audio_features",  # real PCM decode vs closed-form oracle
     # --- last driver row r5 (the r8 window's designated overflow) ---
     "user_spend_quartiles",
     "user_state_intervals",
@@ -66,7 +68,6 @@ _CHECK_FIRST = [
     "docs_dup_spans",
     "docs_quantile_sketch",
     "docs_quantile_sketch_check",
-    "docs_reservoir_sample",
     "docs_tfidf_cosine_pairs",
     "embedding_label_pca",
     "events_interval_join_binned",
@@ -89,8 +90,9 @@ _CHECK_FIRST = [
     "text_token_counts",
     "text_winnow_fingerprint",
     "tokens_cms_check",
-    # --- the eleven designated overflow rows (slots 51-61; stamped r10) ---
+    # --- the twelve designated overflow rows (slots 51-62; stamped r10) ---
     "tokens_cms_sketch",  # its check face stays in-window
+    "docs_reservoir_sample",  # stable; pytest replica in test_selection
     "vocab_bpe_pair_counts",
     "customer_name_ids",
     "distinct_users_by_type",

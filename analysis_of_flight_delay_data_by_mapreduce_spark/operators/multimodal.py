@@ -44,7 +44,9 @@ __all__ = [
     "attach_synthetic_bmp",
     "attach_synthetic_png",
     "attach_synthetic_wav",
+    "audio_features",
     "decode_audio",
+    "decode_wav_pcm",
     "decode_bmp",
     "decode_images",
     "decode_png",
@@ -470,6 +472,72 @@ def decode_audio(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(op, schema=AUDIO_DECODED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, n_samples long, sum_sq long, n_zero_cross long, peak_abs long"
+)
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, "object"]:
+    """REAL PCM decode: the mono 16-bit sample array from a WAV
+    payload's actual data chunk (stdlib ``wave`` + numpy view — no
+    per-sample Python loop). Raises on anything but mono/16-bit: the
+    feature math below assumes one int16 stream, and silently
+    misreading stereo frames as double-rate mono would corrupt every
+    feature."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("decode_wav_pcm expects mono 16-bit PCM")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2")
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Signal-level audio features computed from the DECODED PCM bytes —
+    not from metadata: total energy (exact ``sum(s^2)`` in int64),
+    sign-change count (``(s[i-1] < 0) != (s[i] < 0)`` — the
+    zero-crossing-rate numerator, the classic cheap voiced/unvoiced and
+    noise discriminator), peak amplitude, and true sample count. All
+    four are EXACT integers, so the face is hash-checkable end-to-end:
+    any engine that knows how the fixture's samples were synthesized can
+    reproduce them bit-for-bit, which makes the byte-level decode itself
+    the thing under test.
+
+    Same iterator-batched ``mapInPandas`` contract as ``decode_audio``
+    (one Arrow batch of payloads in memory at a time, heavy bytes
+    projected away on output); the per-batch math is vectorized numpy,
+    zero shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n_samples, sum_sq, zc, peak = [], [], [], []
+            for p in pdf["payload"]:
+                _rate, s = decode_wav_pcm(bytes(p))
+                s64 = s.astype(np.int64)
+                n_samples.append(int(s64.size))
+                sum_sq.append(int((s64 * s64).sum()))
+                zc.append(int(((s64[:-1] < 0) != (s64[1:] < 0)).sum()))
+                peak.append(int(np.abs(s64).max()) if s64.size else 0)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_samples": n_samples,
+                    "sum_sq": sum_sq,
+                    "n_zero_cross": zc,
+                    "peak_abs": peak,
+                }
+            )
+
+    return assets.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def attach_synthetic_bmp(df: DataFrame, id_col: str) -> DataFrame:

@@ -1314,6 +1314,52 @@ def multimodal_png_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL audio DSP over decoded PCM bytes (r9): per-asset energy
+# (exact int64 sum of squares), zero-crossing count (the classic cheap
+# voiced/unvoiced discriminator), peak amplitude, and true sample count
+# — computed by parsing each WAV payload's ACTUAL data chunk
+# (operators/multimodal.py::decode_wav_pcm, stdlib wave + numpy). The
+# oracle never sees a byte: it re-derives the features in closed form
+# from the fixture's synthesis formula (samples are
+# ((i*37 + id*13) % 2048) - 1024 over n = 2000 + (id%10)*800 — see
+# attach_synthetic_wav), so hash equality proves the RIFF parse, the
+# int16 sample view, and the feature math all at once. Every feature is
+# an exact integer — no float accumulation anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH idx AS (
+      SELECT d.doc_id AS asset_id,
+             unnest(range(0, 2000 + (d.doc_id % 10) * 800)) AS i
+      FROM documents d
+    ), s AS (
+      SELECT asset_id, i,
+             ((i * 37 + asset_id * 13) % 2048) - 1024 AS smp,
+             (((i - 1) * 37 + asset_id * 13) % 2048) - 1024 AS prev
+      FROM idx
+    )
+    SELECT asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(smp AS BIGINT) * smp) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN i > 0 AND ((prev < 0) <> (smp < 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+           CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs
+    FROM s GROUP BY asset_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction the multimodal-pipeline way: attach one
+    real PCM WAV per document, decode the bytes, emit exact-integer
+    signal features. Per-row parallel, zero shuffle; payloads live one
+    Arrow batch at a time."""
+    from ..operators.multimodal import attach_synthetic_wav, audio_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(attach_synthetic_wav(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # Beyond the reference: ROLLUP (hierarchical grouping sets). NULL group
 # markers match ANSI semantics on both engines; cent-exact sums.
 # ---------------------------------------------------------------------------

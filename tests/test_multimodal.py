@@ -298,3 +298,60 @@ def test_decode_images_real_png_dimensions(spark):
     assert len({r.content_sha256 for r in decoded}) == 40
     fakes = {a: _fake_decode_image(p)[:2] for a, p in payloads.items()}
     assert any(fakes[a] != got[a] for a in got)
+
+
+def test_decode_wav_pcm_known_vector_and_rejections():
+    """decode_wav_pcm returns the EXACT int16 samples that were encoded
+    (byte-level round trip through the RIFF container) and refuses
+    stereo / non-16-bit payloads instead of misreading them as mono."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav,
+    )
+
+    samples = [0, 5, -5, 1023, -1024, 37, -1, 0]
+    rate, got = decode_wav_pcm(encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert list(got) == samples
+
+    def _wav(channels, width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(b"\x00" * (channels * width * 4))
+        return buf.getvalue()
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm(_wav(2, 2))  # stereo
+    with pytest.raises(ValueError):
+        decode_wav_pcm(_wav(1, 1))  # 8-bit
+
+
+def test_audio_features_match_python_replica(spark):
+    """The distributed feature extraction (real PCM decode + vectorized
+    numpy) equals a per-sample pure-python replica of the fixture's
+    synthesis formula — energy, zero crossings, peak, count all exact."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_wav,
+        audio_features,
+    )
+
+    ids = spark.range(0, 25).withColumnRenamed("id", "asset_id")
+    got = {
+        r.asset_id: (r.n_samples, r.sum_sq, r.n_zero_cross, r.peak_abs)
+        for r in audio_features(attach_synthetic_wav(ids, "asset_id")).collect()
+    }
+    assert len(got) == 25
+    for aid in range(25):
+        n = 8000 // 4 + (aid % 10) * 8000 // 10
+        s = [((i * 37 + aid * 13) % 2048) - 1024 for i in range(n)]
+        zc = sum(1 for i in range(1, n) if (s[i - 1] < 0) != (s[i] < 0))
+        assert got[aid] == (n, sum(x * x for x in s), zc, max(abs(x) for x in s))
