@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # item 1): lead with the rows NEW or newly ORACLE-CHECKED this round
 # (the real-PNG codec check face; corpus_prepare converted from
 # rows-only to hash-checked; the IVF-PQ upsert-parity face; the real
-# PCM audio-features face), then the
+# PCM audio-features face; the real LZW GIF codec check face), then the
 # eight r5-stamped overflow rows from the r8 window — the oldest driver
 # stamps in the registry — then the r6-stamped block (50 queries;
-# 4 + 8 + 38 fit, so the TWELVE r6 rows listed after slot 50 overflow
+# 5 + 8 + 37 fit, so the THIRTEEN r6 rows listed after slot 50 overflow
 # and keep their r6 stamp until round 10 — stable count/profile/rollup/
 # sketch shapes with full pytest oracle replicas were chosen as the
 # overflow). Every rotated-out query is still re-verified each round by
@@ -42,6 +42,7 @@ _CHECK_FIRST = [
     "corpus_prepare",  # rows-only -> ORACLE: minhash == exact-pairwise rule
     "ann_ivfpq_upsert_check",  # upsert-assembled index == full rebuild
     "multimodal_audio_features",  # real PCM decode vs closed-form oracle
+    "multimodal_gif_decode_check",  # REAL stdlib LZW GIF decode vs meta dims
     # --- last driver row r5 (the r8 window's designated overflow) ---
     "user_spend_quartiles",
     "user_state_intervals",
@@ -66,7 +67,6 @@ _CHECK_FIRST = [
     "docs_dup_span_profile",
     "docs_dup_span_strip",
     "docs_dup_spans",
-    "docs_quantile_sketch",
     "docs_quantile_sketch_check",
     "docs_tfidf_cosine_pairs",
     "embedding_label_pca",
@@ -90,8 +90,9 @@ _CHECK_FIRST = [
     "text_token_counts",
     "text_winnow_fingerprint",
     "tokens_cms_check",
-    # --- the twelve designated overflow rows (slots 51-62; stamped r10) ---
+    # --- the thirteen designated overflow rows (slots 51-63; stamped r10) ---
     "tokens_cms_sketch",  # its check face stays in-window
+    "docs_quantile_sketch",  # its check face stays in-window
     "docs_reservoir_sample",  # stable; pytest replica in test_selection
     "vocab_bpe_pair_counts",
     "customer_name_ids",

@@ -9,17 +9,21 @@ tested. Codecs (VERDICT r7 item 5):
   ``decode_bmp`` via ``struct`` — true header+pixel bytes), COMPRESSED
   non-interlaced 8-bit RGB/RGBA PNG (``encode_png`` / ``decode_png``
   via ``zlib`` + ``struct`` — chunk CRC validation, zlib inflate,
-  per-scanline unfilter of all five PNG filter types incl. Paeth), and
-  PCM WAV (``encode_wav`` / ``decode_wav`` via the stdlib ``wave``
-  module). ``decode_images`` parses a strictly-validated BMP or PNG
-  payload for its TRUE dimensions and digests the decoded PIXELS;
-  ``decode_audio`` reads the true sample rate / duration from WAV
-  headers.
-- **STUBBED**: any payload that is neither a self-consistent BMP nor a
-  valid PNG falls back to the deterministic ``_fake_decode_image`` (the
-  oracle face — its sha256 arithmetic is replicated in SQL), and
-  codec-heavy formats (JPEG/MP4) remain out of scope until PIL/av exist
-  in the image (re-checked absent 2026-08-15).
+  per-scanline unfilter of all five PNG filter types incl. Paeth),
+  LZW-COMPRESSED single-frame palettized GIF (``encode_gif`` /
+  ``decode_gif`` — a complete GIF-variant LZW coder, variable 3..12-bit
+  codes, deferred clear), and PCM WAV (``encode_wav`` / ``decode_wav``
+  via the stdlib ``wave`` module; ``decode_wav_pcm`` +
+  ``audio_features`` compute exact-integer signal features from the
+  decoded samples). ``decode_images`` parses a strictly-validated BMP,
+  PNG, or GIF payload for its TRUE dimensions and digests the decoded
+  PIXELS; ``decode_audio`` reads the true sample rate / duration from
+  WAV headers.
+- **STUBBED**: any payload that is none of the above falls back to the
+  deterministic ``_fake_decode_image`` (the oracle face — its sha256
+  arithmetic is replicated in SQL), and codec-heavy formats (JPEG/MP4)
+  remain out of scope until PIL/av exist in the image (re-checked
+  absent 2026-08-15).
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``mapInPandas`` is an iterator — never materializes a partition);
@@ -42,16 +46,19 @@ from pyspark.sql import functions as F
 __all__ = [
     "attach_payload",
     "attach_synthetic_bmp",
+    "attach_synthetic_gif",
     "attach_synthetic_png",
     "attach_synthetic_wav",
     "audio_features",
     "decode_audio",
-    "decode_wav_pcm",
     "decode_bmp",
+    "decode_gif",
     "decode_images",
     "decode_png",
     "decode_wav",
+    "decode_wav_pcm",
     "encode_bmp",
+    "encode_gif",
     "encode_png",
     "encode_wav",
     "extract_features",
@@ -380,6 +387,226 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# REAL GIF codec (r9): single-frame palettized GIF87a/89a on nothing but
+# stdlib struct — including a complete GIF-variant LZW coder (variable
+# code width 3..12 bits, LSB-first packing, clear/EOI codes, deferred
+# clear when the table fills at 4096). The decoder validates the header,
+# walks extension blocks, rejects interlace, bounds the LZW output to
+# the declared geometry (bomb-safe), and maps indices through the
+# palette so the digest is over RGB CONTENT — palette-order/LZW-choice
+# invariant, same contract as the BMP/PNG decoders.
+# ---------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: emit codes LSB-first at a width that grows with
+    the string table (encoder bumps at ``next_code == 2**width + 1`` —
+    one ahead of the decoder's ``== 2**width``, because the decoder's
+    table trails the encoder's by exactly one entry); stop adding
+    entries at 4096 (deferred clear — decoders must coast on the full
+    table, and ours does)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = eoi + 1, mcs + 1
+    acc = acc_bits = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += w
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    emit(clear, width)
+    w_str = indices[:1]
+    for k in indices[1:]:
+        cand = w_str + bytes([k])
+        if cand in table:
+            w_str = cand
+            continue
+        emit(table[w_str], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w_str = bytes([k])
+    if w_str:
+        emit(table[w_str], width)
+    emit(eoi, width)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, max_pixels: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_encode`; raises on a corrupt stream or
+    when the output would exceed ``max_pixels`` (the geometry bound —
+    a compression bomb raises instead of allocating)."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"gif: bad LZW min code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+
+    table = fresh()
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = acc_bits = pos = 0
+    while True:
+        while acc_bits < width:
+            if pos >= len(data):
+                raise ValueError("gif: LZW stream ended without EOI")
+            acc |= data[pos] << acc_bits
+            acc_bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        acc_bits -= width
+        if code == clear:
+            table = fresh()
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"gif: LZW code {code} out of range")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("gif: LZW output exceeds the declared geometry")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, palette: bytes, indices: bytes
+) -> bytes:
+    """Encode one palettized frame as a real GIF89a: logical screen
+    descriptor, global color table (padded to a power of two), image
+    descriptor, LZW-compressed index stream in ≤255-byte sub-blocks.
+    ``palette`` is flat RGB bytes (≤256 entries); every index must
+    reference it."""
+    n_colors = len(palette) // 3
+    if len(palette) % 3 or not 0 < n_colors <= 256:
+        raise ValueError("gif: palette must be 1..256 flat RGB entries")
+    if len(indices) != width * height:
+        raise ValueError("gif: index count != width*height")
+    if indices and max(indices) >= n_colors:
+        raise ValueError("gif: index out of palette range")
+    bits = max(1, (max(n_colors, 2) - 1).bit_length())
+    gct = palette + bytes(((1 << bits) * 3) - len(palette))
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    lzw = _gif_lzw_encode(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a non-interlaced single-frame GIF → ``(width, height,
+    pixels)`` with pixels as top-down RGB bytes mapped through the
+    color table (local over global). Extension blocks are walked and
+    skipped; interlace, missing color tables, out-of-palette indices,
+    and streams that don't match the declared geometry all raise."""
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = (1 << ((packed & 0x07) + 1)) * 3
+        gct = payload[pos : pos + n]
+        if len(gct) != n:
+            raise ValueError("gif: truncated global color table")
+        pos += n
+
+    def _sub_blocks(p: int) -> tuple[bytes, int]:
+        chunks = bytearray()
+        while True:
+            if p >= len(payload):
+                raise ValueError("gif: truncated sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return bytes(chunks), p
+            chunks += payload[p : p + n]
+            if len(chunks) < n:
+                raise ValueError("gif: truncated sub-block data")
+            p += n
+
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer before any image
+            break
+        if marker == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            _, pos = _sub_blocks(pos)
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"gif: unexpected block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("gif: truncated image descriptor")
+        _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("gif: interlaced images not supported")
+        if iw <= 0 or ih <= 0:
+            raise ValueError("gif: bad image dimensions")
+        ct = gct
+        if ipacked & 0x80:
+            n = (1 << ((ipacked & 0x07) + 1)) * 3
+            ct = payload[pos : pos + n]
+            if len(ct) != n:
+                raise ValueError("gif: truncated local color table")
+            pos += n
+        if ct is None:
+            raise ValueError("gif: no color table for image")
+        if pos >= len(payload):
+            raise ValueError("gif: missing LZW min code size")
+        mcs = payload[pos]
+        pos += 1
+        data, pos = _sub_blocks(pos)
+        idx = _gif_lzw_decode(data, mcs, iw * ih)
+        if len(idx) != iw * ih:
+            raise ValueError("gif: LZW stream does not match the declared geometry")
+        n_colors = len(ct) // 3
+        if max(idx) >= n_colors:
+            raise ValueError("gif: index out of palette range")
+        pixels = bytearray(iw * ih * 3)
+        for i, c in enumerate(idx):
+            pixels[3 * i : 3 * i + 3] = ct[3 * c : 3 * c + 3]
+        return iw, ih, bytes(pixels)
+    raise ValueError("gif: no image block")
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
     """STUB decoder — deterministic fake standing in for a real image
     codec (PIL etc. are not installed in this container). Derives stable
@@ -406,6 +633,12 @@ def _decode_image(payload: bytes) -> tuple[int, int, str]:
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         try:
             w, h, _, pixels = decode_png(payload)
+        except ValueError:
+            return _fake_decode_image(payload)
+        return w, h, hashlib.sha256(pixels).hexdigest()
+    if payload[:6] in _GIF_SIGS:
+        try:
+            w, h, pixels = decode_gif(payload)
         except ValueError:
             return _fake_decode_image(payload)
         return w, h, hashlib.sha256(pixels).hexdigest()
@@ -622,6 +855,58 @@ def attach_synthetic_png(df: DataFrame, id_col: str) -> DataFrame:
                     "meta": [
                         {
                             "mime": "image/png",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                        }
+                        for w, h in zip(widths, heights)
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+#: the fixed 16-color palette of attach_synthetic_gif (flat RGB bytes)
+GIF_FIXTURE_PALETTE = bytes(
+    b for i in range(16) for b in ((i * 16) & 255, (255 - i * 16) & 255, (i * 37) % 256)
+)
+
+
+def attach_synthetic_gif(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL LZW-compressed GIF payloads: one
+    deterministic single-frame palettized GIF per row — dimensions keyed
+    off the id, a shared 16-color table, the first 8 indices spelling
+    the asset id in nibbles (decoded CONTENT distinct per asset BY
+    CONSTRUCTION, the attach_synthetic_png convention), the rest a
+    seeded gradient — in the MULTIMODAL_ASSET shape."""
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for aid in pdf["asset_id"]:
+                w = 4 + int(aid) % 11
+                h = 3 + int(aid) % 5
+                head = [(int(aid) >> (4 * j)) & 15 for j in range(8)]
+                idx = bytes(head) + bytes(
+                    (i * 7 + int(aid)) % 16 for i in range(8, w * h)
+                )
+                payloads.append(encode_gif(w, h, GIF_FIXTURE_PALETTE, idx))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "image/gif",
                             "width": w,
                             "height": h,
                             "duration_ms": 0,

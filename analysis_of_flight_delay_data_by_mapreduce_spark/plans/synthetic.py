@@ -1314,6 +1314,57 @@ def multimodal_png_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL LZW-compressed GIF codec check face (r9): stdlib-only
+# single-frame palettized GIF payloads per doc_id, decoded by walking
+# the block structure and running a complete GIF-variant LZW decoder
+# (variable 3..12-bit codes, deferred clear) — no PIL. Same contract as
+# the BMP/PNG faces: a broken LZW width bump, a bad sub-block walk, or
+# a palette-mapping bug flips dims_match / size_bounds_ok to FALSE →
+# hash red; n_distinct pins that digests are over decoded RGB CONTENT
+# (the first 8 indices spell the asset id).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_gif_decode_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS dims_match,
+           TRUE AS size_bounds_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def multimodal_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.multimodal import attach_synthetic_gif, decode_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = scoped_persist(attach_synthetic_gif(docs, "doc_id"))
+    dec = decode_images(assets)
+    joined = dec.join(
+        assets.select(
+            "asset_id",
+            F.col("meta.width").alias("__mw"),
+            F.col("meta.height").alias("__mh"),
+        ),
+        "asset_id",
+    )
+    ok = (F.col("width") == F.col("__mw")) & (F.col("height") == F.col("__mh"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        (F.sum(F.when(ok, 1).otherwise(0)) == F.count(F.lit(1))).alias(
+            "dims_match"
+        ),
+        (
+            (F.min("width") >= 4)
+            & (F.max("width") <= 14)
+            & (F.min("height") >= 3)
+            & (F.max("height") <= 7)
+        ).alias("size_bounds_ok"),
+        F.countDistinct("content_sha256").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL audio DSP over decoded PCM bytes (r9): per-asset energy
 # (exact int64 sum of squares), zero-crossing count (the classic cheap
 # voiced/unvoiced discriminator), peak amplitude, and true sample count

@@ -355,3 +355,133 @@ def test_audio_features_match_python_replica(spark):
         s = [((i * 37 + aid * 13) % 2048) - 1024 for i in range(n)]
         zc = sum(1 for i in range(1, n) if (s[i - 1] < 0) != (s[i] < 0))
         assert got[aid] == (n, sum(x * x for x in s), zc, max(abs(x) for x in s))
+
+
+def test_gif_roundtrip_all_code_width_regimes():
+    """encode_gif → decode_gif is lossless across palette sizes and
+    image sizes that exercise every LZW code-width regime: the initial
+    width, each growth step, and the full-table (4096-code) deferred
+    clear where both coder sides must stop adding entries and coast."""
+    import random
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        GIF_FIXTURE_PALETTE,
+        decode_gif,
+        encode_gif,
+    )
+
+    cases = [
+        (GIF_FIXTURE_PALETTE, (1, 1)),
+        (GIF_FIXTURE_PALETTE, (4, 3)),
+        (GIF_FIXTURE_PALETTE, (21, 13)),
+        (GIF_FIXTURE_PALETTE, (300, 200)),  # forces 12-bit codes + full table
+        (b"\x00\x00\x00\xff\xff\xff", (8, 8)),  # 2-color: mcs clamps to 2
+        (
+            bytes(b for i in range(256) for b in (i, 255 - i, (i * 7) % 256)),
+            (100, 50),
+        ),  # 256-color: mcs=8
+    ]
+    for trial, (pal, (w, h)) in enumerate(cases):
+        n_colors = len(pal) // 3
+        rng = random.Random(trial)
+        idx = bytes(rng.randrange(n_colors) for _ in range(w * h))
+        got_w, got_h, px = decode_gif(encode_gif(w, h, pal, idx))
+        assert (got_w, got_h) == (w, h)
+        assert px == b"".join(pal[3 * c : 3 * c + 3] for c in idx)
+
+
+def test_gif_known_vector_regression():
+    """Pin the exact encoded bytes of a tiny fixed image (header layout,
+    LSB-first bit packing, code-width bump) so any codec change that
+    silently alters the wire format fails here first."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = b"\x01\x02\x03\x11\x12\x13\x21\x22\x23\x31\x32\x33"  # 4 colors
+    gif = encode_gif(2, 2, pal, bytes([0, 1, 2, 3]))
+    assert gif[:6] == b"GIF89a"
+    assert gif[6:8] == b"\x02\x00" and gif[8:10] == b"\x02\x00"  # 2x2 LSD
+    w, h, px = decode_gif(gif)
+    assert (w, h) == (2, 2)
+    assert px == pal
+    # full-payload regression pin (any byte change is a format change).
+    # The LZW block decodes by hand: clear(100) 0(000) 1(001) at 3 bits
+    # fill byte0=0x44; 2(010) then — the encoder's table is one entry
+    # ahead, so symbol 3 and EOI go at 4 bits — 3(0011) fills
+    # byte1=0x34; eoi(0101) is byte2=0x05.
+    assert gif.hex() == (
+        "474946383961"              # GIF89a
+        "0200020091"                # LSD: 2x2, GCT flag + 2-bit depth
+        "0000"                      # bg color, aspect
+        "010203111213212223313233"  # global color table
+        "2c000000000200020000"      # image descriptor, no LCT
+        "02"                        # LZW min code size
+        "03443405"                  # one 3-byte LZW sub-block
+        "003b"                      # terminator + trailer
+    )
+
+
+def test_gif_rejections():
+    """Corrupt GIF payloads raise (and therefore fall back to the stub
+    path in _decode_image) instead of decoding garbage: bad signature,
+    truncation, interlace flag, LZW/geometry mismatch, bombs."""
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        GIF_FIXTURE_PALETTE,
+        _decode_image,
+        _fake_decode_image,
+        decode_gif,
+        encode_gif,
+    )
+
+    good = encode_gif(4, 3, GIF_FIXTURE_PALETTE, bytes(range(12)))
+
+    bad_sig = b"GIF90a" + good[6:]
+    truncated = good[: len(good) // 2]
+    interlaced = bytearray(good)
+    # image descriptor starts right after 13-byte header + 48-byte GCT
+    interlaced[13 + 48 + 9 - 1] |= 0x40  # set the interlace bit
+    oversized = encode_gif(8, 8, GIF_FIXTURE_PALETTE, bytes(64))
+    lying = bytearray(oversized)
+    lying[13 + 48 + 5] = 2  # claim 2x... geometry smaller than the stream
+    lying[13 + 48 + 7] = 2
+
+    for bad in (bad_sig, truncated, bytes(interlaced), bytes(lying)):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+        assert _decode_image(bad) == _fake_decode_image(bad)
+
+    garbage_lzw = bytearray(good)
+    garbage_lzw[-4] ^= 0xFF  # flip bits inside the LZW sub-block
+    try:
+        w, h, px = decode_gif(bytes(garbage_lzw))
+        # if it still parses, it must at least keep the declared geometry
+        assert (w, h) == (4, 3) and len(px) == 36
+    except ValueError:
+        pass
+
+
+def test_decode_images_real_gif_dimensions(spark):
+    """The distributed decode face reads TRUE dimensions by actually
+    LZW-decoding the GIF payloads — equal to the attach step's metadata,
+    distinct content digests per asset, and NOT what the hash-derived
+    fake would produce."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        _fake_decode_image,
+        attach_synthetic_gif,
+        decode_images,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "asset_id")
+    assets = attach_synthetic_gif(ids, "asset_id")
+    meta = {r.asset_id: (r.meta.width, r.meta.height) for r in assets.collect()}
+    payloads = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    decoded = decode_images(assets).collect()
+    got = {r.asset_id: (r.width, r.height) for r in decoded}
+    assert got == meta
+    assert len({r.content_sha256 for r in decoded}) == 40
+    fakes = {a: _fake_decode_image(p)[:2] for a, p in payloads.items()}
+    assert any(fakes[a] != got[a] for a in got)

@@ -89,6 +89,7 @@ _SINGLE_PARTITION_OK = {
     "tpch_q20_potential_promotion",
     "multimodal_bmp_decode_check",  # 1-row global check aggregate
     "multimodal_png_decode_check",  # same 1-row global check aggregate
+    "multimodal_gif_decode_check",  # same 1-row global check aggregate
                                     # (count/dims_match/size_bounds) over
                                     # per-task partial rows — the correct
                                     # plan for a scalar check face
