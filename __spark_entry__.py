@@ -28,10 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # item 1): lead with the rows NEW or newly ORACLE-CHECKED this round
 # (the real-PNG codec check face; corpus_prepare converted from
 # rows-only to hash-checked; the IVF-PQ upsert-parity face; the real
-# PCM audio-features face; the real LZW GIF codec check face), then the
+# PCM audio-features face; the real LZW GIF codec check face; the
+# quality-survivor dedup pipeline), then the
 # eight r5-stamped overflow rows from the r8 window — the oldest driver
 # stamps in the registry — then the r6-stamped block (50 queries;
-# 5 + 8 + 37 fit, so the THIRTEEN r6 rows listed after slot 50 overflow
+# 6 + 8 + 36 fit, so the FOURTEEN r6 rows listed after slot 50 overflow
 # and keep their r6 stamp until round 10 — stable count/profile/rollup/
 # sketch shapes with full pytest oracle replicas were chosen as the
 # overflow). Every rotated-out query is still re-verified each round by
@@ -43,6 +44,7 @@ _CHECK_FIRST = [
     "ann_ivfpq_upsert_check",  # upsert-assembled index == full rebuild
     "multimodal_audio_features",  # real PCM decode vs closed-form oracle
     "multimodal_gif_decode_check",  # REAL stdlib LZW GIF decode vs meta dims
+    "corpus_prepare_cc_best",  # quality-survivor dedup policy, oracle-checked
     # --- last driver row r5 (the r8 window's designated overflow) ---
     "user_spend_quartiles",
     "user_state_intervals",
@@ -60,7 +62,6 @@ _CHECK_FIRST = [
     "dedup_embedding",
     "dedup_minhash_recall_check",
     "dedup_simhash_check",
-    "dedup_winnow_pairs",
     "docs_bpe_token_counts",
     "docs_dsir_selected_mixture",
     "docs_dsir_weights",
@@ -90,8 +91,9 @@ _CHECK_FIRST = [
     "text_token_counts",
     "text_winnow_fingerprint",
     "tokens_cms_check",
-    # --- the thirteen designated overflow rows (slots 51-63; stamped r10) ---
+    # --- the fourteen designated overflow rows (slots 51-64; stamped r10) ---
     "tokens_cms_sketch",  # its check face stays in-window
+    "dedup_winnow_pairs",  # its fingerprint face stays in-window
     "docs_quantile_sketch",  # its check face stays in-window
     "docs_reservoir_sample",  # stable; pytest replica in test_selection
     "vocab_bpe_pair_counts",

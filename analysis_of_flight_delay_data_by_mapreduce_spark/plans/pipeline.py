@@ -25,9 +25,28 @@ from ..operators.text import fingerprint, quality_score
 __all__ = [
     "prepare_corpus",
     "prepare_corpus_cc",
+    "prepare_corpus_cc_best",
     "prepare_corpus_semantic",
     "prepare_corpus_audit",
 ]
+
+
+def _best_by_quality(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """The id of the highest-``quality`` row per ``key`` group (ties →
+    smallest id), as one order-insensitive ``max(struct)`` aggregate —
+    no window, no whole-group sort, one shuffle on the group key. The
+    argmax is deterministic because ``quality`` is a pure 6-dp-rounded
+    function of the text (bit-identical across engines — pinned by the
+    corpus_prepare_cc hash) and equal scores resolve by id."""
+    return (
+        df.groupBy(key)
+        .agg(
+            F.max(
+                F.struct(F.col("quality").alias("q"), (-F.col(id_col)).alias("negid"))
+            ).alias("__w")
+        )
+        .select((-F.col("__w.negid")).alias(id_col))
+    )
 
 
 def prepare_corpus(
@@ -100,6 +119,45 @@ def prepare_corpus_cc(
     ).select("id_a", "id_b")
     clusters = dedup_clusters(kept, pairs, id_col)  # (id, cluster=min of comp)
     survivors = clusters.filter(F.col("cluster") == F.col(id_col)).select(id_col)
+    return kept.join(survivors, id_col, "left_semi").select(
+        id_col, text_col, "quality"
+    )
+
+
+def prepare_corpus_cc_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_jaccard: float = 0.5,
+) -> DataFrame:
+    """``prepare_corpus_cc`` with the QUALITY-survivor policy: instead of
+    keeping each duplicate group's minimum id, keep its HIGHEST-quality
+    document (ties → smallest id) — the production policy when
+    duplicates differ in cleanliness (a well-formatted mirror should
+    outlive a mangled scrape of the same page). Applied at BOTH dedup
+    stages: exact duplicates share normalized text but can differ in raw
+    case/whitespace (→ different quality scores), and a near-dup cluster
+    keeps its best member rather than its first-crawled one.
+
+    Same scale shape as ``prepare_corpus_cc`` — the survivor choice is
+    one extra ``max(struct(quality, -id))`` aggregate per group (no
+    window, no whole-group sort), so the plan cost is unchanged; every
+    stage stays deterministic and SQL-expressible, hash-checked
+    end-to-end."""
+    scored = quality_score(docs, text_col).filter(F.col("quality") >= min_quality)
+    scored = fingerprint(scored, text_col)
+    exact_best = _best_by_quality(scored, "fp", id_col)
+    kept = scoped_persist(scored.join(exact_best, id_col, "left_semi"))
+
+    pairs = ngram_jaccard_pairs(
+        kept, id_col, text_col, shingle_k=3, mode="word",
+        threshold=near_dup_jaccard,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(kept, pairs, id_col)  # (id, cluster)
+    survivors = _best_by_quality(
+        clusters.join(kept.select(id_col, "quality"), id_col), "cluster", id_col
+    )
     return kept.join(survivors, id_col, "left_semi").select(
         id_col, text_col, "quality"
     )

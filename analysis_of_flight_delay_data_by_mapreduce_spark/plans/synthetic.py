@@ -3275,6 +3275,109 @@ def corpus_prepare_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The composed pipeline with the QUALITY-survivor policy (r9): each
+# exact-fingerprint group and each near-dup cluster keeps its
+# HIGHEST-quality member (ties → min id) instead of its smallest id —
+# the production policy when duplicates differ in cleanliness. The
+# oracle is corpus_prepare_cc's CTE chain with both survivor picks
+# swapped to row_number() OVER (ORDER BY quality DESC, doc_id); the
+# argmax is cross-engine deterministic because quality is 6-dp rounded
+# and bit-identical (pinned by corpus_prepare_cc's hash) with id
+# tie-breaks. Spark picks via one max(struct(quality, -id)) aggregate
+# per group — no window, no whole-group sort.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_prepare_cc_best",
+    oracle=rf"""
+    WITH RECURSIVE feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CAST(len({_WS_TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_WS_TOKENS_SQL.format(col="text")},
+                      t -> list_contains({_EN_STOP_SQL}, lower(t)))) AS BIGINT) AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+             round(0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least(CASE WHEN n_tokens > 0
+                        THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 10.0
+                      + CASE WHEN n_chars > 0
+                        THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END * 5.0, 1.0)),
+               6) AS quality
+      FROM feats
+    ), qual AS (
+      SELECT * FROM scored WHERE quality >= 0.4
+    ), fps AS (
+      SELECT doc_id, text, quality,
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
+      FROM qual
+    ), keep1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM fps) WHERE rn = 1
+    ), kept AS (
+      SELECT f.doc_id, f.text, f.quality FROM fps f JOIN keep1 USING (doc_id)
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t <> '') AS tk
+      FROM kept
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk)-1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    ELSE [array_to_string(tk, ' ')] END) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ), comp AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ), clus AS (
+      SELECT k.doc_id, k.text, k.quality,
+             COALESCE(c.component, k.doc_id) AS cluster
+      FROM kept k LEFT JOIN comp c ON k.doc_id = c.id
+    )
+    SELECT doc_id, text, quality FROM (
+      SELECT doc_id, text, quality,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM clus) WHERE rn = 1
+    """,
+)
+def corpus_prepare_cc_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import prepare_corpus_cc_best
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_corpus_cc_best(docs, min_quality=0.4, near_dup_jaccard=0.5)
+
+
+# ---------------------------------------------------------------------------
 # Lineage face of the flagship pipeline: EVERY input document with the
 # reason it survived or fell (kept / low_quality / exact_dup /
 # near_dup), stages applied in corpus_prepare_cc's exact order — the

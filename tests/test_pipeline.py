@@ -110,3 +110,70 @@ def test_prepare_corpus_audit_statuses_and_kept_parity(spark):
         ).collect()
     }
     assert kept == surv
+
+
+def test_prepare_corpus_cc_best_keeps_highest_quality(spark):
+    """The quality-survivor policy: within a near-dup cluster the
+    HIGHEST-quality member outlives lower ids; within an exact-
+    fingerprint group (same normalized text, different raw whitespace →
+    different quality) the cleaner raw form wins. Fixture geometry: the
+    cluster {2,5} puts its best member at the LARGER id, and the exact
+    group {9,11} puts its best raw form at the LARGER id, so the two
+    policies produce DISJOINT survivor sets."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.text import (
+        quality_score,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.pipeline import (
+        prepare_corpus_cc,
+        prepare_corpus_cc_best,
+    )
+
+    hub = BASE
+    degraded = BASE.replace("afternoon", "morning") + " 111 222 333 444"
+    far_dup = FAR + " 42; ok."
+    messy = far_dup.replace(" ", "  ")  # same fingerprint, more n_chars →
+    # the punct/digit ratios dilute → HIGHER quality at the higher id
+    rows = [(2, degraded), (5, hub), (9, far_dup), (11, messy)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    q = {
+        r.doc_id: r.quality
+        for r in quality_score(docs, "text").select("doc_id", "quality").collect()
+    }
+    assert q[5] > q[2] and q[11] > q[9]  # the planted quality splits
+
+    best = {
+        r.doc_id
+        for r in prepare_corpus_cc_best(
+            docs, min_quality=0.1, near_dup_jaccard=0.5
+        ).collect()
+    }
+    minid = {
+        r.doc_id
+        for r in prepare_corpus_cc(
+            docs, min_quality=0.1, near_dup_jaccard=0.5
+        ).collect()
+    }
+    assert minid == {2, 9}  # smallest id per group/cluster
+    assert best == {5, 11}  # highest quality per group/cluster
+
+
+def test_prepare_corpus_cc_best_diverges_from_min_id_on_corpus(spark):
+    """On the real documents table the two policies must actually
+    disagree (otherwise the face is a vacuous re-registration) while
+    keeping the same number of survivors (same clusters either way)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans.pipeline import (
+        prepare_corpus_cc,
+        prepare_corpus_cc_best,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources import (
+        read_parquet_table,
+    )
+
+    from conftest import SF_DIR
+
+    docs = read_parquet_table(spark, SF_DIR, "documents")
+    minid = {r.doc_id for r in prepare_corpus_cc(docs, min_quality=0.4).collect()}
+    best = {r.doc_id for r in prepare_corpus_cc_best(docs, min_quality=0.4).collect()}
+    assert best != minid  # the policy is exercised, not cosmetic
+    assert len(best & minid) > 0
