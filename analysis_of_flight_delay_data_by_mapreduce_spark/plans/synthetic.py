@@ -2229,6 +2229,10 @@ def _ivfpq_upsert_index(spark: SparkSession, sf_dir: str) -> str:
     identity (size + mtime) and committed by staging-dir rename, so
     repeated calls time only the probe-pruned query — the steady-state
     shape of a MAINTAINED index, which is the thing this face checks.
+    The os-path cache is FACE-LOCAL test scaffolding (the driver runs
+    single-process against local parquet); the operators it drives —
+    build/upsert/query_ivfpq_table — do their own filesystem work
+    through Spark/Hadoop and stay scheme-agnostic.
     """
     import hashlib
     import shutil
