@@ -29,10 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the real-PNG codec check face; corpus_prepare converted from
 # rows-only to hash-checked; the IVF-PQ upsert-parity face; the real
 # PCM audio-features face; the real LZW GIF codec check face; the
-# quality-survivor dedup pipeline), then the
+# quality-survivor dedup pipeline; the animated-GIF frame-sample
+# check), then the
 # eight r5-stamped overflow rows from the r8 window — the oldest driver
 # stamps in the registry — then the r6-stamped block (50 queries;
-# 6 + 8 + 36 fit, so the FOURTEEN r6 rows listed after slot 50 overflow
+# 7 + 8 + 35 fit, so the SIXTEEN r6 rows listed after slot 50 overflow
 # and keep their r6 stamp until round 10 — stable count/profile/rollup/
 # sketch shapes with full pytest oracle replicas were chosen as the
 # overflow). Every rotated-out query is still re-verified each round by
@@ -45,6 +46,7 @@ _CHECK_FIRST = [
     "multimodal_audio_features",  # real PCM decode vs closed-form oracle
     "multimodal_gif_decode_check",  # REAL stdlib LZW GIF decode vs meta dims
     "corpus_prepare_cc_best",  # quality-survivor dedup policy, oracle-checked
+    "multimodal_video_frame_check",  # REAL animated-GIF frame sampling
     # --- last driver row r5 (the r8 window's designated overflow) ---
     "user_spend_quartiles",
     "user_state_intervals",
@@ -90,9 +92,10 @@ _CHECK_FIRST = [
     "text_tfidf",
     "text_token_counts",
     "text_winnow_fingerprint",
-    "tokens_cms_check",
-    # --- the fourteen designated overflow rows (slots 51-64; stamped r10) ---
-    "tokens_cms_sketch",  # its check face stays in-window
+    # --- the sixteen designated overflow rows (slots 51-66; stamped r10) ---
+    "tokens_cms_check",  # CMS pair overflows together; error-bound pytests
+    "tokens_cms_sketch",
+    "docs_tfidf_cosine_pairs",  # stable; in-suite oracle replica
     "dedup_winnow_pairs",  # its fingerprint face stays in-window
     "docs_quantile_sketch",  # its check face stays in-window
     "docs_reservoir_sample",  # stable; pytest replica in test_selection

@@ -47,18 +47,21 @@ __all__ = [
     "attach_payload",
     "attach_synthetic_bmp",
     "attach_synthetic_gif",
+    "attach_synthetic_gif_video",
     "attach_synthetic_png",
     "attach_synthetic_wav",
     "audio_features",
     "decode_audio",
     "decode_bmp",
     "decode_gif",
+    "decode_gif_frames",
     "decode_images",
     "decode_png",
     "decode_wav",
     "decode_wav_pcm",
     "encode_bmp",
     "encode_gif",
+    "encode_gif_animated",
     "encode_png",
     "encode_wav",
     "extract_features",
@@ -535,12 +538,9 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a non-interlaced single-frame GIF → ``(width, height,
-    pixels)`` with pixels as top-down RGB bytes mapped through the
-    color table (local over global). Extension blocks are walked and
-    skipped; interlace, missing color tables, out-of-palette indices,
-    and streams that don't match the declared geometry all raise."""
+def _gif_header(payload: bytes) -> tuple[bytes | None, int]:
+    """Validate signature + logical screen descriptor; return
+    ``(global_color_table_or_None, position_after_header)``."""
     if payload[:6] not in _GIF_SIGS:
         raise ValueError("not a GIF payload (bad signature)")
     if len(payload) < 13:
@@ -554,21 +554,74 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         if len(gct) != n:
             raise ValueError("gif: truncated global color table")
         pos += n
+    return gct, pos
 
-    def _sub_blocks(p: int) -> tuple[bytes, int]:
-        chunks = bytearray()
-        while True:
-            if p >= len(payload):
-                raise ValueError("gif: truncated sub-blocks")
-            n = payload[p]
-            p += 1
-            if n == 0:
-                return bytes(chunks), p
-            chunks += payload[p : p + n]
-            if len(chunks) < n:
-                raise ValueError("gif: truncated sub-block data")
-            p += n
 
+def _gif_sub_blocks(payload: bytes, p: int) -> tuple[bytes, int]:
+    chunks = bytearray()
+    while True:
+        if p >= len(payload):
+            raise ValueError("gif: truncated sub-blocks")
+        n = payload[p]
+        p += 1
+        if n == 0:
+            return bytes(chunks), p
+        chunks += payload[p : p + n]
+        if len(chunks) < n:
+            raise ValueError("gif: truncated sub-block data")
+        p += n
+
+
+def _gif_image_block(
+    payload: bytes, pos: int, gct: bytes | None
+) -> tuple[int, int, bytes, int]:
+    """Decode one image block (descriptor already consumed up to the
+    0x2C marker) → ``(width, height, rgb_pixels, new_pos)``. Full-frame
+    only: a frame offset into the logical screen (partial-frame patch +
+    disposal compositing) raises — the encoders here emit full frames."""
+    if pos + 9 > len(payload):
+        raise ValueError("gif: truncated image descriptor")
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if ipacked & 0x40:
+        raise ValueError("gif: interlaced images not supported")
+    if left or top:
+        raise ValueError("gif: partial-frame compositing not supported")
+    if iw <= 0 or ih <= 0:
+        raise ValueError("gif: bad image dimensions")
+    ct = gct
+    if ipacked & 0x80:
+        n = (1 << ((ipacked & 0x07) + 1)) * 3
+        ct = payload[pos : pos + n]
+        if len(ct) != n:
+            raise ValueError("gif: truncated local color table")
+        pos += n
+    if ct is None:
+        raise ValueError("gif: no color table for image")
+    if pos >= len(payload):
+        raise ValueError("gif: missing LZW min code size")
+    mcs = payload[pos]
+    pos += 1
+    data, pos = _gif_sub_blocks(payload, pos)
+    idx = _gif_lzw_decode(data, mcs, iw * ih)
+    if len(idx) != iw * ih:
+        raise ValueError("gif: LZW stream does not match the declared geometry")
+    n_colors = len(ct) // 3
+    if max(idx) >= n_colors:
+        raise ValueError("gif: index out of palette range")
+    pixels = bytearray(iw * ih * 3)
+    for i, c in enumerate(idx):
+        pixels[3 * i : 3 * i + 3] = ct[3 * c : 3 * c + 3]
+    return iw, ih, bytes(pixels), pos
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a non-interlaced GIF's FIRST frame → ``(width, height,
+    pixels)`` with pixels as top-down RGB bytes mapped through the
+    color table (local over global). Extension blocks are walked and
+    skipped; interlace, missing color tables, out-of-palette indices,
+    and streams that don't match the declared geometry all raise."""
+    gct, pos = _gif_header(payload)
     while pos < len(payload):
         marker = payload[pos]
         pos += 1
@@ -576,43 +629,86 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             break
         if marker == 0x21:  # extension: label byte + sub-blocks
             pos += 1
-            _, pos = _sub_blocks(pos)
+            _, pos = _gif_sub_blocks(payload, pos)
             continue
         if marker != 0x2C:
             raise ValueError(f"gif: unexpected block marker 0x{marker:02x}")
-        if pos + 9 > len(payload):
-            raise ValueError("gif: truncated image descriptor")
-        _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
-        pos += 9
-        if ipacked & 0x40:
-            raise ValueError("gif: interlaced images not supported")
-        if iw <= 0 or ih <= 0:
-            raise ValueError("gif: bad image dimensions")
-        ct = gct
-        if ipacked & 0x80:
-            n = (1 << ((ipacked & 0x07) + 1)) * 3
-            ct = payload[pos : pos + n]
-            if len(ct) != n:
-                raise ValueError("gif: truncated local color table")
-            pos += n
-        if ct is None:
-            raise ValueError("gif: no color table for image")
-        if pos >= len(payload):
-            raise ValueError("gif: missing LZW min code size")
-        mcs = payload[pos]
-        pos += 1
-        data, pos = _sub_blocks(pos)
-        idx = _gif_lzw_decode(data, mcs, iw * ih)
-        if len(idx) != iw * ih:
-            raise ValueError("gif: LZW stream does not match the declared geometry")
-        n_colors = len(ct) // 3
-        if max(idx) >= n_colors:
-            raise ValueError("gif: index out of palette range")
-        pixels = bytearray(iw * ih * 3)
-        for i, c in enumerate(idx):
-            pixels[3 * i : 3 * i + 3] = ct[3 * c : 3 * c + 3]
-        return iw, ih, bytes(pixels)
+        iw, ih, pixels, _pos = _gif_image_block(payload, pos, gct)
+        return iw, ih, pixels
     raise ValueError("gif: no image block")
+
+
+def decode_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode EVERY frame of an animated (or single-frame) GIF →
+    ``(width, height, [rgb_pixels_per_frame])``. All frames must share
+    the full logical-screen geometry (the full-frame subclass both
+    encoders here emit); mixed geometries raise."""
+    gct, pos = _gif_header(payload)
+    frames: list[bytes] = []
+    w = h = None
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            pos += 1
+            _, pos = _gif_sub_blocks(payload, pos)
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"gif: unexpected block marker 0x{marker:02x}")
+        iw, ih, pixels, pos = _gif_image_block(payload, pos, gct)
+        if w is None:
+            w, h = iw, ih
+        elif (iw, ih) != (w, h):
+            raise ValueError("gif: frames with mixed geometries")
+        frames.append(pixels)
+    if not frames:
+        raise ValueError("gif: no image block")
+    return w, h, frames
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    palette: bytes,
+    frames: list[bytes],
+    delay_cs: int = 4,
+) -> bytes:
+    """Encode a multi-frame animated GIF89a: one global color table,
+    then per frame a graphics-control extension (``delay_cs``
+    centiseconds) + full-frame image block with its own LZW stream —
+    the real container shape a frame-sampling op has to walk."""
+    n_colors = len(palette) // 3
+    if len(palette) % 3 or not 0 < n_colors <= 256:
+        raise ValueError("gif: palette must be 1..256 flat RGB entries")
+    if not frames:
+        raise ValueError("gif: at least one frame")
+    bits = max(1, (max(n_colors, 2) - 1).bit_length())
+    gct = palette + bytes(((1 << bits) * 3) - len(palette))
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", width, height, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
+    )
+    out += gct
+    for indices in frames:
+        if len(indices) != width * height:
+            raise ValueError("gif: frame index count != width*height")
+        if indices and max(indices) >= n_colors:
+            raise ValueError("gif: index out of palette range")
+        # graphics control extension: no disposal, no transparency
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(mcs)
+        lzw = _gif_lzw_encode(indices, mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
@@ -931,6 +1027,60 @@ def attach_synthetic_gif(df: DataFrame, id_col: str) -> DataFrame:
     return src.mapInPandas(op, schema=schema)
 
 
+def attach_synthetic_gif_video(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL video-like payloads: one animated
+    GIF per row — ``3 + id % 4`` full frames at 4 cs/frame, dimensions
+    keyed off the id, frame content carrying both the asset id (first 8
+    nibble indices) and the frame number (index 8), so every (asset,
+    frame) pixel digest is distinct BY CONSTRUCTION. ``meta.duration_ms``
+    is the true container duration (frames × 40 ms), so a frame-sample
+    face can be asserted against the metadata."""
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights, durs = [], [], [], []
+            for aid in pdf["asset_id"]:
+                w = 4 + int(aid) % 9
+                h = 3 + int(aid) % 5
+                n_frames = 3 + int(aid) % 4
+                head = [(int(aid) >> (4 * j)) & 15 for j in range(8)]
+                frames = [
+                    bytes(head)
+                    + bytes([f])
+                    + bytes((i * 5 + int(aid) + f * 3) % 16 for i in range(9, w * h))
+                    for f in range(n_frames)
+                ]
+                payloads.append(
+                    encode_gif_animated(w, h, GIF_FIXTURE_PALETTE, frames, delay_cs=4)
+                )
+                widths.append(w)
+                heights.append(h)
+                durs.append(n_frames * 40)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "image/gif",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": d,
+                        }
+                        for w, h, d in zip(widths, heights, durs)
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
 def attach_synthetic_wav(df: DataFrame, id_col: str, rate: int = 8000) -> DataFrame:
     """Fixture attach step with REAL audio payloads: one deterministic
     PCM WAV per row (length keyed off the id → true, varying durations;
@@ -1001,17 +1151,39 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
-def sample_video_frames(assets: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
-    """Frame sampling stub: one "frame" digest per ``every_n_bytes`` chunk
-    of payload (a real implementation seeks keyframes with av/ffmpeg). A
-    table-generating op — rows out ≥ rows in — exercising the explode-shaped
-    mapInPandas contract."""
+def sample_video_frames(
+    assets: DataFrame, every_n_bytes: int = 4096, every_n_frames: int = 2
+) -> DataFrame:
+    """Frame sampling over video-like payloads — a table-generating op
+    (rows out ≥ rows in, the explode-shaped mapInPandas contract).
+
+    REAL path (r9): an animated-GIF payload is actually decoded —
+    container walk, per-frame LZW — and every ``every_n_frames``-th
+    TRUE frame is emitted with ``frame_idx`` = its frame number and a
+    digest over its decoded RGB pixels (compression-choice invariant,
+    like ``decode_images``). This is the canonical frame-sample shape a
+    training pipeline runs over video columns; codec-heavy containers
+    (MP4) keep the byte-chunk STUB fallback — one digest per
+    ``every_n_bytes`` chunk — until av/ffmpeg exists in the image."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_idx, out_sha = [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 raw = bytes(p)
+                if raw[:6] in _GIF_SIGS:
+                    try:
+                        _w, _h, frames = decode_gif_frames(raw)
+                    except ValueError:
+                        frames = None
+                    if frames is not None:
+                        for f in range(0, len(frames), every_n_frames):
+                            out_id.append(aid)
+                            out_idx.append(f)
+                            out_sha.append(
+                                hashlib.sha256(frames[f]).hexdigest()
+                            )
+                        continue
                 chunks = range(0, max(len(raw), 1), every_n_bytes)
                 for i, off in enumerate(chunks):
                     out_id.append(aid)

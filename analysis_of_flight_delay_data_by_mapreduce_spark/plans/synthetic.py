@@ -1365,6 +1365,61 @@ def multimodal_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL video frame sampling (r9): animated-GIF payloads — a true
+# multi-frame container with per-frame LZW streams — are attached per
+# doc, and sample_video_frames DECODES the container and emits every
+# 2nd TRUE frame with a digest over its decoded RGB pixels
+# (operators/multimodal.py::decode_gif_frames). The check pins: the
+# per-asset sampled-frame count against the metadata duration (frames =
+# duration_ms / 40ms, sampled = ceil(frames/2) — a broken container
+# walk or GCE skip changes the count), and digest distinctness across
+# every (asset, frame) pair (content carries both ids by construction —
+# a decoder that returned the same pixels for two frames goes red).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_video_frame_check",
+    oracle="""
+    WITH per AS (
+      SELECT doc_id, 3 + doc_id % 4 AS f FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS frames_match,
+           CAST(SUM((f + 1) // 2) AS BIGINT) AS n_frames_sampled,
+           CAST(SUM((f + 1) // 2) AS BIGINT) AS n_distinct
+    FROM per
+    """,
+)
+def multimodal_video_frame_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.multimodal import attach_synthetic_gif_video, sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = scoped_persist(attach_synthetic_gif_video(docs, "doc_id"))
+    frames = sample_video_frames(assets)
+
+    expected = (
+        ((F.col("meta.duration_ms") / 40).cast("long") + 1) / 2
+    ).cast("long")
+    per = (
+        frames.join(assets.select("asset_id", expected.alias("__exp")), "asset_id")
+        .groupBy("asset_id", "__exp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    counts = per.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        (
+            F.sum(F.when(F.col("__n") == F.col("__exp"), 1).otherwise(0))
+            == F.count(F.lit(1))
+        ).alias("frames_match"),
+        F.sum("__n").cast("bigint").alias("n_frames_sampled"),
+    )
+    stats = frames.agg(
+        F.countDistinct("frame_sha256").cast("bigint").alias("n_distinct")
+    )
+    return counts.join(F.broadcast(stats))
+
+
+# ---------------------------------------------------------------------------
 # REAL audio DSP over decoded PCM bytes (r9): per-asset energy
 # (exact int64 sum of squares), zero-crossing count (the classic cheap
 # voiced/unvoiced discriminator), peak amplitude, and true sample count

@@ -485,3 +485,77 @@ def test_decode_images_real_gif_dimensions(spark):
     assert len({r.content_sha256 for r in decoded}) == 40
     fakes = {a: _fake_decode_image(p)[:2] for a, p in payloads.items()}
     assert any(fakes[a] != got[a] for a in got)
+
+
+def test_gif_animated_roundtrip_and_first_frame():
+    """encode_gif_animated → decode_gif_frames is lossless per frame;
+    decode_gif on the same payload returns exactly frame 0 (a
+    single-frame consumer can read an animation's poster frame)."""
+    import random
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        GIF_FIXTURE_PALETTE,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = GIF_FIXTURE_PALETTE
+    rng = random.Random(7)
+    w, h, n = 9, 5, 6
+    frames = [bytes(rng.randrange(16) for _ in range(w * h)) for _ in range(n)]
+    gif = encode_gif_animated(w, h, pal, frames, delay_cs=4)
+    dw, dh, got = decode_gif_frames(gif)
+    want = [b"".join(pal[3 * c : 3 * c + 3] for c in fr) for fr in frames]
+    assert (dw, dh) == (w, h)
+    assert got == want
+    assert decode_gif(gif) == (w, h, want[0])
+    # single-frame GIFs also decode through the frames face
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        encode_gif,
+    )
+
+    single = encode_gif(4, 3, pal, bytes(range(12)))
+    sw, sh, sframes = decode_gif_frames(single)
+    assert (sw, sh, len(sframes)) == (4, 3, 1)
+
+
+def test_sample_video_frames_real_frames_and_stub_fallback(spark):
+    """sample_video_frames decodes TRUE frames from animated GIFs —
+    every 2nd frame index, one distinct pixel digest per (asset, frame)
+    — and keeps the byte-chunk stub for non-GIF payloads (registered
+    stub faces stay bit-stable)."""
+    import hashlib
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        attach_synthetic_gif_video,
+        decode_gif_frames,
+        sample_video_frames,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "asset_id")
+    assets = attach_synthetic_gif_video(ids, "asset_id")
+    sampled = sample_video_frames(assets).collect()
+    by_asset: dict[int, list] = {}
+    for r in sampled:
+        by_asset.setdefault(r.asset_id, []).append((r.frame_idx, r.frame_sha256))
+    payloads = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    for aid, rows in by_asset.items():
+        n_frames = 3 + aid % 4
+        assert sorted(i for i, _ in rows) == list(range(0, n_frames, 2))
+        # digests are over the decoded frame pixels, frame-exact
+        _w, _h, frames = decode_gif_frames(payloads[aid])
+        for idx, sha in rows:
+            assert sha == hashlib.sha256(frames[idx]).hexdigest()
+    all_digests = [sha for rows in by_asset.values() for _, sha in rows]
+    assert len(set(all_digests)) == len(all_digests)
+
+    # non-GIF payloads keep the byte-chunk stub semantics
+    text_assets = attach_payload(
+        spark.createDataFrame([(1, "plain text payload")], "id long, t string"),
+        "t", "id", modality="video",
+    )
+    stub = sample_video_frames(text_assets).collect()
+    assert len(stub) == 1 and stub[0].frame_idx == 0
+    assert stub[0].frame_sha256 == hashlib.sha256(b"plain text payload").hexdigest()

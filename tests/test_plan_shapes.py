@@ -146,6 +146,8 @@ def test_no_forced_broadcast_of_scaling_tables():
                         # derived-partsupp modulus (r8 _partsupp)
         "tot",          # 1-row (total, n_parts) threshold aggregate
                         # (tpch_q11_important_stock, r8)
+        "stats",        # 1-row global distinct-digest aggregate
+                        # (multimodal_video_frame_check, r9)
     }
     for m in re.finditer(r"F\.broadcast\(", src):
         i = m.end()
