@@ -30,10 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows-only to hash-checked; the IVF-PQ upsert-parity face; the real
 # PCM audio-features face; the real LZW GIF codec check face; the
 # quality-survivor dedup pipeline; the animated-GIF frame-sample
-# check), then the
+# check; the exact-NN resize check), then the
 # eight r5-stamped overflow rows from the r8 window — the oldest driver
 # stamps in the registry — then the r6-stamped block (50 queries;
-# 7 + 8 + 35 fit, so the SIXTEEN r6 rows listed after slot 50 overflow
+# 8 + 8 + 34 fit, so the SEVENTEEN r6 rows listed after slot 50 overflow
 # and keep their r6 stamp until round 10 — stable count/profile/rollup/
 # sketch shapes with full pytest oracle replicas were chosen as the
 # overflow). Every rotated-out query is still re-verified each round by
@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "multimodal_gif_decode_check",  # REAL stdlib LZW GIF decode vs meta dims
     "corpus_prepare_cc_best",  # quality-survivor dedup policy, oracle-checked
     "multimodal_video_frame_check",  # REAL animated-GIF frame sampling
+    "multimodal_resize_check",  # exact NN resample over decoded pixels
     # --- last driver row r5 (the r8 window's designated overflow) ---
     "user_spend_quartiles",
     "user_state_intervals",
@@ -67,7 +68,6 @@ _CHECK_FIRST = [
     "docs_bpe_token_counts",
     "docs_dsir_selected_mixture",
     "docs_dsir_weights",
-    "docs_dup_span_profile",
     "docs_dup_span_strip",
     "docs_dup_spans",
     "docs_quantile_sketch_check",
@@ -92,7 +92,8 @@ _CHECK_FIRST = [
     "text_tfidf",
     "text_token_counts",
     "text_winnow_fingerprint",
-    # --- the sixteen designated overflow rows (slots 51-66; stamped r10) ---
+    # --- the seventeen designated overflow rows (slots 51-67; stamped r10) ---
+    "docs_dup_span_profile",  # stable; span twins stay in-window
     "tokens_cms_check",  # CMS pair overflows together; error-bound pytests
     "tokens_cms_sketch",
     "docs_tfidf_cosine_pairs",  # stable; in-suite oracle replica

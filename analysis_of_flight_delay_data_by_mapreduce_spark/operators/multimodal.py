@@ -65,6 +65,8 @@ __all__ = [
     "encode_png",
     "encode_wav",
     "extract_features",
+    "resize_images",
+    "resize_nearest",
     "sample_video_frames",
     "stub_features",
 ]
@@ -747,6 +749,86 @@ def _decode_image(payload: bytes) -> tuple[int, int, str]:
             return _fake_decode_image(payload)
         return w, h, hashlib.sha256(pixels).hexdigest()
     return _fake_decode_image(payload)
+
+
+def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pixel decode → ``(width, height, channels, pixels)`` for any
+    of the supported codecs (BMP → 3-channel BGR, PNG → 3/4-channel
+    RGB(A), GIF → 3-channel RGB from the first frame). Raises on
+    payloads none of the real decoders accept — a resize of opaque
+    bytes is meaningless, so there is no stub path here."""
+    meta = _bmp_meta(payload)
+    if meta is not None:
+        w, h, px = decode_bmp(payload)
+        return w, h, 3, px
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        w, h, ch, px = decode_png(payload)
+        return w, h, ch, px
+    if payload[:6] in _GIF_SIGS:
+        w, h, px = decode_gif(payload)
+        return w, h, 3, px
+    raise ValueError("no real decoder for payload")
+
+
+def resize_nearest(
+    width: int, height: int, pixels: bytes, out_w: int, out_h: int, channels: int = 3
+) -> bytes:
+    """Exact nearest-neighbor resample: output pixel ``(x, y)`` copies
+    source pixel ``((x*width)//out_w, (y*height)//out_h)`` — pure
+    integer arithmetic, so the result is bit-deterministic on any
+    engine. Upscaling is ONTO (every source pixel appears at least
+    once); resizing to the source geometry is the identity."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize: bad output dimensions")
+    if len(pixels) != width * height * channels:
+        raise ValueError("resize: pixel buffer does not match geometry")
+    out = bytearray(out_w * out_h * channels)
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        src_row = sy * width
+        dst_row = y * out_w
+        for x in range(out_w):
+            s = (src_row + (x * width) // out_w) * channels
+            d = (dst_row + x) * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
+
+
+#: Output schema of resize_images.
+RESIZED_SCHEMA = (
+    "asset_id long, width int, height int, channels int, content_sha256 string"
+)
+
+
+def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize every decodable image payload to ``out_w × out_h`` via
+    exact nearest-neighbor over the REAL decoded pixels and digest the
+    result — the thumbnail/normalize step of a multimodal training
+    pipeline (a vision encoder wants one fixed input geometry). Same
+    iterator-batched ``mapInPandas`` contract as ``decode_images``;
+    per-row parallel, zero shuffle, heavy bytes projected away."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, chans, shas = [], [], [], []
+            for p in pdf["payload"]:
+                w, h, ch, px = _decode_pixels(bytes(p))
+                rs = resize_nearest(w, h, px, out_w, out_h, channels=ch)
+                widths.append(out_w)
+                heights.append(out_h)
+                chans.append(ch)
+                shas.append(hashlib.sha256(rs).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": widths,
+                    "height": heights,
+                    "channels": chans,
+                    "content_sha256": shas,
+                }
+            )
+
+    return assets.mapInPandas(op, schema=RESIZED_SCHEMA)
 
 
 def decode_images(assets: DataFrame) -> DataFrame:

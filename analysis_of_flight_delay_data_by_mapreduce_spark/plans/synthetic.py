@@ -1365,6 +1365,44 @@ def multimodal_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL image resize (r9): the thumbnail/normalize step of a multimodal
+# pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
+# resampled to a fixed 32×16 via exact integer nearest-neighbor
+# (operators/multimodal.py::resize_nearest; pytest pins the resample
+# math on known vectors + identity/round-trip). The check pins: output
+# geometry, channel passthrough (RGB vs RGBA counts follow the
+# fixture's id-parity split — closed-form in the oracle), and digest
+# distinctness, which holds BY CONSTRUCTION because upscaling NN is
+# onto (every source pixel, including the 8 id bytes, appears in the
+# output) — a resampler that dropped or misindexed rows goes red.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_resize_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS dims_ok,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rgba,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def multimodal_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_synthetic_png, resize_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images(attach_synthetic_png(docs, "doc_id"), 32, 16)
+    return resized.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        ((F.min("width") == 32) & (F.max("width") == 32)
+         & (F.min("height") == 16) & (F.max("height") == 16)).alias("dims_ok"),
+        F.sum(F.when(F.col("channels") == 4, 1).otherwise(0))
+        .cast("bigint").alias("n_rgba"),
+        F.countDistinct("content_sha256").cast("bigint").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL video frame sampling (r9): animated-GIF payloads — a true
 # multi-frame container with per-frame LZW streams — are attached per
 # doc, and sample_video_frames DECODES the container and emits every

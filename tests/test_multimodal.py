@@ -559,3 +559,65 @@ def test_sample_video_frames_real_frames_and_stub_fallback(spark):
     stub = sample_video_frames(text_assets).collect()
     assert len(stub) == 1 and stub[0].frame_idx == 0
     assert stub[0].frame_sha256 == hashlib.sha256(b"plain text payload").hexdigest()
+
+
+def test_resize_nearest_known_vectors_identity_and_roundtrip():
+    """Exact NN resample semantics: 2x2→4x4 expands each pixel into a
+    2x2 block, identity resize is byte-identical, and a clean 2x
+    up-down round trip returns the original."""
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    px = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])  # 2x2 RGB rows [1,2],[3,4]
+    big = resize_nearest(2, 2, px, 4, 4)
+    rows = [big[i * 12 : (i + 1) * 12] for i in range(4)]
+    assert rows[0] == rows[1] == bytes([1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2])
+    assert rows[2] == rows[3] == bytes([3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4])
+    assert resize_nearest(2, 2, px, 2, 2) == px
+    assert resize_nearest(4, 4, big, 2, 2) == px
+    # RGBA channel stride honored
+    pxa = bytes(range(16))  # 2x2 RGBA
+    assert resize_nearest(2, 2, pxa, 1, 1, channels=4) == pxa[:4]
+    with pytest.raises(ValueError):
+        resize_nearest(2, 2, px, 0, 4)
+    with pytest.raises(ValueError):
+        resize_nearest(2, 2, px[:-1], 4, 4)
+
+
+def test_resize_images_decodes_and_upscale_preserves_ids(spark):
+    """resize_images really decodes each payload (PNG inflate+unfilter,
+    GIF LZW, BMP) before resampling: resized digests are distinct per
+    asset (upscale NN is onto, so the embedded id bytes survive), and
+    resizing a payload to its OWN geometry digests identically to the
+    decode face (identity pin through the whole decode path)."""
+    import hashlib
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        _decode_pixels,
+        attach_synthetic_bmp,
+        attach_synthetic_gif,
+        attach_synthetic_png,
+        resize_images,
+    )
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "asset_id")
+    for attach in (attach_synthetic_png, attach_synthetic_gif, attach_synthetic_bmp):
+        assets = attach(ids, "asset_id")
+        out = resize_images(assets, 32, 16).collect()
+        assert len(out) == 30
+        assert all((r.width, r.height) == (32, 16) for r in out)
+        assert len({r.content_sha256 for r in out}) == 30
+
+    # identity: resize to own geometry == digest of the decoded pixels
+    assets = attach_synthetic_png(ids, "asset_id").collect()
+    a0 = assets[0]
+    w, h = a0.meta.width, a0.meta.height
+    one = spark.createDataFrame(
+        [(a0.asset_id, bytes(a0.payload))], "asset_id long, payload binary"
+    )
+    got = resize_images(one, w, h).collect()[0]
+    _w, _h, _ch, px = _decode_pixels(bytes(a0.payload))
+    assert got.content_sha256 == hashlib.sha256(px).hexdigest()

@@ -92,9 +92,8 @@ _SINGLE_PARTITION_OK = {
     "multimodal_gif_decode_check",  # same 1-row global check aggregate
     "multimodal_video_frame_check",  # two 1-row check aggregates joined
                                      # broadcast (counts x distinct)
-                                    # (count/dims_match/size_bounds) over
-                                    # per-task partial rows — the correct
-                                    # plan for a scalar check face
+    "multimodal_resize_check",  # same 1-row global check aggregate —
+                                # the correct plan for a scalar check face
 }
 
 
