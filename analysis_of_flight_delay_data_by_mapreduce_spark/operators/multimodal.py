@@ -608,13 +608,14 @@ def _gif_image_block(
     idx = _gif_lzw_decode(data, mcs, iw * ih)
     if len(idx) != iw * ih:
         raise ValueError("gif: LZW stream does not match the declared geometry")
+    import numpy as np
+
     n_colors = len(ct) // 3
-    if max(idx) >= n_colors:
+    idx_arr = np.frombuffer(idx, dtype=np.uint8)
+    if idx_arr.size and int(idx_arr.max()) >= n_colors:
         raise ValueError("gif: index out of palette range")
-    pixels = bytearray(iw * ih * 3)
-    for i, c in enumerate(idx):
-        pixels[3 * i : 3 * i + 3] = ct[3 * c : 3 * c + 3]
-    return iw, ih, bytes(pixels), pos
+    ct_arr = np.frombuffer(ct, dtype=np.uint8).reshape(n_colors, 3)
+    return iw, ih, ct_arr[idx_arr].tobytes(), pos
 
 
 def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
@@ -778,20 +779,16 @@ def resize_nearest(
     integer arithmetic, so the result is bit-deterministic on any
     engine. Upscaling is ONTO (every source pixel appears at least
     once); resizing to the source geometry is the identity."""
+    import numpy as np
+
     if out_w <= 0 or out_h <= 0:
         raise ValueError("resize: bad output dimensions")
     if len(pixels) != width * height * channels:
         raise ValueError("resize: pixel buffer does not match geometry")
-    out = bytearray(out_w * out_h * channels)
-    for y in range(out_h):
-        sy = (y * height) // out_h
-        src_row = sy * width
-        dst_row = y * out_w
-        for x in range(out_w):
-            s = (src_row + (x * width) // out_w) * channels
-            d = (dst_row + x) * channels
-            out[d : d + channels] = pixels[s : s + channels]
-    return bytes(out)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ys = (np.arange(out_h, dtype=np.int64) * height) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * width) // out_w
+    return arr[ys][:, xs].tobytes()
 
 
 #: Output schema of resize_images.
