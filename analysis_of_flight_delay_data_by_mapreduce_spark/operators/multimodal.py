@@ -197,6 +197,12 @@ def encode_wav(samples, rate: int = 8000) -> bytes:
     if isinstance(samples, (list, tuple)):
         frames = struct.pack(f"<{len(samples)}h", *samples)
     else:
+        if len(samples):
+            lo, hi = int(samples.min()), int(samples.max())
+            if lo < -32768 or hi > 32767:
+                raise ValueError(
+                    f"encode_wav: sample out of int16 range [{lo}, {hi}]"
+                )
         frames = samples.astype("<i2").tobytes()
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -568,9 +574,10 @@ def _gif_sub_blocks(payload: bytes, p: int) -> tuple[bytes, int]:
         p += 1
         if n == 0:
             return bytes(chunks), p
-        chunks += payload[p : p + n]
-        if len(chunks) < n:
+        block = payload[p : p + n]
+        if len(block) < n:
             raise ValueError("gif: truncated sub-block data")
+        chunks += block
         p += n
 
 

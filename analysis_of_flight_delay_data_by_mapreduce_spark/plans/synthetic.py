@@ -5271,8 +5271,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benchmark decontamination: flag training docs sharing any word-3-shingle
 # with the "eval set" (stand-in: doc_id % 97 == 0). Left-semi join on the
 # shingle inverted index — the standard n-gram-overlap decontamination
-# pass, bounded by postings lists (never doc × doc). The eval side is tiny
-# → broadcast; at 100 TB the train-side explode streams map-side only.
+# pass, bounded by postings lists (never doc × doc). The eval side is NOT
+# hint-broadcast: it is ~1% of ALL corpus shingles, so it scales with the
+# corpus — at 100 TB a forced broadcast is a driver OOM. AQE makes the
+# call at runtime instead (it still picks BroadcastHashJoin at test SFs,
+# asserted in test_plan_shapes; at scale it falls back to a shuffled
+# semi-join on the shingle key).
 # ---------------------------------------------------------------------------
 @register(
     "text_decontaminate",
@@ -5308,7 +5312,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(F.col("doc_id") % 97 != 0)
     eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     return (
-        train.join(F.broadcast(eval_sh), "s", "left_semi")
+        train.join(eval_sh, "s", "left_semi")
         .select(F.col("doc_id").alias("contaminated_id"))
         .distinct()
     )

@@ -621,3 +621,54 @@ def test_resize_images_decodes_and_upscale_preserves_ids(spark):
     got = resize_images(one, w, h).collect()[0]
     _w, _h, _ch, px = _decode_pixels(bytes(a0.payload))
     assert got.content_sha256 == hashlib.sha256(px).hexdigest()
+
+
+def test_gif_sub_block_per_block_truncation_guard():
+    """ADVICE r9: the per-block truncation check in _gif_sub_blocks must
+    fire on EVERY block, not just the first — a later block declaring
+    more bytes than remain in the payload raises immediately (previously
+    the cumulative-length comparison made the guard dead after block 1,
+    and truncation was only caught one iteration later by the position
+    bound)."""
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        _gif_sub_blocks,
+    )
+
+    # well-formed: two blocks (3 + 2 bytes) then terminator
+    payload = bytes([3, 1, 2, 3, 2, 9, 9, 0])
+    data, pos = _gif_sub_blocks(payload, 0)
+    assert data == bytes([1, 2, 3, 9, 9]) and pos == len(payload)
+
+    # second block declares 100 bytes with only 2 remaining → ValueError
+    bad = bytes([3, 1, 2, 3, 100, 9, 9])
+    with pytest.raises(ValueError, match="truncated sub-block"):
+        _gif_sub_blocks(bad, 0)
+
+
+def test_encode_wav_numpy_range_validation_matches_list_path():
+    """ADVICE r9: the numpy fast path must reject out-of-int16-range
+    samples like the struct.pack list path does, instead of silently
+    wrapping on astype."""
+    import numpy as np
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        encode_wav,
+    )
+
+    # in-range: both paths produce identical bytes
+    vals = [0, 1000, -32768, 32767]
+    assert encode_wav(vals) == encode_wav(np.array(vals, dtype=np.int64))
+
+    # out-of-range: list path raises (struct.error subclasses vary), and
+    # the array path must raise too rather than wrap
+    with pytest.raises(Exception):
+        encode_wav([40000])
+    with pytest.raises(ValueError, match="int16 range"):
+        encode_wav(np.array([40000]))
+    with pytest.raises(ValueError, match="int16 range"):
+        encode_wav(np.array([-40000]))
+    # empty array is fine (no min/max to take)
+    assert isinstance(encode_wav(np.array([], dtype=np.int64)), bytes)

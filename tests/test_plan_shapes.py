@@ -105,7 +105,7 @@ def test_tpch_q8_dims_broadcast(spark):
 def test_no_forced_broadcast_of_scaling_tables():
     """Regression lint: ``F.broadcast`` hints in the registered plans may
     only wrap fixed-size sides (nation/region-derived dims, 1-row query
-    frames, eval-set shingles, filtered part keys). customer/supplier/
+    frames, filtered part keys). customer/supplier/
     lineitem/orders/events-derived frames grow with scale factor — a
     forced broadcast of one is a driver OOM at the 100 TB target, so AQE
     must make that call at runtime instead."""
@@ -119,7 +119,6 @@ def test_no_forced_broadcast_of_scaling_tables():
         "euro_nations",  # nation ⋈ region filter — ≤25 rows
         "pair",         # 2 nation rows (tpch_q7)
         "promo_parts",  # type-filtered part keys, single int column
-        "eval_sh",      # eval-set shingles (tiny by construction)
         "type_moments",  # one row per event_type (bounded cardinality agg)
         "maxd",         # 1-row global MAX aggregate
         "mx",           # 1-row revenue MAX (tpch_q15 argmax)
@@ -332,3 +331,16 @@ def test_pagerank_broadcast_face_edge_table_exchange_free(spark):
         txt = plan_text(pagerank_integer(edges, iters=iters), "simple")
         assert txt.count("SortMergeJoin") == 0, txt
         assert txt.count("Exchange hashpartitioning(__dst") == iters, txt
+
+
+def test_decontaminate_broadcasts_via_aqe_below_threshold(spark):
+    """text_decontaminate must NOT hint-broadcast the eval-shingle side
+    (it scales with the corpus — VERDICT r9 item 1); below the broadcast
+    threshold the runtime must still pick BroadcastHashJoin on its own
+    (statically from parquet size estimates, or via AQE's runtime
+    conversion), so dropping the hint costs nothing at small scale."""
+    df = synthetic.QUERIES["text_decontaminate"](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
+    assert "LeftSemi" in final, final
