@@ -1,0 +1,774 @@
+"""Baseline sequential JPEG (JFIF) codec on stdlib + numpy — no PIL.
+
+The last image codec of the multimodal tier (VERDICT r9 item 4): the PNG
+(RFC 2083) and GIF (87a/89a LZW) codecs in ``multimodal.py`` cover the
+lossless formats; this module adds the lossy DCT family so JPEG payloads
+take the REAL decode path in ``decode_images`` / ``resize_images``
+instead of the deterministic stub.
+
+Scope — baseline sequential DCT, the ITU-T T.81 subset that covers the
+overwhelming majority of JPEGs in the wild:
+
+- 8-bit precision, Huffman entropy coding (SOF0; progressive/arithmetic/
+  hierarchical raise ``ValueError`` so the caller's auto-detect-else-stub
+  contract holds),
+- grayscale and 3-component YCbCr frames,
+- any sampling grid with factors in {1..4} where each component's factor
+  divides the frame maximum — which includes 4:4:4, 4:2:2 and 4:2:0,
+- restart intervals (DRI + RSTn, DC-predictor reset),
+- multi-table DQT/DHT segments, 8- and 16-bit quantizer precision,
+- byte stuffing (0xFF 0x00) per T.81 §B.1.1.5.
+
+The encoder exists so fixtures can be generated deterministically inside
+``mapInPandas`` (the synthetic-asset convention of ``attach_synthetic_*``):
+it emits SOI / JFIF-APP0 / DQT / SOF0 / DHT / SOS with the Annex K
+quantization and Huffman tables, 4:4:4 or 4:2:0 chroma, and optional
+restart markers. Decode is spec-driven off the embedded tables, so the
+pair is a genuine codec round trip, not a shared-constant shortcut.
+
+Determinism (the oracle faces digest decoded pixel CONTENT): the DCT /
+IDCT run as fixed-shape float64 numpy matrix products and every rounding
+step is ``np.rint`` — bit-stable across executors. Flat 8×8 tiles whose
+level-shifted value is even round-trip EXACTLY under the Annex K luma DC
+quantizer (step 16: round(8Δ/16) = Δ/2 exactly, dequant 16·Δ/2 = 8Δ, IDCT
+flat Δ) — the property the synthetic fixture is built on.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K) — embedded in DQT/DHT on encode, and re-read
+# from the stream on decode (the decoder never assumes them).
+# ---------------------------------------------------------------------------
+
+#: zigzag position -> natural (row-major) index
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K Table K.1 (luminance), natural order
+QT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+#: Annex K Table K.2 (chrominance), natural order
+QT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Huffman specs as (BITS[1..16], HUFFVAL) — Annex K §K.3.3
+_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUMA_VALS = tuple(range(12))
+_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHROMA_VALS = tuple(range(12))
+
+_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+
+
+def _r(a: int, b: int) -> list[int]:
+    return list(range(a, b + 1))
+
+
+_AC_LUMA_VALS = tuple(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A,
+    ]
+    + _r(0x25, 0x2A) + _r(0x34, 0x3A) + _r(0x43, 0x4A) + _r(0x53, 0x5A)
+    + _r(0x63, 0x6A) + _r(0x73, 0x7A) + _r(0x83, 0x8A) + _r(0x92, 0x9A)
+    + _r(0xA2, 0xAA) + _r(0xB2, 0xBA) + _r(0xC2, 0xCA) + _r(0xD2, 0xDA)
+    + [0xE1] + _r(0xE2, 0xEA) + [0xF1] + _r(0xF2, 0xFA)
+)
+
+_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHROMA_VALS = tuple(
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A,
+    ]
+    + _r(0x26, 0x2A) + _r(0x35, 0x3A) + _r(0x43, 0x4A) + _r(0x53, 0x5A)
+    + _r(0x63, 0x6A) + _r(0x73, 0x7A) + _r(0x82, 0x8A) + _r(0x92, 0x9A)
+    + _r(0xA2, 0xAA) + _r(0xB2, 0xBA) + _r(0xC2, 0xCA) + _r(0xD2, 0xDA)
+    + _r(0xE2, 0xEA) + _r(0xF2, 0xFA)
+)
+
+# a malformed spec here would corrupt every stream — fail at import
+assert sum(_AC_LUMA_BITS) == len(_AC_LUMA_VALS) == 162
+assert sum(_AC_CHROMA_BITS) == len(_AC_CHROMA_VALS) == 162
+assert sum(_DC_LUMA_BITS) == len(_DC_LUMA_VALS) == 12
+assert sum(_DC_CHROMA_BITS) == len(_DC_CHROMA_VALS) == 12
+assert sorted(ZIGZAG) == list(range(64))
+
+
+def _dct_matrix():
+    """8×8 DCT-II basis M with M[k,n] = c(k)/2 · cos((2n+1)kπ/16), so the
+    forward transform is M·s·Mᵀ and the inverse Mᵀ·S·M (T.81 §A.3.3)."""
+    import numpy as np
+
+    n = np.arange(8, dtype=np.float64)
+    k = n.reshape(8, 1)
+    m = 0.5 * np.cos((2.0 * n + 1.0) * k * np.pi / 16.0)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = None
+
+
+def _m():
+    global _DCT_M
+    if _DCT_M is None:
+        _DCT_M = _dct_matrix()
+    return _DCT_M
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman code assignment (T.81 §C.2) — shared by both directions.
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits, vals):
+    """-> {symbol: (code, length)} in canonical order."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, vals):
+    """-> {(length, code): symbol} for bit-serial canonical decode."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Entropy-coded segment I/O with byte stuffing.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                b = self._acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:  # §B.1.1.5 byte stuffing
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)  # pad with 1-bits per §F.1.2.3
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self._acc = 0
+        self._n = 0
+
+    def _next_byte(self) -> int:
+        if self.p >= len(self.d):
+            raise ValueError("jpeg: truncated entropy-coded segment")
+        b = self.d[self.p]
+        self.p += 1
+        if b == 0xFF:
+            if self.p >= len(self.d):
+                raise ValueError("jpeg: truncated entropy-coded segment")
+            m = self.d[self.p]
+            if m != 0x00:
+                raise ValueError(
+                    f"jpeg: unexpected marker 0x{m:02x} inside scan data"
+                )
+            self.p += 1
+        return b
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTn marker (§F.2.1.3.1)."""
+        self._n = 0
+        if (
+            self.p + 1 >= len(self.d)
+            or self.d[self.p] != 0xFF
+            or self.d[self.p + 1] != 0xD0 + (idx & 7)
+        ):
+            raise ValueError("jpeg: missing or out-of-order restart marker")
+        self.p += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map the t received magnitude bits to a
+    signed coefficient value."""
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _rgb_to_ycbcr(px, w: int, h: int):
+    """Full-range JFIF color transform, float64 → rounded float planes."""
+    import numpy as np
+
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    clip = lambda p: np.clip(np.rint(p), 0, 255)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def _pad_edge(plane, bh: int, bw: int):
+    import numpy as np
+
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+
+
+def _plane_blocks(plane):
+    """(H, W) → (n, 8, 8) in MCU-free raster block order plus grid dims."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    return (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        by,
+        bx,
+    )
+
+
+def _quantize_blocks(blocks, qt_nat):
+    """Level-shift, forward DCT, quantize → (n, 64) int32 in zigzag order."""
+    import numpy as np
+
+    m = _m()
+    coefs = np.einsum("ij,njk,lk->nil", m, blocks - 128.0, m)
+    q = np.rint(coefs / np.asarray(qt_nat, dtype=np.float64).reshape(8, 8))
+    zz = np.asarray(ZIGZAG, dtype=np.int64)
+    return q.reshape(-1, 64)[:, zz].astype(np.int64)
+
+
+def _encode_block(bw: _BitWriter, zzc, pred: int, dc_codes, ac_codes) -> int:
+    dc = int(zzc[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    # find last nonzero AC so trailing zeros collapse into one EOB
+    last = 0
+    for k in range(63, 0, -1):
+        if zzc[k]:
+            last = k
+            break
+    for k in range(1, last + 1):
+        v = int(zzc[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode row-major RGB (``channels=3``) or grayscale (``channels=1``)
+    pixels as a baseline sequential JFIF JPEG with the Annex K tables.
+
+    ``subsampling``: ``"4:4:4"`` (every component full resolution) or
+    ``"4:2:0"`` (chroma box-averaged 2×2; MCU 16×16). Grayscale ignores it.
+    ``restart_interval`` > 0 emits DRI and an RSTn every that many MCUs.
+    """
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("jpeg: bad dimensions")
+    if channels not in (1, 3):
+        raise ValueError("jpeg: channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("jpeg: pixel buffer does not match geometry")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("jpeg: unsupported subsampling request")
+
+    gray = channels == 1
+    sub = not gray and subsampling == "4:2:0"
+    max_f = 2 if sub else 1
+    mcu = 8 * max_f
+    bw_pad = -(-width // mcu) * mcu
+    bh_pad = -(-height // mcu) * mcu
+
+    if gray:
+        y = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        )
+        planes = [(_pad_edge(y, bh_pad, bw_pad), 0)]  # (plane, qt id)
+        samp = [(1, 1)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(pixels, width, height)
+        y = _pad_edge(y, bh_pad, bw_pad)
+        cb = _pad_edge(cb, bh_pad, bw_pad)
+        cr = _pad_edge(cr, bh_pad, bw_pad)
+        if sub:
+            # box average 2×2 (+2 for round-half-up in pure ints is not
+            # needed — planes are already rounded floats; rint keeps the
+            # flat-tile exactness property)
+            ds = lambda p: np.rint(  # noqa: E731
+                (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
+                / 4.0
+            )
+            cb, cr = ds(cb), ds(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [(y, 0), (cb, 1), (cr, 1)]
+
+    # per component: quantized zigzag blocks + block grid dims
+    comp_blocks = []
+    for (plane, qid), _ in zip(planes, samp):
+        blocks, by, bx = _plane_blocks(plane)
+        qt = QT_LUMA if qid == 0 else QT_CHROMA
+        comp_blocks.append((_quantize_blocks(blocks, qt), by, bx))
+
+    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    zz_l = bytes(QT_LUMA[ZIGZAG[i]] for i in range(64))
+    out += _seg(0xDB, b"\x00" + zz_l)
+    if not gray:
+        zz_c = bytes(QT_CHROMA[ZIGZAG[i]] for i in range(64))
+        out += _seg(0xDB, b"\x01" + zz_c)
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for ci, (h_f, v_f) in enumerate(samp):
+        qid = 0 if ci == 0 else 1
+        sof += struct.pack(">BBB", ci + 1, (h_f << 4) | v_f, qid)
+    out += _seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    dht += bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+    if not gray:
+        dht += bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
+        dht += bytes([0x11]) + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS)
+    out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        tid = 0 if ci == 0 else 0x11
+        sos += struct.pack(">BB", ci + 1, tid)
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    # interleaved MCU scan
+    mcx = bw_pad // mcu
+    mcy = bh_pad // mcu
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    n_mcus = mcx * mcy
+    for i in range(n_mcus):
+        my, mx = divmod(i, mcx)
+        for ci, (h_f, v_f) in enumerate(samp):
+            blocks, _by, bx = comp_blocks[ci]
+            for vy in range(v_f):
+                for vx in range(h_f):
+                    bi = (my * v_f + vy) * bx + (mx * h_f + vx)
+                    preds[ci] = _encode_block(
+                        writer, blocks[bi], preds[ci], *huff[ci]
+                    )
+        if restart_interval and (i + 1) % restart_interval == 0 and i + 1 < n_mcus:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * len(planes)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _read_u16(d: bytes, p: int) -> int:
+    if p + 2 > len(d):
+        raise ValueError("jpeg: truncated segment")
+    return (d[p] << 8) | d[p + 1]
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JFIF payload →
+    ``(width, height, channels, pixels)`` where pixels are row-major RGB
+    (3-component frames) or grayscale (1-component). Raises ``ValueError``
+    on anything outside the supported subset — truncation, progressive
+    (SOF2) / arithmetic frames, 12-bit precision, bad table ids, scan
+    overruns — so dispatchers can fall back to the stub path."""
+    import numpy as np
+
+    d = payload
+    if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
+        raise ValueError("jpeg: missing SOI")
+    p = 2
+    qts: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, h_f, v_f, qid)])
+    ri = 0
+    scan = None
+
+    while p + 1 < len(d):
+        if d[p] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = d[p + 1]
+        p += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seg_len = _read_u16(d, p)
+        if seg_len < 2 or p + seg_len > len(d):
+            raise ValueError("jpeg: truncated segment body")
+        body = d[p + 2 : p + seg_len]
+        p += seg_len
+
+        if 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            continue  # APPn / COM
+        if marker == 0xDB:  # DQT — possibly several tables
+            q = 0
+            while q < len(body):
+                pq, tq = body[q] >> 4, body[q] & 15
+                q += 1
+                n = 64 * (2 if pq else 1)
+                if pq > 1 or tq > 3 or q + n > len(body):
+                    raise ValueError("jpeg: bad DQT")
+                raw = (
+                    list(struct.unpack(f">{64}H", body[q : q + n]))
+                    if pq
+                    else list(body[q : q + 64])
+                )
+                nat = [0] * 64
+                for i in range(64):
+                    nat[ZIGZAG[i]] = raw[i]
+                qts[tq] = nat
+                q += n
+        elif marker == 0xC4:  # DHT — possibly several tables
+            q = 0
+            while q < len(body):
+                if q + 17 > len(body):
+                    raise ValueError("jpeg: bad DHT")
+                tc, th = body[q] >> 4, body[q] & 15
+                bits = list(body[q + 1 : q + 17])
+                n = sum(bits)
+                q += 17
+                if tc > 1 or th > 3 or q + n > len(body):
+                    raise ValueError("jpeg: bad DHT")
+                vals = list(body[q : q + n])
+                q += n
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(
+                    bits, vals
+                )
+        elif marker == 0xC0 or marker == 0xC1:
+            # baseline / extended-sequential Huffman (identical layout)
+            if len(body) < 6:
+                raise ValueError("jpeg: bad SOF")
+            prec, h, w, nc = body[0], (body[1] << 8) | body[2], (
+                body[3] << 8
+            ) | body[4], body[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError("jpeg: only 1- or 3-component frames")
+            if w == 0 or h == 0:
+                raise ValueError("jpeg: bad frame dimensions")
+            if len(body) != 6 + 3 * nc:
+                raise ValueError("jpeg: bad SOF length")
+            comps = []
+            for ci in range(nc):
+                cid, sf, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, sf >> 4, sf & 15, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline sequential Huffman (SOF0/SOF1) supported"
+            )
+        elif marker == 0xDD:
+            if len(body) != 2:
+                raise ValueError("jpeg: bad DRI")
+            ri = (body[0] << 8) | body[1]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            if len(body) != 1 + 2 * ns + 3:
+                raise ValueError("jpeg: bad SOS length")
+            h, w, comps = frame
+            if ns != len(comps):
+                raise ValueError("jpeg: non-interleaved scans not supported")
+            sel = []
+            for si in range(ns):
+                cid, tid = body[1 + 2 * si], body[2 + 2 * si]
+                match = [c for c in comps if c[0] == cid]
+                if not match:
+                    raise ValueError("jpeg: scan references unknown component")
+                sel.append((match[0], tid >> 4, tid & 15))
+            ss, se, _a = body[-3], body[-2], body[-1]
+            if ss != 0 or se != 63:
+                raise ValueError("jpeg: spectral selection not supported")
+            scan = (sel, p)
+            break
+        else:
+            raise ValueError(f"jpeg: unsupported marker 0x{marker:02x}")
+
+    if frame is None or scan is None:
+        raise ValueError("jpeg: no frame/scan found")
+    h, w, comps = frame
+    sel, scan_pos = scan
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if not (1 <= max_h <= 4 and 1 <= max_v <= 4):
+        raise ValueError("jpeg: bad sampling factors")
+    for _, h_f, v_f, _ in comps:
+        if h_f < 1 or v_f < 1 or max_h % h_f or max_v % v_f:
+            raise ValueError("jpeg: unsupported sampling grid")
+
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcx = -(-w // mcu_w)
+    mcy = -(-h // mcu_h)
+    n_mcus = mcx * mcy
+
+    # per-component coefficient stores, raster block order
+    grids = []  # (by, bx)
+    coef_store = []
+    for (_, h_f, v_f, qid), _dc, _ac in sel:
+        by, bx = mcy * v_f, mcx * h_f
+        grids.append((by, bx))
+        coef_store.append(np.zeros((by * bx, 64), dtype=np.float64))
+        if qid not in qts:
+            raise ValueError("jpeg: scan references undefined quant table")
+
+    for (_c, dc_id, ac_id) in sel:
+        if dc_id not in dc_tabs or ac_id not in ac_tabs:
+            raise ValueError("jpeg: scan references undefined huffman table")
+
+    br = _BitReader(d, scan_pos)
+    preds = [0] * len(sel)
+    rst = 0
+    for i in range(n_mcus):
+        my, mx = divmod(i, mcx)
+        for ci, ((_cid, h_f, v_f, _qid), dc_id, ac_id) in enumerate(sel):
+            dct, act = dc_tabs[dc_id], ac_tabs[ac_id]
+            _by, bx = grids[ci]
+            for vy in range(v_f):
+                for vx in range(h_f):
+                    # DC
+                    t = _huff(br, dct)
+                    if t > 11:
+                        raise ValueError("jpeg: bad DC category")
+                    diff = _extend(br.bits(t), t) if t else 0
+                    preds[ci] += diff
+                    row = coef_store[ci][(my * v_f + vy) * bx + (mx * h_f + vx)]
+                    row[0] = preds[ci]
+                    # ACs
+                    k = 1
+                    while k < 64:
+                        rs = _huff(br, act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC coefficient overrun")
+                        row[ZIGZAG[k]] = _extend(br.bits(s), s)
+                        k += 1
+        if ri and (i + 1) % ri == 0 and i + 1 < n_mcus:
+            br.restart(rst)
+            rst += 1
+            preds = [0] * len(sel)
+
+    if d.find(b"\xff\xd9", br.p - 1) < 0:
+        raise ValueError("jpeg: missing EOI after scan")
+
+    # dequantize + IDCT per component, vectorized
+    m = _m()
+    planes = []
+    for ci, ((_cid, h_f, v_f, qid), _dc, _ac) in enumerate(sel):
+        by, bx = grids[ci]
+        qt = np.asarray(qts[qid], dtype=np.float64).reshape(8, 8)
+        coefs = coef_store[ci].reshape(-1, 8, 8) * qt
+        spatial = np.einsum("ji,njk,kl->nil", m, coefs, m) + 128.0
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # upsample to full MCU-padded geometry, then crop
+        if h_f != max_h or v_f != max_v:
+            plane = np.repeat(
+                np.repeat(plane, max_v // v_f, axis=0), max_h // h_f, axis=1
+            )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(c), 0, 255) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+def _huff(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code in scan")
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """Header-only parse → ``(width, height, n_components)`` from the SOF
+    marker, without entropy-decoding the scan. Raises on non-JPEG bytes."""
+    d = payload
+    if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
+        raise ValueError("jpeg: missing SOI")
+    p = 2
+    while p + 1 < len(d):
+        if d[p] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = d[p + 1]
+        p += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue
+        seg_len = _read_u16(d, p)
+        if seg_len < 2 or p + seg_len > len(d):
+            raise ValueError("jpeg: truncated segment body")
+        body = d[p + 2 : p + seg_len]
+        p += seg_len
+        if marker in (0xC0, 0xC1):
+            if len(body) < 6:
+                raise ValueError("jpeg: bad SOF")
+            return (
+                (body[3] << 8) | body[4],
+                (body[1] << 8) | body[2],
+                body[5],
+            )
+        if marker == 0xDA:
+            break
+    raise ValueError("jpeg: no SOF before scan")

@@ -721,6 +721,9 @@ def encode_gif_animated(
     return bytes(out)
 
 
+_JPEG_SIG = b"\xff\xd8\xff"  # SOI + first marker prefix
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
     """STUB decoder — deterministic fake standing in for a real image
     codec (PIL etc. are not installed in this container). Derives stable
@@ -733,13 +736,14 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
 
 def _decode_image(payload: bytes) -> tuple[int, int, str]:
     """REAL decode when the payload is a self-consistent uncompressed
-    BMP or a valid non-interlaced 8-bit RGB/RGBA PNG (true header
-    dimensions, digest over the decoded top-down pixel bytes — i.e.
-    over image CONTENT, invariant to BMP row padding / PNG filter and
-    compression choices); deterministic fake otherwise (the oracle
-    face — text payloads used by the registered stub queries can never
-    satisfy ``_bmp_meta``'s full-consistency check or carry the 8-byte
-    PNG signature + valid chunk CRCs, so their values are unchanged)."""
+    BMP, a valid non-interlaced 8-bit RGB/RGBA PNG, a decodable GIF, or
+    a baseline sequential JPEG (true header dimensions, digest over the
+    decoded top-down pixel bytes — i.e. over image CONTENT, invariant
+    to BMP row padding / PNG filter / JPEG entropy-coding choices);
+    deterministic fake otherwise (the oracle face — text payloads used
+    by the registered stub queries can never satisfy ``_bmp_meta``'s
+    full-consistency check or carry the PNG/GIF/JPEG signatures, so
+    their values are unchanged)."""
     meta = _bmp_meta(payload)
     if meta is not None:
         w, h, pixels = decode_bmp(payload)
@@ -756,15 +760,24 @@ def _decode_image(payload: bytes) -> tuple[int, int, str]:
         except ValueError:
             return _fake_decode_image(payload)
         return w, h, hashlib.sha256(pixels).hexdigest()
+    if payload[:3] == _JPEG_SIG:
+        from .jpeg import decode_jpeg
+
+        try:
+            w, h, _, pixels = decode_jpeg(payload)
+        except ValueError:
+            return _fake_decode_image(payload)
+        return w, h, hashlib.sha256(pixels).hexdigest()
     return _fake_decode_image(payload)
 
 
 def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL pixel decode → ``(width, height, channels, pixels)`` for any
     of the supported codecs (BMP → 3-channel BGR, PNG → 3/4-channel
-    RGB(A), GIF → 3-channel RGB from the first frame). Raises on
-    payloads none of the real decoders accept — a resize of opaque
-    bytes is meaningless, so there is no stub path here."""
+    RGB(A), GIF → 3-channel RGB from the first frame, JPEG → 3-channel
+    RGB or 1-channel grayscale). Raises on payloads none of the real
+    decoders accept — a resize of opaque bytes is meaningless, so there
+    is no stub path here."""
     meta = _bmp_meta(payload)
     if meta is not None:
         w, h, px = decode_bmp(payload)
@@ -775,6 +788,10 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:6] in _GIF_SIGS:
         w, h, px = decode_gif(payload)
         return w, h, 3, px
+    if payload[:3] == _JPEG_SIG:
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("no real decoder for payload")
 
 
@@ -1097,6 +1114,71 @@ def attach_synthetic_gif(df: DataFrame, id_col: str) -> DataFrame:
                     "meta": [
                         {
                             "mime": "image/gif",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                        }
+                        for w, h in zip(widths, heights)
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+def attach_synthetic_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL lossy-compressed JPEG payloads: one
+    deterministic baseline sequential JFIF per row — dimensions keyed off
+    the id (including non-multiple-of-8 edges, so the decoder's MCU pad +
+    crop path is exercised), 4:4:4 / 4:2:0 chroma alternating by id
+    parity, content a grid of FLAT gray 8×8 tiles whose level-shifted
+    values are all EVEN. That construction makes the lossy round trip
+    BIT-EXACT under the Annex K luma DC quantizer (flat block → DC-only,
+    step 16: round(8Δ/16) = Δ/2 with Δ even — see operators/jpeg.py), so
+    decoded CONTENT digests are deterministic AND distinct per asset: the
+    first 6 tiles spell the asset id in nibbles (level 64 + 8·nibble)."""
+    from .jpeg import encode_jpeg
+
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                w = 8 * (3 + aid % 3) - (aid % 5)  # 20..40
+                h = 8 * (2 + aid % 2) - (aid % 3)  # 14..24
+                tx, ty = -(-w // 8), -(-h // 8)  # >= 3*2 = 6 tiles
+                gray = np.zeros((ty * 8, tx * 8), dtype=np.uint8)
+                for t in range(tx * ty):
+                    if t < 6:
+                        nib = (aid >> (4 * t)) & 15
+                    else:
+                        nib = (aid * 7 + t * 13) % 16
+                    r, c = divmod(t, tx)
+                    gray[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = 64 + 8 * nib
+                gray = gray[:h, :w]
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                sub = "4:2:0" if aid % 2 else "4:4:4"
+                payloads.append(
+                    encode_jpeg(w, h, rgb.tobytes(), 3, subsampling=sub)
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "image/jpeg",
                             "width": w,
                             "height": h,
                             "duration_ms": 0,

