@@ -1294,6 +1294,99 @@ def attach_synthetic_wav(df: DataFrame, id_col: str, rate: int = 8000) -> DataFr
     return src.mapInPandas(op, schema=schema)
 
 
+#: Output schema of video_metadata.
+VIDEO_META_SCHEMA = (
+    "asset_id long, duration_ms long, timescale int, n_tracks int, "
+    "video_w int, video_h int, has_audio boolean, brand string"
+)
+
+
+def video_metadata(assets: DataFrame) -> DataFrame:
+    """REAL video-container metadata: walk each payload's ISO-BMFF atom
+    structure (ftyp/moov/mvhd/trak/tkhd/mdhd/hdlr — operators/mp4.py, no
+    av/ffmpeg) for duration, movie timescale, track count, presentation
+    size and modality routing. Same iterator-batched ``mapInPandas``
+    contract as ``decode_images``; no codec decode — this is the layer a
+    curation pipeline keys budgeting/partitioning/modality splits on.
+    Non-BMFF payloads raise (video pipelines route by mime first; there
+    is no meaningful fake duration — the ``decode_audio`` convention)."""
+    from .mp4 import parse_mp4_meta
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_mp4_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "timescale": [m["timescale"] for m in metas],
+                    "n_tracks": [m["n_tracks"] for m in metas],
+                    "video_w": [m["video_w"] for m in metas],
+                    "video_h": [m["video_h"] for m in metas],
+                    "has_audio": [m["has_audio"] for m in metas],
+                    "brand": [m["brand"] for m in metas],
+                }
+            )
+
+    return assets.mapInPandas(op, schema=VIDEO_META_SCHEMA)
+
+
+def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL ISO-BMFF payloads: one deterministic
+    container per row — duration, movie timescale (600/1000 alternating),
+    video presentation size and audio-track presence all keyed off the id
+    in closed form (so a DuckDB oracle can recompute every field from the
+    id alone), mvhd/mdhd version 1 and a 64-bit largesize mdat on id
+    residue classes to exercise those walker paths fleet-wide."""
+    from .mp4 import encode_mp4
+
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                dur = 400 + 40 * (aid % 10)
+                ts = 600 + 400 * (aid % 2)
+                w = 16 * (2 + aid % 5)
+                h = 16 * (1 + aid % 3)
+                payloads.append(
+                    encode_mp4(
+                        dur,
+                        movie_timescale=ts,
+                        video_size=(w, h),
+                        with_audio=aid % 3 == 0,
+                        mdat=struct.pack(">Q", aid) * 4,
+                        version=1 if aid % 4 == 1 else 0,
+                        largesize_mdat=aid % 5 == 0,
+                    )
+                )
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "video/mp4",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": d,
+                        }
+                        for d in durs
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
 def stub_features(payload: bytes) -> list[float]:
     """The STUB featurizer as a plain function: deterministic hash-derived
     vector standing in for a real embedding model. Exposed so a caller can
@@ -1332,7 +1425,10 @@ def sample_video_frames(
     like ``decode_images``). This is the canonical frame-sample shape a
     training pipeline runs over video columns; codec-heavy containers
     (MP4) keep the byte-chunk STUB fallback — one digest per
-    ``every_n_bytes`` chunk — until av/ffmpeg exists in the image."""
+    ``every_n_bytes`` chunk — until av/ffmpeg exists in the image.
+    (MP4 container METADATA is real as of r10 — ``video_metadata`` walks
+    the ISO-BMFF atoms for duration/timescale/track routing; only the
+    coded-sample decode remains stubbed.)"""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

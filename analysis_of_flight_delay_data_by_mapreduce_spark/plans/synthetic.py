@@ -1420,6 +1420,39 @@ def multimodal_jpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL video-container metadata face (r10, VERDICT r9 item 5): ISO-BMFF
+# payloads generated per doc_id (mvhd/mdhd v0 AND v1, 600/1000 movie
+# timescales, 64-bit largesize mdat atoms, optional audio track) and
+# parsed by a real atom walker (operators/mp4.py — ftyp brand, moov/trak
+# recursion, tkhd 16.16 presentation size, hdlr routing; no codec
+# decode). The oracle recomputes every field from the id in closed form,
+# so this is a PER-ROW differential over the whole corpus: a broken size
+# walk, a wrong v1 field width, a bad fixed-point shift, or a missed
+# trak flips some row's hash → red.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_mp4_meta_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(400 + 40 * (doc_id % 10) AS BIGINT) AS duration_ms,
+           CAST(600 + 400 * (doc_id % 2) AS INT) AS timescale,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+           CAST(16 * (2 + doc_id % 5) AS INT) AS video_w,
+           CAST(16 * (1 + doc_id % 3) AS INT) AS video_h,
+           doc_id % 3 = 0 AS has_audio,
+           'isom' AS brand
+    FROM documents
+    """,
+)
+def multimodal_mp4_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_synthetic_mp4, video_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_synthetic_mp4(docs, "doc_id")
+    return video_metadata(assets)
+
+
+# ---------------------------------------------------------------------------
 # REAL image resize (r9): the thumbnail/normalize step of a multimodal
 # pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
 # resampled to a fixed 32×16 via exact integer nearest-neighbor

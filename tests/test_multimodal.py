@@ -838,3 +838,106 @@ def test_jpeg_resize_over_decoded_pixels(spark):
     _w, _h, _ch, px = decode_jpeg(bytes(a0.payload))
     assert got.content_sha256 == hashlib.sha256(px).hexdigest()
     assert got.channels == 3
+
+
+def test_mp4_writer_walker_roundtrip_all_variants():
+    """The atom walker recovers every metadata field from spec-shaped
+    containers across the variant grid: mvhd/mdhd v0 and v1, 600/1000
+    timescales, audio-track presence, 64-bit largesize mdat."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_meta,
+    )
+
+    for ver in (0, 1):
+        for ts in (600, 1000):
+            for audio in (False, True):
+                for large in (False, True):
+                    p = encode_mp4(
+                        480,
+                        movie_timescale=ts,
+                        video_size=(320, 240),
+                        with_audio=audio,
+                        mdat=b"\x01\x02" * 8,
+                        version=ver,
+                        largesize_mdat=large,
+                    )
+                    m = parse_mp4_meta(p)
+                    assert m["duration_ms"] == 480
+                    assert m["timescale"] == ts
+                    assert m["n_tracks"] == (2 if audio else 1)
+                    assert (m["video_w"], m["video_h"]) == (320, 240)
+                    assert m["has_audio"] is audio
+                    assert m["brand"] == "isom"
+    # audio-only container: no video size
+    m = parse_mp4_meta(encode_mp4(1000, video_size=None, with_audio=True))
+    assert m["n_tracks"] == 1 and m["video_w"] == 0 and m["has_audio"]
+
+
+def test_mp4_rejects_malformed_atoms():
+    """Truncation and structural lies raise ValueError instead of
+    decoding garbage: short payloads, non-ftyp leaders, missing moov,
+    atom sizes overflowing the enclosing scope, sizes below the header
+    size, zero timescales."""
+    import struct
+
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_meta,
+    )
+
+    good = encode_mp4(480, video_size=(64, 32), mdat=b"x" * 32)
+
+    cases = {
+        "truncated": good[:30],
+        "not bmff": b"RIFF" + good[4:],
+        "no moov": good.replace(b"moov", b"m00v"),
+        "mvhd gone": good.replace(b"mvhd", b"mvhX"),
+    }
+    for name, bad in cases.items():
+        with pytest.raises(ValueError):
+            parse_mp4_meta(bad)
+
+    # moov claims a size past EOF
+    overflow = bytearray(good)
+    struct.pack_into(">I", overflow, good.find(b"moov") - 4, 2**31)
+    with pytest.raises(ValueError, match="overflows"):
+        parse_mp4_meta(bytes(overflow))
+
+    # an atom size below the 8-byte header
+    tiny = bytearray(good)
+    struct.pack_into(">I", tiny, good.find(b"moov") - 4, 4)
+    with pytest.raises(ValueError, match="below header"):
+        parse_mp4_meta(bytes(tiny))
+
+    # zero movie timescale
+    zt = bytearray(good)
+    mvhd_body = good.find(b"mvhd") + 4 + 4 + 8  # fullbox + creation/modification
+    struct.pack_into(">I", zt, mvhd_body, 0)
+    with pytest.raises(ValueError, match="zero timescale"):
+        parse_mp4_meta(bytes(zt))
+
+
+def test_video_metadata_spark_surface(spark):
+    """Through the Spark op: per-asset container metadata matches the
+    fixture's closed-form keying, including the v1 and largesize
+    residue classes."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_mp4,
+        video_metadata,
+    )
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    rows = video_metadata(attach_synthetic_mp4(ids, "doc_id")).collect()
+    assert len(rows) == 30
+    for r in rows:
+        aid = r.asset_id
+        assert r.duration_ms == 400 + 40 * (aid % 10)
+        assert r.timescale == 600 + 400 * (aid % 2)
+        assert r.n_tracks == (2 if aid % 3 == 0 else 1)
+        assert r.video_w == 16 * (2 + aid % 5)
+        assert r.video_h == 16 * (1 + aid % 3)
+        assert r.has_audio is (aid % 3 == 0)
+        assert r.brand == "isom"
