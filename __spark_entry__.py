@@ -24,92 +24,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-9 rotation (VERDICT r8
-# item 1): lead with the rows NEW or newly ORACLE-CHECKED this round
-# (the real-PNG codec check face; corpus_prepare converted from
-# rows-only to hash-checked; the IVF-PQ upsert-parity face; the real
-# PCM audio-features face; the real LZW GIF codec check face; the
-# quality-survivor dedup pipeline; the animated-GIF frame-sample
-# check; the exact-NN resize check), then the
-# eight r5-stamped overflow rows from the r8 window — the oldest driver
-# stamps in the registry — then the r6-stamped block (50 queries;
-# 8 + 8 + 34 fit, so the SEVENTEEN r6 rows listed after slot 50 overflow
-# and keep their r6 stamp until round 10 — stable count/profile/rollup/
-# sketch shapes with full pytest oracle replicas were chosen as the
-# overflow). Every rotated-out query is still re-verified each round by
+# entries; registry order is ours to choose. Round-10 rotation (VERDICT
+# r9 items 2 and 6): lead with the rows NEW or newly ORACLE-CHECKED this
+# round (the real baseline-JPEG codec check face; the ISO-BMFF container
+# metadata face; embedding_label_pca converted from rows-only to a full
+# hash check via trained-constant DOUBLE literals), then the SIXTEEN
+# r6-stamped rows — the oldest driver stamps in the registry, after this
+# round no stamp is older than r7 — then 31 of the 50 r7-stamped rows,
+# prioritizing plan-modified (text_decontaminate, r10 broadcast-gate
+# fix), check-face, and multi-join TPC-H shapes. The remaining NINETEEN
+# r7 rows (stable single-agg/window shapes with full pytest oracle
+# replicas) are the designated overflow, listed after slot 50 for the
+# r11 window. Every rotated-out query is still re-verified each round by
 # the full local check_oracle sweep and the pytest oracle replicas.
 _CHECK_FIRST = [
-    # --- new in r9 ---
-    "multimodal_png_decode_check",  # REAL stdlib zlib PNG decode vs meta dims
-    "corpus_prepare",  # rows-only -> ORACLE: minhash == exact-pairwise rule
-    "ann_ivfpq_upsert_check",  # upsert-assembled index == full rebuild
-    "multimodal_audio_features",  # real PCM decode vs closed-form oracle
-    "multimodal_gif_decode_check",  # REAL stdlib LZW GIF decode vs meta dims
-    "corpus_prepare_cc_best",  # quality-survivor dedup policy, oracle-checked
-    "multimodal_video_frame_check",  # REAL animated-GIF frame sampling
-    "multimodal_resize_check",  # exact NN resample over decoded pixels
-    # --- last driver row r5 (the r8 window's designated overflow) ---
-    "user_spend_quartiles",
-    "user_state_intervals",
-    "users_purchase_and_error",
-    "users_purchase_no_refund_day",
-    "vocab_build",
-    "nation_customer_counts",
-    "pivot_status_revenue",
-    "sales_cube",
-    # --- last driver row r6 (oldest remaining; full set minus overflow) ---
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_ivf_recall_check",
-    "corpus_prepare_cc",
-    "dedup_embedding",
-    "dedup_minhash_recall_check",
-    "dedup_simhash_check",
-    "docs_bpe_token_counts",
-    "docs_dsir_selected_mixture",
-    "docs_dsir_weights",
-    "docs_dup_span_strip",
-    "docs_dup_spans",
-    "docs_quantile_sketch_check",
-    "docs_tfidf_cosine_pairs",
-    "embedding_label_pca",
-    "events_interval_join_binned",
-    "events_quantile_merge_check",
-    "events_sliding",
-    "events_value_quantile_check",
-    "orders_bloom_semijoin",
-    "orders_join_size_cms_check",
-    "purchase_age_salted_join",
-    "q1_delay",
-    "q2_late",
-    "q3_wordcount",
-    "q4_repeat_visits",
-    "q5_dup_dates",
-    "supplier_authority_pagerank",
-    "text_language_id",
-    "text_language_id_trigram",
-    "text_quality",
-    "text_tfidf",
-    "text_token_counts",
-    "text_winnow_fingerprint",
-    # --- the seventeen designated overflow rows (slots 51-67; stamped r10) ---
-    "docs_dup_span_profile",  # stable; span twins stay in-window
-    "tokens_cms_check",  # CMS pair overflows together; error-bound pytests
-    "tokens_cms_sketch",
-    "docs_tfidf_cosine_pairs",  # stable; in-suite oracle replica
-    "dedup_winnow_pairs",  # its fingerprint face stays in-window
-    "docs_quantile_sketch",  # its check face stays in-window
-    "docs_reservoir_sample",  # stable; pytest replica in test_selection
-    "vocab_bpe_pair_counts",
+    # --- new or newly hash-checked in r10 ---
+    "multimodal_jpeg_decode_check",  # REAL baseline JFIF decode vs meta dims
+    "multimodal_mp4_meta_check",  # REAL ISO-BMFF atom walk, per-row oracle
+    "embedding_label_pca",  # rows-only -> ORACLE: bit-identical twin literals
+    # --- last driver row r6 (the oldest stamps; VERDICT r9 item 2) ---
     "customer_name_ids",
+    "dedup_winnow_pairs",
     "distinct_users_by_type",
+    "docs_dup_span_profile",
+    "docs_quantile_sketch",
+    "docs_reservoir_sample",
     "events_value_stats",
     "events_windowed",
     "orders_by_month",
     "orders_profile",
     "sales_rollup",
     "token_histogram",
+    "tokens_cms_check",
+    "tokens_cms_sketch",  # rows-only by design (sketch cells); CMS pair together
     "top_parts_by_brand",
+    "vocab_bpe_pair_counts",
+    # --- last driver row r7 (31 of 50; rest are the designated overflow) ---
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_check",
+    "ann_pq_rerank_topk",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_ppjoin",
+    "docs_lm_perplexity",
+    "embedding_label_pca_check",
+    "embedding_pq_codes",
+    "events_exact_quantiles_sketch",
+    "events_retention_cohorts",
+    "events_stream_interval_join",
+    "events_value_mad_outliers",
+    "events_value_zscore_outliers",
+    "multimodal_features_ann",
+    "multimodal_frame_sample",
+    "orders_hot_custkeys_cms_check",
+    "purchases_asof_error",
+    "text_bigram_lm",
+    "text_decontaminate",  # r10 plan change: broadcast hint dropped for AQE
+    "text_pii_scrub",
+    "text_repetition",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_semijoin",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    # --- the nineteen designated r7 overflow rows (slots 51-69; r11 window) ---
+    "customer_running_spend",
+    "dedup_exact",
+    "docs_chunk_overlap",
+    "events_funnel",
+    "events_interval_join",
+    "events_purchase_gaps",
+    "events_quantiles_by_type",
+    "events_salted_stats",
+    "events_session_window",
+    "events_trailing_7d_spend",
+    "lineitem_price_qty_corr",
+    "multimodal_stats",
+    "orders_grouping_sets",
+    "parties_union",
+    "revenue_by_nation",
+    "revenue_decimal_by_flag",
+    "top_terms",
+    "tpch_q14_promo_revenue",
+    "users_error_no_recovery",
 ]
 
 

@@ -813,9 +813,10 @@ def label_pca_summary(
     group sizes and deliberately not layered in (the merge order would
     reintroduce float nondeterminism this function just removed).
 
-    Driver check is rows-only by design (no SQL engine replicates
-    eigenvalues); the pytest twin recomputes from a pyarrow read and
-    asserts exact equality.
+    Driver check: full hash (r10) — ``label_pca_summary_parquet`` renders
+    the bit-identical per-label values as DOUBLE literals in the oracle
+    (the trained-constants pattern); the pytest twin additionally
+    recomputes from a pyarrow read and asserts exact equality.
     """
     # carry the label through at its INPUT type (string cluster names and
     # bigint ids work the same as int labels — no int() coercion to crash

@@ -7082,12 +7082,34 @@ def purchase_age_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Per-label PCA summary (operators.similarity.label_pca_summary): the
 # grouped-map applyInPandas surface — per-group EIGENDECOMPOSITION, the
-# linear algebra no Catalyst expression (and no SQL oracle) expresses.
-# Rows-only by design; the pytest twin recomputes every value from a
-# pyarrow read and asserts exact equality (id-sorted Gram accumulation
-# makes each output bit partitioning-independent).
+# linear algebra no Catalyst expression computes. FULLY hash-checked as
+# of r10 (VERDICT r9 item 6): the pyarrow/numpy twin
+# (label_pca_summary_parquet — identical id-sorted pipeline, the
+# trained-constants pattern of the IVF centroids) renders each label's
+# round-6 eigenvalue and explained share as DOUBLE literals; those are
+# BIT-IDENTICAL to the Spark face's outputs (same numpy, same
+# accumulation order — pinned by the pytest twin's exact-equality
+# assert), and repr(float) → literal → correctly-rounded parse
+# round-trips the bits on both engines. n stays data-derived in the
+# oracle (GROUP BY over embeddings), cross-checking group sizes too.
 # ---------------------------------------------------------------------------
-@register("embedding_label_pca")
+def _embedding_label_pca_oracle(sf_dir: str) -> str:
+    tw = _label_pca_cached(sf_dir)
+    values = ", ".join(
+        f"({lab}, {top!r}, {expl!r})"
+        for lab, (_n, top, expl) in sorted(tw.items())
+    )
+    return f"""
+    WITH expected(label, top_eigval, explained) AS (VALUES {values})
+    SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(x.top_eigval AS DOUBLE) AS top_eigval,
+           CAST(x.explained AS DOUBLE) AS explained
+    FROM embeddings e JOIN expected x ON x.label = e.label
+    GROUP BY e.label, x.top_eigval, x.explained
+    """
+
+
+@register("embedding_label_pca", oracle=_embedding_label_pca_oracle)
 def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import label_pca_summary
 
