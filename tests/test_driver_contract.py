@@ -127,3 +127,57 @@ def test_bench_requeue_never_keeps_stamped_worse_sample():
     import statistics
 
     assert statistics.median(chosen) >= 10.0  # regression still visible
+
+
+def test_bench_ledger_trigger_adjudication():
+    """VERDICT r9 item 3: the third requeue trigger — warm median above
+    3x the query's own BASELINE.md ledger row — and its adjudication:
+    a retry that stays above the ledger cap is contaminated even with a
+    clean spread and a plausible cold ratio (the steady-contention
+    profile the spread/cold triggers miss)."""
+    from bench import adjudicate_requeue
+
+    limit = 3.0
+
+    # Steady contention: tight spread, median < cold*1.2, but 38x the
+    # ledger row (the r9 text_decontaminate shape). Retry identical.
+    first = [23.0, 23.5, 24.0]
+    retry = [22.0, 23.0, 23.8]
+    chosen, rec = adjudicate_requeue(
+        first, retry, cold_s=25.0, spread_limit=limit, ledger_cap=0.618 * 3
+    )
+    assert rec["contaminated"] is True
+    assert rec["kept"] == "retry"  # min of two contaminated medians
+    assert rec["ledger_cap"] == round(0.618 * 3, 4)
+
+    # Contention burst that clears: retry lands back under the cap.
+    first = [23.0, 23.5, 24.0]
+    clean = [0.55, 0.6, 0.65]
+    chosen, rec = adjudicate_requeue(
+        first, clean, cold_s=25.0, spread_limit=limit, ledger_cap=0.618 * 3
+    )
+    assert rec["contaminated"] is False and rec["kept"] == "retry"
+    assert chosen == clean
+
+    # No ledger row (new query): cap None, behavior unchanged from the
+    # two-trigger rule; no ledger_cap key is recorded.
+    first = [0.1, 0.11, 0.12]
+    retry = [0.1, 0.11, 0.12]
+    _chosen, rec = adjudicate_requeue(
+        first, retry, cold_s=0.5, spread_limit=limit, ledger_cap=None
+    )
+    assert "ledger_cap" not in rec
+
+
+def test_bench_load_ledger_parses_baseline_block():
+    """load_ledger reads the generated BASELINE.md block: per-query rows
+    at the requested sf, skipping the header and the total row; an
+    absent block or file arms no trigger (empty dict)."""
+    import bench
+
+    led = bench.load_ledger(0.1)
+    assert led, "expected the checked-in sf0.1 ledger to parse"
+    assert "q1_delay" in led and all(v > 0 for v in led.values())
+    assert "**total**" not in led and "query" not in led
+    # a scale factor never recorded yields no rows, not garbage
+    assert bench.load_ledger(123.0) == {}
