@@ -96,3 +96,41 @@ def test_embedding_shift_preserves_norms(scaled):
         WHERE abs(d.n2 - s.n2) > 1e-3
     """).fetchone()[0]
     assert bad == 0
+
+
+def test_zipf_events_deterministic_hot_share_and_schema(tmp_path):
+    """--zipf-events (VERDICT r9 item 7): the zipf re-key is
+    deterministic (same bytes twice), preserves the events schema and
+    every non-key column, and plants the advertised hot key — rank 1
+    owns ~1/H(n_users, s) of all rows."""
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(TOOL))
+    from make_scaled_sf import write_zipf_events
+
+    out1 = str(tmp_path / "z1.parquet")
+    out2 = str(tmp_path / "z2.parquet")
+    info1 = write_zipf_events(SRC, out1, s=1.2)
+    info2 = write_zipf_events(SRC, out2, s=1.2)
+    assert info1 == info2
+    b1, b2 = open(out1, "rb").read(), open(out2, "rb").read()
+    assert b1 == b2, "zipf re-key must be bit-deterministic"
+
+    src_t = pq.read_table(os.path.join(SRC, "events.parquet"))
+    z = pq.read_table(out1)
+    assert z.schema.equals(src_t.schema)
+    assert z.num_rows == src_t.num_rows
+    for col in ("event_id", "ts", "event_type", "value", "props"):
+        assert z.column(col).equals(src_t.column(col)), col
+
+    uids = z.column("user_id").to_pylist()
+    hot = sum(1 for u in uids if u == 1) / len(uids)
+    # 1/H(10000, 1.2) ~ 0.179; wide tolerance for a small-SF sample
+    assert 0.1 < hot < 0.35, hot
+    assert min(uids) >= 1 and max(uids) <= 10_000
+
+    # factor replication: rows scale, hot share preserved
+    out3 = str(tmp_path / "z3.parquet")
+    info3 = write_zipf_events(SRC, out3, s=1.2, factor=3)
+    assert info3["rows"] == 3 * info1["rows"]
+    assert abs(info3["hot_share"] - info1["hot_share"]) < 0.05

@@ -101,7 +101,64 @@ def _scale_table(name: str, src: str, dst: str, factor: int) -> int:
     return merged.num_rows
 
 
+def write_zipf_events(
+    src_dir: str,
+    out_path: str,
+    s: float = 1.2,
+    n_users: int = 10_000,
+    factor: int = 1,
+) -> dict:
+    """Write a ZIPF-KEYED variant of ``events.parquet`` (VERDICT r9 item
+    7): every row keeps its event fields but ``user_id`` is re-drawn
+    from a Zipf(s) distribution over ``n_users`` ranks via inverse-CDF
+    on a deterministic 64-bit mix of ``event_id`` — rank 1 owns
+    ``1/H(n_users, s)`` of all rows (~18% at s=1.2, the planted hot key
+    the skew guards exist for), the tail stays long. Same schema as the
+    source, so every events query runs on it unchanged. Returns the
+    realized hot-key share for the benchmark record."""
+    import numpy as np
+
+    table = pq.read_table(os.path.join(src_dir, "events.parquet"))
+    if factor > 1:
+        # replicate rows with offset event ids BEFORE the zipf draw — each
+        # copy re-draws its user ranks, so the hot-key share is preserved
+        # while the table grows (the regime knob for the join-skew arm)
+        base = np.asarray(table.column("event_id").to_pylist(), dtype=np.int64)
+        copies = []
+        for c in range(factor):
+            cols = {col: table.column(col) for col in table.column_names}
+            cols["event_id"] = pa.array(base + c * STRIDE, pa.int64())
+            copies.append(pa.table(cols))
+        table = pa.concat_tables(copies)
+    eids = np.asarray(table.column("event_id").to_pylist(), dtype=np.uint64)
+    # splitmix64 finalizer → uniform in [0, 1)
+    h = eids * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    weights = 1.0 / np.arange(1, n_users + 1, dtype=np.float64) ** s
+    cdf = np.cumsum(weights) / weights.sum()
+    ranks = np.searchsorted(cdf, u, side="right") + 1  # 1..n_users
+    uid_type = table.schema.field("user_id").type
+    cols = {c: table.column(c) for c in table.column_names}
+    cols["user_id"] = pa.array(ranks.astype(np.int64), uid_type)
+    pq.write_table(pa.table(cols), out_path)
+    hot_share = float((ranks == 1).mean())
+    return {"rows": len(ranks), "hot_share": round(hot_share, 4), "s": s}
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--zipf-events":
+        src = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+        out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1/events_zipf.parquet"
+        s = float(sys.argv[4]) if len(sys.argv) > 4 else 1.2
+        factor = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+        info = write_zipf_events(src, out, s, factor=factor)
+        print(f"wrote {out}: {info}")
+        return
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10

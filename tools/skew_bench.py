@@ -84,7 +84,127 @@ def executed_plan_has_skew_split(df) -> bool:
     return "skew=true" in df._jdf.queryExecution().executedPlan().toString()
 
 
+def _best_of(fn, n: int = 3) -> float:
+    """Best-of-n wall-clock of ``fn()`` (one warm-up first)."""
+
+    def timed() -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    timed()  # warm-up
+    return round(min(timed() for _ in range(n)), 3)
+
+
+def zipf_events_arms(spark, events_path: str) -> dict:
+    """Measured skew arms over a REAL zipf-keyed events table (VERDICT r9
+    item 7 — the make_scaled_sf.py --zipf-events output, rank-1 user
+    ~20% of all rows):
+
+    - ``agg_plain`` vs ``agg_salted``: per-user SUM/COUNT, plain groupBy
+      vs operators.skew.salted_sum_count. Algebraic aggregates partial-
+      aggregate map-side, so parity here is the honest expected result —
+      the measurement makes the module docstring's claim empirical.
+    - ``join_plain`` vs ``join_salted``: the purchase_age shape — facts
+      joined to a per-user derived dim — where the hot user pins one
+      reducer; salted_join spreads it over n_salts tasks. AQE's
+      sort-merge skew split is measured as a third arm (``join_aqe``).
+    """
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.skew import (
+        salted_join,
+        salted_sum_count,
+    )
+
+    ev = spark.read.parquet(events_path).select("event_id", "user_id", "value")
+    ev.persist().count()
+    out: dict[str, object] = {}
+
+    plain_agg = ev.groupBy("user_id").agg(
+        F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    salted_agg = salted_sum_count(ev, ["user_id"], {"sv": F.col("value")}, n_salts=32)
+    out["agg_plain"] = _best_of(lambda: plain_agg.count())
+    out["agg_salted"] = _best_of(lambda: salted_agg.count())
+
+    dim = ev.groupBy("user_id").agg(F.min("event_id").alias("first_eid"))
+    dim.persist().count()
+
+    def plain_join():
+        return (
+            ev.join(dim, "user_id")
+            .select(F.sum(F.col("event_id") - F.col("first_eid")).alias("s"))
+            .collect()
+        )
+
+    def salted():
+        return (
+            salted_join(ev, dim, "user_id", "event_id", n_salts=8)
+            .select(F.sum(F.col("event_id") - F.col("first_eid")).alias("s"))
+            .collect()
+        )
+
+    # arm 1: no AQE skew split, no broadcast — the raw hot partition
+    for k, v in SKEW_CONF.items():
+        spark.conf.set(k, v)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    out["join_plain"] = _best_of(plain_join)
+    out["join_salted"] = _best_of(salted)
+    # arm 2: AQE skew split on (still no broadcast)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["join_aqe"] = _best_of(plain_join)
+    for k in SKEW_CONF:
+        spark.conf.unset(k)
+    ev.unpersist()
+    dim.unpersist()
+    return out
+
+
+def lsh_hot_bucket_arms(spark, docs_path: str, clique_every: int = 50) -> dict:
+    """Measured LSH hot-bucket cap (VERDICT r9 item 7): plant a
+    degenerate near-dup clique — every ``clique_every``-th document's
+    text replaced by one fixed string — and run the MinHash+LSH banding
+    pipeline with the ``max_bucket`` guard on vs off. Uncapped, the
+    clique lands whole in every band bucket and the self-join generates
+    ~|clique|²·bands candidate pairs of zero signal; the cap drops those
+    buckets and bounds the join at O(n · max_bucket)."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    clique_text = "the same degenerate boilerplate page repeated verbatim " * 6
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % clique_every == 0, F.lit(clique_text)
+        ).otherwise(F.col("text")),
+    )
+    docs.persist().count()
+    out: dict[str, object] = {}
+    capped = minhash_lsh_dedup(docs, "doc_id", "text", max_bucket=500)
+    uncapped = minhash_lsh_dedup(docs, "doc_id", "text", max_bucket=None)
+    out["lsh_capped"] = _best_of(lambda: capped.count(), n=2)
+    out["lsh_uncapped"] = _best_of(lambda: uncapped.count(), n=2)
+    out["lsh_pairs_capped"] = capped.count()
+    out["lsh_pairs_uncapped"] = uncapped.count()
+    docs.unpersist()
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--zipf":
+        # real-data arms: --zipf EVENTS_PARQUET [DOCS_PARQUET]
+        out: dict[str, object] = {
+            "mode": "zipf",
+            "load1_start": round(os.getloadavg()[0], 2),
+        }
+        spark = get_spark("skew-bench-zipf")
+        out.update(zipf_events_arms(spark, sys.argv[2]))
+        if len(sys.argv) > 3:
+            out.update(lsh_hot_bucket_arms(spark, sys.argv[3]))
+        print(json.dumps(out))
+        spark.stop()
+        return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     spark = get_spark("skew-bench")
     for k, v in SKEW_CONF.items():
