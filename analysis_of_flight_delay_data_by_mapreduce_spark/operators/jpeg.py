@@ -371,9 +371,11 @@ def encode_jpeg(
     """Encode row-major RGB (``channels=3``) or grayscale (``channels=1``)
     pixels as a baseline sequential JFIF JPEG with the Annex K tables.
 
-    ``subsampling``: ``"4:4:4"`` (every component full resolution) or
-    ``"4:2:0"`` (chroma box-averaged 2×2; MCU 16×16). Grayscale ignores it.
-    ``restart_interval`` > 0 emits DRI and an RSTn every that many MCUs.
+    ``subsampling``: ``"4:4:4"`` (every component full resolution),
+    ``"4:2:2"`` (chroma box-averaged horizontally; MCU 16×8) or
+    ``"4:2:0"`` (chroma box-averaged 2×2; MCU 16×16). Grayscale ignores
+    it. ``restart_interval`` > 0 emits DRI and an RSTn every that many
+    MCUs.
     """
     import numpy as np
 
@@ -383,15 +385,16 @@ def encode_jpeg(
         raise ValueError("jpeg: channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("jpeg: pixel buffer does not match geometry")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError("jpeg: unsupported subsampling request")
 
     gray = channels == 1
-    sub = not gray and subsampling == "4:2:0"
-    max_f = 2 if sub else 1
-    mcu = 8 * max_f
-    bw_pad = -(-width // mcu) * mcu
-    bh_pad = -(-height // mcu) * mcu
+    y_samp = (1, 1) if (gray or subsampling == "4:4:4") else (
+        (2, 1) if subsampling == "4:2:2" else (2, 2)
+    )
+    max_h, max_v = y_samp
+    bw_pad = -(-width // (8 * max_h)) * (8 * max_h)
+    bh_pad = -(-height // (8 * max_v)) * (8 * max_v)
 
     if gray:
         y = (
@@ -406,18 +409,19 @@ def encode_jpeg(
         y = _pad_edge(y, bh_pad, bw_pad)
         cb = _pad_edge(cb, bh_pad, bw_pad)
         cr = _pad_edge(cr, bh_pad, bw_pad)
-        if sub:
-            # box average 2×2 (+2 for round-half-up in pure ints is not
-            # needed — planes are already rounded floats; rint keeps the
-            # flat-tile exactness property)
+        if subsampling == "4:2:0":
+            # box average 2×2 (planes are already rounded floats; rint
+            # keeps the flat-tile exactness property)
             ds = lambda p: np.rint(  # noqa: E731
                 (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
                 / 4.0
             )
             cb, cr = ds(cb), ds(cr)
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "4:2:2":
+            # box average horizontally only
+            ds = lambda p: np.rint((p[:, 0::2] + p[:, 1::2]) / 2.0)  # noqa: E731
+            cb, cr = ds(cb), ds(cr)
+        samp = [y_samp, (1, 1), (1, 1)]
         planes = [(y, 0), (cb, 1), (cr, 1)]
 
     # per component: quantized zigzag blocks + block grid dims
@@ -464,8 +468,8 @@ def encode_jpeg(
     out += _seg(0xDA, sos)
 
     # interleaved MCU scan
-    mcx = bw_pad // mcu
-    mcy = bh_pad // mcu
+    mcx = bw_pad // (8 * max_h)
+    mcy = bh_pad // (8 * max_v)
     writer = _BitWriter()
     preds = [0] * len(planes)
     rst = 0

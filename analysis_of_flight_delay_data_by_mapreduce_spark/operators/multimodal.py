@@ -83,6 +83,19 @@ FEATURES_SCHEMA = f"asset_id long, features array<float>"
 FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_sha256 string"
 
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """The 1-column id frame every ``attach_synthetic_*`` fixture starts
+    from, spread to the session's default parallelism. The synthetic
+    corpus is ONE small parquet file, so without this every per-asset
+    millisecond of codec work downstream serializes onto the scan's 1-4
+    input splits (measured: the JPEG face 35.8 s → 2.6 s at sf1, 13.9×,
+    from this line alone). At the 100 TB target payloads arrive in
+    thousands of splits and the repartition degenerates to a shuffle of
+    bare int64 ids — negligible against the codec work it balances."""
+    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    return src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def attach_payload(
     df: DataFrame, text_col: str, id_col: str, modality: str = "image"
 ) -> DataFrame:
@@ -986,7 +999,7 @@ def attach_synthetic_bmp(df: DataFrame, id_col: str) -> DataFrame:
     in the MULTIMODAL_ASSET shape (meta carries the true dimensions, so
     a decode face can be asserted against the metadata). Generation runs
     in the same iterator-batched ``mapInPandas`` surface as decode."""
-    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    src = _spread_ids(df, id_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1034,7 +1047,7 @@ def attach_synthetic_png(df: DataFrame, id_col: str) -> DataFrame:
     decode exercises every unfilter path) — in the MULTIMODAL_ASSET
     shape (meta carries the true dimensions, so a decode face can be
     asserted against the metadata)."""
-    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    src = _spread_ids(df, id_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1091,7 +1104,7 @@ def attach_synthetic_gif(df: DataFrame, id_col: str) -> DataFrame:
     the asset id in nibbles (decoded CONTENT distinct per asset BY
     CONSTRUCTION, the attach_synthetic_png convention), the rest a
     seeded gradient — in the MULTIMODAL_ASSET shape."""
-    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    src = _spread_ids(df, id_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1134,16 +1147,24 @@ def attach_synthetic_jpeg(df: DataFrame, id_col: str) -> DataFrame:
     """Fixture attach step with REAL lossy-compressed JPEG payloads: one
     deterministic baseline sequential JFIF per row — dimensions keyed off
     the id (including non-multiple-of-8 edges, so the decoder's MCU pad +
-    crop path is exercised), 4:4:4 / 4:2:0 chroma alternating by id
-    parity, content a grid of FLAT gray 8×8 tiles whose level-shifted
+    crop path is exercised), 4:4:4 / 4:2:0 / 4:2:2 chroma rotating by id
+    residue, content a grid of FLAT gray 8×8 tiles whose level-shifted
     values are all EVEN. That construction makes the lossy round trip
     BIT-EXACT under the Annex K luma DC quantizer (flat block → DC-only,
     step 16: round(8Δ/16) = Δ/2 with Δ even — see operators/jpeg.py), so
     decoded CONTENT digests are deterministic AND distinct per asset: the
-    first 6 tiles spell the asset id in nibbles (level 64 + 8·nibble)."""
+    first 6 tiles spell the asset id in nibbles (level 64 + 8·nibble).
+
+    The id frame is spread to the session's default parallelism before
+    the generate/decode pipeline: the synthetic corpus is ONE small
+    parquet file, so without it every per-asset millisecond of codec
+    work serializes onto the scan's 1-4 input splits (measured 35.8 s →
+    ~6 s at sf1). At the 100 TB target the input arrives in thousands
+    of splits and the repartition is a no-op costing one shuffle of
+    bare int64 ids."""
     from .jpeg import encode_jpeg
 
-    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    src = _spread_ids(df, id_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1165,7 +1186,7 @@ def attach_synthetic_jpeg(df: DataFrame, id_col: str) -> DataFrame:
                     gray[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = 64 + 8 * nib
                 gray = gray[:h, :w]
                 rgb = np.repeat(gray[:, :, None], 3, axis=2)
-                sub = "4:2:0" if aid % 2 else "4:4:4"
+                sub = ("4:4:4", "4:2:0", "4:2:2")[aid % 3]
                 payloads.append(
                     encode_jpeg(w, h, rgb.tobytes(), 3, subsampling=sub)
                 )
@@ -1203,7 +1224,7 @@ def attach_synthetic_gif_video(df: DataFrame, id_col: str) -> DataFrame:
     frame) pixel digest is distinct BY CONSTRUCTION. ``meta.duration_ms``
     is the true container duration (frames × 40 ms), so a frame-sample
     face can be asserted against the metadata."""
-    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    src = _spread_ids(df, id_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1253,7 +1274,7 @@ def attach_synthetic_wav(df: DataFrame, id_col: str, rate: int = 8000) -> DataFr
     """Fixture attach step with REAL audio payloads: one deterministic
     PCM WAV per row (length keyed off the id → true, varying durations;
     samples a seeded integer wave)."""
-    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    src = _spread_ids(df, id_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1340,7 +1361,7 @@ def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
     residue classes to exercise those walker paths fleet-wide."""
     from .mp4 import encode_mp4
 
-    src = df.select(F.col(id_col).cast("long").alias("asset_id"))
+    src = _spread_ids(df, id_col)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1366,8 +1366,9 @@ def multimodal_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL lossy-codec check face (r10, VERDICT r9 item 4): baseline
-# sequential JPEG payloads (Annex K tables, 4:4:4 / 4:2:0 alternating,
-# non-multiple-of-8 dims) generated per doc_id and decoded by a complete
+# sequential JPEG payloads (Annex K tables, 4:4:4 / 4:2:0 / 4:2:2
+# rotating, non-multiple-of-8 dims) generated per doc_id and decoded by a
+# complete
 # stdlib+numpy JFIF decoder — marker walk, DQT/DHT parse, Huffman entropy
 # decode, dequantize, vectorized 8×8 IDCT, chroma upsample, YCbCr→RGB
 # (operators/jpeg.py — no PIL). Same contract as the BMP/PNG/GIF faces: a

@@ -678,8 +678,8 @@ def test_jpeg_flat_tile_roundtrip_bit_exact_all_regimes():
     """The fixture's exactness property, pinned directly: flat 8×8 gray
     tiles at even offsets from 128 survive the lossy round trip
     BIT-EXACTLY (DC-only blocks under the Annex K step-16 luma
-    quantizer) — for 4:4:4, 4:2:0, grayscale, non-multiple-of-8 edges,
-    and restart intervals."""
+    quantizer) — for 4:4:4, 4:2:2, 4:2:0, grayscale, non-multiple-of-8
+    edges, and restart intervals."""
     import numpy as np
 
     from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
@@ -699,7 +699,7 @@ def test_jpeg_flat_tile_roundtrip_bit_exact_all_regimes():
     for (w, h) in [(24, 16), (21, 13), (40, 22)]:
         g = tiled(w, h, levels)
         rgb = np.repeat(g[:, :, None], 3, axis=2)
-        for sub in ("4:4:4", "4:2:0"):
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
             for ri in (0, 2):
                 p = encode_jpeg(w, h, rgb.tobytes(), 3, subsampling=sub,
                                 restart_interval=ri)
