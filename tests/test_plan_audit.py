@@ -90,6 +90,7 @@ _SINGLE_PARTITION_OK = {
     "multimodal_bmp_decode_check",  # 1-row global check aggregate
     "multimodal_png_decode_check",  # same 1-row global check aggregate
     "multimodal_gif_decode_check",  # same 1-row global check aggregate
+    "multimodal_jpeg_decode_check",  # same 1-row global check aggregate
     "multimodal_video_frame_check",  # two 1-row check aggregates joined
                                      # broadcast (counts x distinct)
     "multimodal_resize_check",  # same 1-row global check aggregate —
