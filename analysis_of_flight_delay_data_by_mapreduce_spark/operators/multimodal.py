@@ -5,25 +5,31 @@ struct (schema.MULTIMODAL_ASSET). The Spark-side plumbing — schema, Arrow
 batch shape, ``mapInPandas`` iteration, partition sizing — is real and
 tested. Codecs (VERDICT r7 item 5):
 
-- **REAL, stdlib-only**: uncompressed 24-bit BMP (``encode_bmp`` /
-  ``decode_bmp`` via ``struct`` — true header+pixel bytes), COMPRESSED
-  non-interlaced 8-bit RGB/RGBA PNG (``encode_png`` / ``decode_png``
-  via ``zlib`` + ``struct`` — chunk CRC validation, zlib inflate,
-  per-scanline unfilter of all five PNG filter types incl. Paeth),
-  LZW-COMPRESSED single-frame palettized GIF (``encode_gif`` /
-  ``decode_gif`` — a complete GIF-variant LZW coder, variable 3..12-bit
-  codes, deferred clear), and PCM WAV (``encode_wav`` / ``decode_wav``
-  via the stdlib ``wave`` module; ``decode_wav_pcm`` +
-  ``audio_features`` compute exact-integer signal features from the
-  decoded samples). ``decode_images`` parses a strictly-validated BMP,
-  PNG, or GIF payload for its TRUE dimensions and digests the decoded
+- **REAL, stdlib(+numpy)-only**: uncompressed 24-bit BMP
+  (``encode_bmp`` / ``decode_bmp`` via ``struct`` — true header+pixel
+  bytes), COMPRESSED non-interlaced 8-bit RGB/RGBA PNG (``encode_png``
+  / ``decode_png`` via ``zlib`` + ``struct`` — chunk CRC validation,
+  zlib inflate, per-scanline unfilter of all five PNG filter types
+  incl. Paeth), LZW-COMPRESSED single-frame palettized GIF
+  (``encode_gif`` / ``decode_gif`` — a complete GIF-variant LZW coder,
+  variable 3..12-bit codes, deferred clear), baseline sequential JPEG
+  (``operators.jpeg`` — full JFIF marker/DQT/DHT parse, Huffman
+  entropy decode, dequant + vectorized IDCT, 4:4:4/4:2:2/4:2:0,
+  r10), PCM WAV (``encode_wav`` / ``decode_wav`` via the stdlib
+  ``wave`` module; ``decode_wav_pcm`` + ``audio_features`` compute
+  exact-integer signal features from the decoded samples), and
+  ISO-BMFF (MP4) container METADATA (``operators.mp4`` atom walker
+  behind ``video_metadata`` — duration/timescale/tracks/presentation
+  size, r10). ``decode_images`` parses a strictly-validated BMP, PNG,
+  GIF, or JPEG payload for its TRUE dimensions and digests the decoded
   PIXELS; ``decode_audio`` reads the true sample rate / duration from
   WAV headers.
-- **STUBBED**: any payload that is none of the above falls back to the
-  deterministic ``_fake_decode_image`` (the oracle face — its sha256
-  arithmetic is replicated in SQL), and codec-heavy formats (JPEG/MP4)
-  remain out of scope until PIL/av exist in the image (re-checked
-  absent 2026-08-15).
+- **STUBBED**: any image payload that is none of the above falls back
+  to the deterministic ``_fake_decode_image`` (the oracle face — its
+  sha256 arithmetic is replicated in SQL). The only remaining stub
+  surface is coded VIDEO samples (H.264 etc. inside mdat) — container
+  metadata is real, frame decode needs av/ffmpeg (re-checked absent
+  2026-08-16).
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``mapInPandas`` is an iterator — never materializes a partition);
@@ -48,6 +54,8 @@ __all__ = [
     "attach_synthetic_bmp",
     "attach_synthetic_gif",
     "attach_synthetic_gif_video",
+    "attach_synthetic_jpeg",
+    "attach_synthetic_mp4",
     "attach_synthetic_png",
     "attach_synthetic_wav",
     "audio_features",
@@ -69,6 +77,7 @@ __all__ = [
     "resize_nearest",
     "sample_video_frames",
     "stub_features",
+    "video_metadata",
 ]
 
 #: Output schema of decode_images (Arrow-compatible; arrays stay columnar).
