@@ -54,10 +54,12 @@ __all__ = [
     "attach_synthetic_bmp",
     "attach_synthetic_gif",
     "attach_synthetic_gif_video",
+    "attach_synthetic_gif_video_repeats",
     "attach_synthetic_jpeg",
     "attach_synthetic_mp4",
     "attach_synthetic_png",
     "attach_synthetic_wav",
+    "attach_synthetic_wav_bursts",
     "audio_features",
     "decode_audio",
     "decode_bmp",
@@ -76,6 +78,8 @@ __all__ = [
     "resize_images",
     "resize_nearest",
     "sample_video_frames",
+    "segment_audio_by_energy",
+    "select_keyframes",
     "stub_features",
     "video_metadata",
 ]
@@ -1279,6 +1283,114 @@ def attach_synthetic_gif_video(df: DataFrame, id_col: str) -> DataFrame:
     return src.mapInPandas(op, schema=schema)
 
 
+#: Output schema of select_keyframes.
+KEYFRAMES_SCHEMA = (
+    "asset_id long, frame_idx int, keyframe_idx int, frame_sha256 string"
+)
+
+
+def select_keyframes(assets: DataFrame) -> DataFrame:
+    """Keyframe selection over REAL decoded video frames: decode every
+    animated-GIF payload's true frames and keep frame 0 plus every frame
+    whose pixels DIFFER from the previous frame — consecutive-duplicate
+    suppression, the first reduction a video curation pipeline applies
+    before featurizing (static scenes collapse to one frame). Emits
+    ``(asset_id, frame_idx, keyframe_idx, frame_sha256)`` where
+    ``frame_idx`` is the original container index and ``keyframe_idx``
+    numbers the survivors. Exact byte comparison over decoded RGB — no
+    threshold to tune, bit-deterministic. Non-GIF payloads raise (codec
+    routing happens upstream; MP4 frame decode needs av/ffmpeg)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_fi, out_ki, out_sha = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                _w, _h, frames = decode_gif_frames(bytes(p))
+                ki = 0
+                prev = None
+                for fi, px in enumerate(frames):
+                    if prev is not None and px == prev:
+                        prev = px
+                        continue
+                    out_id.append(aid)
+                    out_fi.append(fi)
+                    out_ki.append(ki)
+                    out_sha.append(hashlib.sha256(px).hexdigest())
+                    ki += 1
+                    prev = px
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_id,
+                    "frame_idx": out_fi,
+                    "keyframe_idx": out_ki,
+                    "frame_sha256": out_sha,
+                }
+            )
+
+    return assets.mapInPandas(op, schema=KEYFRAMES_SCHEMA)
+
+
+def attach_synthetic_gif_video_repeats(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step for the keyframe face: animated GIFs whose
+    frame content only CHANGES every ``r = 1 + id % 3`` frames (content
+    index ``f // r``), with ``F = 4 + id % 5`` total frames — so the
+    distinct-run structure (which frames are keyframes) is a CLOSED-FORM
+    function of the id: keyframes sit at f ∈ {0, r, 2r, …},
+    ``ceil(F / r)`` of them. Same id-in-nibbles content convention as
+    ``attach_synthetic_gif_video``."""
+    src = _spread_ids(df, id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights, durs = [], [], [], []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                w = 4 + aid % 9
+                h = 3 + aid % 5
+                n_frames = 4 + aid % 5
+                r = 1 + aid % 3
+                head = [(aid >> (4 * j)) & 15 for j in range(8)]
+                frames = [
+                    bytes(head)
+                    + bytes([(f // r) % 16])
+                    + bytes(
+                        (i * 5 + aid + (f // r) * 3) % 16
+                        for i in range(9, w * h)
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(
+                    encode_gif_animated(
+                        w, h, GIF_FIXTURE_PALETTE, frames, delay_cs=4
+                    )
+                )
+                widths.append(w)
+                heights.append(h)
+                durs.append(n_frames * 40)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "image/gif",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": d,
+                        }
+                        for w, h, d in zip(widths, heights, durs)
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
 def attach_synthetic_wav(df: DataFrame, id_col: str, rate: int = 8000) -> DataFrame:
     """Fixture attach step with REAL audio payloads: one deterministic
     PCM WAV per row (length keyed off the id → true, varying durations;
@@ -1300,6 +1412,131 @@ def attach_synthetic_wav(df: DataFrame, id_col: str, rate: int = 8000) -> DataFr
                 ) - 1024
                 payloads.append(encode_wav(samples, rate))
                 durs.append((n * 1000) // rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "audio/wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": d,
+                        }
+                        for d in durs
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+#: Output schema of segment_audio_by_energy.
+AUDIO_SEGMENTS_SCHEMA = (
+    "asset_id long, seg_idx int, start_ms long, end_ms long, n_frames int"
+)
+
+
+def segment_audio_by_energy(
+    assets: DataFrame, frame_samples: int = 200, min_frame_abs_mean: int = 100
+) -> DataFrame:
+    """VAD-style energy segmentation over REAL decoded PCM: frame each
+    payload's samples into fixed ``frame_samples`` windows, mark a frame
+    ACTIVE when its mean absolute amplitude reaches
+    ``min_frame_abs_mean`` (evaluated as the exact integer comparison
+    ``sum(|x|) >= thr * frame_samples`` — no float energy, so the
+    decision is bit-deterministic), and merge consecutive active frames
+    into segments. The explode-shaped ``mapInPandas`` contract of
+    ``sample_video_frames`` (rows out != rows in): one row per segment
+    with frame-aligned start/end times. A trailing partial frame is
+    ignored (a real VAD pads or windows; fixture payloads are
+    whole-frame by construction). This is the speech-gating step an
+    audio curation pipeline runs before ASR — per-row parallel, zero
+    shuffle, numpy-vectorized per payload."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_idx, out_s, out_e, out_n = [], [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                rate, samples = decode_wav_pcm(bytes(p))
+                n_frames = len(samples) // frame_samples
+                if n_frames == 0:
+                    continue
+                fr = (
+                    np.abs(samples[: n_frames * frame_samples].astype(np.int64))
+                    .reshape(n_frames, frame_samples)
+                    .sum(axis=1)
+                )
+                active = fr >= min_frame_abs_mean * frame_samples
+                # run-length segments over the active mask
+                edges = np.flatnonzero(np.diff(active.astype(np.int8)))
+                starts = ([0] if active[0] else []) + [
+                    int(e) + 1 for e in edges if not active[e] and active[e + 1]
+                ]
+                ends = [
+                    int(e) + 1 for e in edges if active[e] and not active[e + 1]
+                ] + ([n_frames] if active[-1] else [])
+                for i, (s, e) in enumerate(zip(starts, ends)):
+                    out_id.append(aid)
+                    out_idx.append(i)
+                    out_s.append(s * frame_samples * 1000 // rate)
+                    out_e.append(e * frame_samples * 1000 // rate)
+                    out_n.append(e - s)
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_id,
+                    "seg_idx": out_idx,
+                    "start_ms": out_s,
+                    "end_ms": out_e,
+                    "n_frames": out_n,
+                }
+            )
+
+    return assets.mapInPandas(op, schema=AUDIO_SEGMENTS_SCHEMA)
+
+
+def attach_synthetic_wav_bursts(
+    df: DataFrame, id_col: str, rate: int = 8000, frame_samples: int = 200
+) -> DataFrame:
+    """Fixture attach step for the segmentation face: per id, a WAV of
+    alternating silence and constant-amplitude tone bursts in CLOSED
+    FORM — leading 2 silent frames, then ``2 + id % 3`` bursts of
+    ``1 + id % 4`` frames separated by 2 silent frames — so a DuckDB
+    oracle can recompute every segment's index/times from the id alone.
+    Burst amplitude 800 + 16·(id % 10) (far above the default gate);
+    silence is exactly zero."""
+    src = _spread_ids(df, id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, durs = [], []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                n_bursts = 2 + aid % 3
+                burst_len = 1 + aid % 4
+                amp = 800 + 16 * (aid % 10)
+                frames = []
+                frames.append(np.zeros(2 * frame_samples, dtype=np.int64))
+                for i in range(n_bursts):
+                    frames.append(
+                        np.full(burst_len * frame_samples, amp, dtype=np.int64)
+                    )
+                    if i + 1 < n_bursts:
+                        frames.append(
+                            np.zeros(2 * frame_samples, dtype=np.int64)
+                        )
+                samples = np.concatenate(frames)
+                payloads.append(encode_wav(samples, rate))
+                durs.append(len(samples) * 1000 // rate)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -1454,6 +1454,77 @@ def multimodal_mp4_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL audio energy segmentation (r10): VAD-style speech gating over
+# decoded PCM — exact-integer frame energies (sum|x| >= thr·frame), runs
+# of active frames merged into segments (operators/multimodal.py::
+# segment_audio_by_energy). The fixture's silence/burst pattern is a
+# closed-form function of the id (leading 2 silent frames, 2+id%3 bursts
+# of 1+id%4 frames, 2-frame gaps, 25 ms frames), so the oracle recomputes
+# every segment's index, start/end time and frame count per row: a
+# broken frame stride, an off-by-one run boundary, or a wrong rate
+# conversion flips row hashes → red.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_audio_segments_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(i AS INT) AS seg_idx,
+           CAST((2 + i * ((1 + doc_id % 4) + 2)) * 25 AS BIGINT) AS start_ms,
+           CAST((2 + i * ((1 + doc_id % 4) + 2) + (1 + doc_id % 4)) * 25
+                AS BIGINT) AS end_ms,
+           CAST(1 + doc_id % 4 AS INT) AS n_frames
+    FROM (SELECT doc_id, unnest(range(2 + doc_id % 3)) AS i FROM documents)
+    """,
+)
+def multimodal_audio_segments_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_synthetic_wav_bursts,
+        segment_audio_by_energy,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_synthetic_wav_bursts(docs, "doc_id")
+    return segment_audio_by_energy(assets)
+
+
+# ---------------------------------------------------------------------------
+# REAL keyframe selection (r10): consecutive-duplicate frame suppression
+# over decoded animated-GIF frames — exact byte comparison, frame 0 plus
+# every frame differing from its predecessor survives (operators/
+# multimodal.py::select_keyframes). The fixture repeats each content
+# frame r = 1+id%3 times over F = 4+id%5 frames, so the surviving
+# (frame_idx, keyframe_idx) pairs are closed-form: k·r for
+# k < ceil(F/r). Pixel digests are pinned per-asset in pytest (not
+# SQL-portable); the face checks the selection structure per row.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_keyframes_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(k * (1 + doc_id % 3) AS INT) AS frame_idx,
+           CAST(k AS INT) AS keyframe_idx
+    FROM (SELECT doc_id,
+                 unnest(range((4 + doc_id % 5 + doc_id % 3) // (1 + doc_id % 3)))
+                   AS k
+          FROM documents)
+    """,
+)
+def multimodal_keyframes_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_synthetic_gif_video_repeats,
+        select_keyframes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_synthetic_gif_video_repeats(docs, "doc_id")
+    return select_keyframes(assets).select(
+        "asset_id", "frame_idx", "keyframe_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL image resize (r9): the thumbnail/normalize step of a multimodal
 # pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
 # resampled to a fixed 32×16 via exact integer nearest-neighbor

@@ -941,3 +941,200 @@ def test_video_metadata_spark_surface(spark):
         assert r.video_h == 16 * (1 + aid % 3)
         assert r.has_audio is (aid % 3 == 0)
         assert r.brand == "isom"
+
+
+def test_jpeg_property_flat_tiles_roundtrip(capsys):
+    """Property fuzz (hypothesis): ANY flat-tile image with even
+    level-shifts round-trips bit-exactly through any subsampling regime
+    — geometry, tile levels, and regime all randomized."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(9, 48),
+        h=st.integers(9, 32),
+        seed=st.integers(0, 2**31),
+        sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+        gray_frame=st.booleans(),
+    )
+    def check(w, h, seed, sub, gray_frame):
+        rng = np.random.RandomState(seed)
+        tx, ty = -(-w // 8), -(-h // 8)
+        levels = 128 + 2 * rng.randint(-32, 32, size=(ty, tx))  # even shifts
+        g = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)[:h, :w]
+        g = g.astype(np.uint8)
+        if gray_frame:
+            dw, dh, ch, px = decode_jpeg(encode_jpeg(w, h, g.tobytes(), 1))
+            assert (dw, dh, ch) == (w, h, 1) and px == g.tobytes()
+        else:
+            rgb = np.repeat(g[:, :, None], 3, axis=2)
+            dw, dh, ch, px = decode_jpeg(
+                encode_jpeg(w, h, rgb.tobytes(), 3, subsampling=sub)
+            )
+            got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            assert (dw, dh, ch) == (w, h, 3) and (got == rgb).all()
+
+    check()
+
+
+def test_jpeg_and_mp4_truncation_fuzz_never_wrong_only_raise():
+    """Fuzz the rejection contract: EVERY strict prefix of a valid
+    payload either raises ValueError or (for JPEG prefixes that still
+    contain a full scan — impossible for strict prefixes here) never
+    returns wrong geometry. No other exception type may escape: the
+    mapInPandas dispatchers catch ValueError for the stub fallback, so
+    an IndexError/struct.error would kill the executor task instead."""
+    import numpy as np
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_meta,
+    )
+
+    g = np.full((16, 24, 3), 130, dtype=np.uint8)
+    jp = encode_jpeg(24, 16, g.tobytes(), 3, subsampling="4:2:0")
+    for cut in range(0, len(jp), 7):
+        with pytest.raises(ValueError):
+            decode_jpeg(jp[:cut])
+
+    mp = encode_mp4(480, video_size=(64, 32), with_audio=True, mdat=b"x" * 16)
+    for cut in range(0, len(mp), 5):
+        with pytest.raises(ValueError):
+            parse_mp4_meta(mp[:cut])
+
+    # byte-flip fuzz: any single corrupted byte must either still parse
+    # to SOMETHING or raise ValueError — never a non-ValueError crash
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        pos = int(rng.randint(0, len(jp)))
+        bad = bytearray(jp)
+        bad[pos] ^= int(rng.randint(1, 256))
+        try:
+            decode_jpeg(bytes(bad))
+        except ValueError:
+            pass
+    for _ in range(200):
+        pos = int(rng.randint(0, len(mp)))
+        bad = bytearray(mp)
+        bad[pos] ^= int(rng.randint(1, 256))
+        try:
+            parse_mp4_meta(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_segment_audio_by_energy_boundaries(spark):
+    """Run-length and threshold edge cases, plus the Spark surface: the
+    segmenter's active test is the exact integer sum(|x|) >= thr*frame
+    (== at the boundary is ACTIVE), leading/trailing runs close
+    correctly, an all-silent payload yields zero rows, and a trailing
+    partial frame is ignored."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        encode_wav,
+        segment_audio_by_energy,
+    )
+
+    F = 10  # frame_samples for the test
+    rows = []
+    # asset 1: silence(2f) tone(3f) silence(1f) tone(2f) -> two segments
+    s1 = [0] * (2 * F) + [500] * (3 * F) + [0] * F + [500] * (2 * F)
+    rows.append((1, encode_wav(s1, rate=1000)))
+    # asset 2: ACTIVE from frame 0 and active at the exact threshold
+    # (mean |x| == 100), plus a trailing partial frame that must be
+    # ignored even though it is loud
+    s2 = [100] * (2 * F) + [0] * F + [30000] * (F // 2)
+    rows.append((2, encode_wav(s2, rate=1000)))
+    # asset 3: all silent -> no rows
+    rows.append((3, encode_wav([0] * (3 * F), rate=1000)))
+    # asset 4: just below threshold everywhere -> no rows
+    rows.append((4, encode_wav([99] * (3 * F), rate=1000)))
+
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {}
+    for r in segment_audio_by_energy(
+        df, frame_samples=F, min_frame_abs_mean=100
+    ).collect():
+        got.setdefault(r.asset_id, []).append(
+            (r.seg_idx, r.start_ms, r.end_ms, r.n_frames)
+        )
+    # rate 1000 Hz, 10-sample frames -> 10 ms per frame
+    assert sorted(got[1]) == [(0, 20, 50, 3), (1, 60, 80, 2)]
+    assert sorted(got[2]) == [(0, 0, 20, 2)]
+    assert 3 not in got and 4 not in got
+
+
+def test_segment_audio_fixture_matches_closed_form(spark):
+    """attach_synthetic_wav_bursts + segment_audio_by_energy recover the
+    fixture's closed-form burst structure for every id."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_wav_bursts,
+        segment_audio_by_energy,
+    )
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    segs = segment_audio_by_energy(
+        attach_synthetic_wav_bursts(ids, "doc_id")
+    ).collect()
+    per = {}
+    for r in segs:
+        per.setdefault(r.asset_id, []).append(r)
+    for aid in range(30):
+        n, L = 2 + aid % 3, 1 + aid % 4
+        mine = sorted(per[aid], key=lambda r: r.seg_idx)
+        assert len(mine) == n
+        for i, r in enumerate(mine):
+            assert r.start_ms == (2 + i * (L + 2)) * 25
+            assert r.end_ms == r.start_ms + L * 25
+            assert r.n_frames == L
+
+
+def test_select_keyframes_structure_and_digests(spark):
+    """Keyframe selection: consecutive-duplicate frames collapse, the
+    survivors sit at multiples of the fixture's repeat factor, the
+    per-asset keyframe digests are pairwise DISTINCT (content really
+    changed), and an all-identical-frame video keeps exactly frame 0."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        GIF_FIXTURE_PALETTE,
+        attach_synthetic_gif_video_repeats,
+        encode_gif_animated,
+        select_keyframes,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    rows = select_keyframes(
+        attach_synthetic_gif_video_repeats(ids, "doc_id")
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.asset_id, []).append(r)
+    for aid in range(24):
+        F, r_ = 4 + aid % 5, 1 + aid % 3
+        mine = sorted(per[aid], key=lambda x: x.keyframe_idx)
+        assert [x.frame_idx for x in mine] == [
+            k * r_ for k in range((F + r_ - 1) // r_)
+        ]
+        shas = [x.frame_sha256 for x in mine]
+        assert len(set(shas)) == len(shas)
+
+    # static video: 5 identical frames -> exactly one keyframe
+    frame = bytes([1] * 12)
+    payload = encode_gif_animated(4, 3, GIF_FIXTURE_PALETTE, [frame] * 5)
+    one = spark.createDataFrame(
+        [(99, payload)], "asset_id long, payload binary"
+    )
+    got = select_keyframes(one).collect()
+    assert len(got) == 1 and got[0].frame_idx == 0 and got[0].keyframe_idx == 0
