@@ -344,3 +344,23 @@ def test_decontaminate_broadcasts_via_aqe_below_threshold(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final
     assert "LeftSemi" in final, final
+
+
+def test_multimodal_attach_pipelines_single_spread_exchange(spark):
+    """The attach→decode pipelines must carry exactly ONE exchange — the
+    deliberate _spread_ids round-robin that balances per-asset codec
+    work (r10) — and read only the id column from parquet. More
+    exchanges would mean the codec tier re-shuffles payloads; zero
+    would re-serialize onto the scan's input splits."""
+    for name in (
+        "multimodal_mp4_meta_check",
+        "multimodal_audio_segments_check",
+        "multimodal_keyframes_check",
+    ):
+        df = synthetic.QUERIES[name](spark, SF_DIR)
+        simple = plan_text(df, "simple")
+        assert simple.count("Exchange") == 1, f"{name}:\n{simple}"
+        txt = plan_text(df)
+        assert "RoundRobinPartitioning" in txt, name
+        m = [l for l in txt.splitlines() if "ReadSchema" in l]
+        assert m and "doc_id" in m[0] and "text" not in m[0], name
