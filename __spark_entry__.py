@@ -30,9 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # metadata face; embedding_label_pca converted from rows-only to a full
 # hash check via trained-constant DOUBLE literals), then the SIXTEEN
 # r6-stamped rows — the oldest driver stamps in the registry, after this
-# round no stamp is older than r7 — then 29 of the 50 r7-stamped rows,
+# round no stamp is older than r7 — then 28 of the 50 r7-stamped rows,
 # prioritizing plan-modified (text_decontaminate, r10 broadcast-gate
-# fix), check-face, and multi-join TPC-H shapes. The remaining TWENTY-ONE
+# fix), check-face, and multi-join TPC-H shapes. The remaining TWENTY-TWO
 # r7 rows (stable single-agg/window shapes with full pytest oracle
 # replicas) are the designated overflow, listed after slot 50 for the
 # r11 window. Every rotated-out query is still re-verified each round by
@@ -44,6 +44,7 @@ _CHECK_FIRST = [
     "embedding_label_pca",  # rows-only -> ORACLE: bit-identical twin literals
     "multimodal_audio_segments_check",  # VAD-gate segments, per-row oracle
     "multimodal_keyframes_check",  # consecutive-dup frame suppression
+    "multimodal_mp4_frame_sample_check",  # time-aligned sampling off parsed duration
     # --- last driver row r6 (the oldest stamps; VERDICT r9 item 2) ---
     "customer_name_ids",
     "dedup_winnow_pairs",
@@ -61,7 +62,7 @@ _CHECK_FIRST = [
     "tokens_cms_sketch",  # rows-only by design (sketch cells); CMS pair together
     "top_parts_by_brand",
     "vocab_bpe_pair_counts",
-    # --- last driver row r7 (29 of 50; rest are the designated overflow) ---
+    # --- last driver row r7 (28 of 50; rest are the designated overflow) ---
     "ann_ivfpq_topk",
     "ann_pq_adc_topk",
     "ann_pq_recall_check",
@@ -76,7 +77,6 @@ _CHECK_FIRST = [
     "events_retention_cohorts",
     "events_stream_interval_join",
     "events_value_mad_outliers",
-    "events_value_zscore_outliers",
     "orders_hot_custkeys_cms_check",
     "purchases_asof_error",
     "text_bigram_lm",
@@ -92,6 +92,7 @@ _CHECK_FIRST = [
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",
     # --- the designated r7 overflow rows (slots 51+; r11 window) ---
+    "events_value_zscore_outliers",  # stable; MAD sibling stays in-window
     "multimodal_features_ann",  # stub-featurizer ANN face; stable oracle
     "multimodal_frame_sample",  # byte-chunk stub face; stable oracle
     "customer_running_spend",

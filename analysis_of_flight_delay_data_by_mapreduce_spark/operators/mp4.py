@@ -231,6 +231,17 @@ def _read_mvhd_like(data: bytes, b: int, e: int) -> tuple[int, int]:
     return ts, dur
 
 
+def mp4_mdat_bytes(payload: bytes) -> bytes:
+    """Concatenated body bytes of every top-level ``mdat`` atom — the
+    coded-sample stream (opaque without a codec; callers slice it by
+    time for digesting/chunking). Raises on malformed structure."""
+    out = bytearray()
+    for tag, b, e in _walk(payload, 0, len(payload)):
+        if tag == b"mdat":
+            out += payload[b:e]
+    return bytes(out)
+
+
 def parse_mp4_meta(payload: bytes) -> dict:
     """Parse container metadata from an ISO-BMFF payload →
     ``{duration_ms, timescale, n_tracks, video_w, video_h, has_audio,

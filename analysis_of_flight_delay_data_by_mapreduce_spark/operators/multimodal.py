@@ -1685,19 +1685,21 @@ def sample_video_frames(
     """Frame sampling over video-like payloads — a table-generating op
     (rows out ≥ rows in, the explode-shaped mapInPandas contract).
 
-    REAL path (r9): an animated-GIF payload is actually decoded —
+    REAL paths: an animated-GIF payload is actually decoded (r9) —
     container walk, per-frame LZW — and every ``every_n_frames``-th
     TRUE frame is emitted with ``frame_idx`` = its frame number and a
     digest over its decoded RGB pixels (compression-choice invariant,
-    like ``decode_images``). This is the canonical frame-sample shape a
-    training pipeline runs over video columns; codec-heavy containers
-    (MP4) keep the byte-chunk STUB fallback — one digest per
-    ``every_n_bytes`` chunk — until av/ffmpeg exists in the image.
-    (MP4 container METADATA is real as of r10 — ``video_metadata`` walks
-    the ISO-BMFF atoms for duration/timescale/track routing; only the
-    coded-sample decode remains stubbed.)"""
+    like ``decode_images``). An ISO-BMFF (MP4) payload is sampled
+    TIME-ALIGNED off its real parsed metadata (r10): a nominal 25 fps
+    frame grid over the container duration, every ``every_n_frames``-th
+    grid point digested over its even byte-range of the mdat sample
+    stream — the stbl-less approximation; decoding the coded samples
+    themselves still needs av/ffmpeg. Anything else keeps the
+    byte-chunk STUB fallback — one digest per ``every_n_bytes`` chunk."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import mp4_mdat_bytes, parse_mp4_meta
+
         for pdf in batches:
             out_id, out_idx, out_sha = [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
@@ -1713,6 +1715,30 @@ def sample_video_frames(
                             out_idx.append(f)
                             out_sha.append(
                                 hashlib.sha256(frames[f]).hexdigest()
+                            )
+                        continue
+                if raw[4:8] == b"ftyp":
+                    # MP4: TIME-ALIGNED sampling off the REAL container
+                    # metadata (r10) — nominal 25 fps frame grid over the
+                    # parsed duration, digests over the frame's even
+                    # byte-range of the mdat sample stream (the stbl-less
+                    # approximation; decoding the coded samples needs
+                    # av/ffmpeg). A malformed container falls through to
+                    # the byte-chunk stub like any other opaque payload.
+                    try:
+                        meta = parse_mp4_meta(raw)
+                        mdat = mp4_mdat_bytes(raw)
+                    except ValueError:
+                        meta = None
+                    if meta is not None:
+                        n_nominal = max(meta["duration_ms"] // 40, 1)
+                        for f in range(0, n_nominal, every_n_frames):
+                            lo = len(mdat) * f // n_nominal
+                            hi = len(mdat) * (f + 1) // n_nominal
+                            out_id.append(aid)
+                            out_idx.append(f)
+                            out_sha.append(
+                                hashlib.sha256(mdat[lo:hi]).hexdigest()
                             )
                         continue
                 chunks = range(0, max(len(raw), 1), every_n_bytes)

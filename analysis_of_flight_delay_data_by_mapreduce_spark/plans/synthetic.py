@@ -1525,6 +1525,38 @@ def multimodal_keyframes_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TIME-ALIGNED MP4 frame sampling (r10): sample_video_frames routes
+# ISO-BMFF payloads through the real atom walker — the sampled grid is
+# the container's PARSED duration on a nominal 25 fps clock, not a
+# byte-count heuristic. The fixture's duration is closed-form in the id
+# (400 + 40·(id%10) ms → 10+id%10 nominal frames, every 2nd sampled), so
+# the oracle recomputes every (asset, frame_idx) row: a broken duration
+# parse or stride bug flips rows → red. Digests cover even mdat
+# byte-ranges (coded-sample decode still needs av/ffmpeg) and are
+# structure-pinned in pytest, not SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_mp4_frame_sample_check",
+    oracle="""
+    SELECT doc_id AS asset_id, CAST(k * 2 AS INT) AS frame_idx
+    FROM (SELECT doc_id,
+                 unnest(range((10 + doc_id % 10 + 1) // 2)) AS k
+          FROM documents)
+    """,
+)
+def multimodal_mp4_frame_sample_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import attach_synthetic_mp4, sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_synthetic_mp4(docs, "doc_id")
+    return sample_video_frames(assets, every_n_frames=2).select(
+        "asset_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL image resize (r9): the thumbnail/normalize step of a multimodal
 # pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
 # resampled to a fixed 32×16 via exact integer nearest-neighbor

@@ -1138,3 +1138,37 @@ def test_select_keyframes_structure_and_digests(spark):
     )
     got = select_keyframes(one).collect()
     assert len(got) == 1 and got[0].frame_idx == 0 and got[0].keyframe_idx == 0
+
+
+def test_sample_video_frames_mp4_time_aligned(spark):
+    """MP4 payloads sample on the REAL parsed duration (nominal 25 fps
+    grid, every 2nd point), digests cover the frame's even mdat
+    byte-range, and a malformed container falls back to byte chunks."""
+    import hashlib
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        mp4_mdat_bytes,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    mdat = bytes(range(200))
+    p = encode_mp4(400, video_size=(32, 16), mdat=mdat)  # 10 nominal frames
+    assert mp4_mdat_bytes(p) == mdat
+    df = spark.createDataFrame([(7, p)], "asset_id long, payload binary")
+    rows = sorted(
+        sample_video_frames(df, every_n_frames=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4, 6, 8]
+    for r in rows:
+        lo, hi = 200 * r.frame_idx // 10, 200 * (r.frame_idx + 1) // 10
+        assert r.frame_sha256 == hashlib.sha256(mdat[lo:hi]).hexdigest()
+
+    # corrupt container -> ValueError inside -> byte-chunk stub path
+    bad = p[: len(p) // 2]
+    df_bad = spark.createDataFrame([(8, bad)], "asset_id long, payload binary")
+    got = sample_video_frames(df_bad, every_n_bytes=64).collect()
+    assert len(got) == -(-len(bad) // 64)  # ceil(len/64) chunks
