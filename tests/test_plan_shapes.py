@@ -354,6 +354,7 @@ def test_multimodal_attach_pipelines_single_spread_exchange(spark):
     would re-serialize onto the scan's input splits."""
     for name in (
         "multimodal_mp4_meta_check",
+        "multimodal_mp4_frame_sample_check",
         "multimodal_audio_segments_check",
         "multimodal_keyframes_check",
     ):
