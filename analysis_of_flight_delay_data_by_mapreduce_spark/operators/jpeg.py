@@ -608,6 +608,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if not body:
+                raise ValueError("jpeg: bad SOS length")
             ns = body[0]
             if len(body) != 1 + 2 * ns + 3:
                 raise ValueError("jpeg: bad SOS length")
@@ -615,11 +617,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if ns != len(comps):
                 raise ValueError("jpeg: non-interleaved scans not supported")
             sel = []
+            seen_cids = set()
             for si in range(ns):
                 cid, tid = body[1 + 2 * si], body[2 + 2 * si]
                 match = [c for c in comps if c[0] == cid]
                 if not match:
                     raise ValueError("jpeg: scan references unknown component")
+                if cid in seen_cids:
+                    raise ValueError("jpeg: duplicate component in scan")
+                seen_cids.add(cid)
                 sel.append((match[0], tid >> 4, tid & 15))
             ss, se, _a = body[-3], body[-2], body[-1]
             if ss != 0 or se != 63:
@@ -726,7 +732,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
 
-    y, cb, cr = planes
+    # A conformant scan may list components in any order; the YCbCr
+    # convention is the SOF position (JFIF: comps[0]=Y, [1]=Cb, [2]=Cr).
+    # Reorder decoded planes back to SOF order before color conversion —
+    # decoding in scan order with the wrong channel assignment would
+    # produce silently-swapped colors, not a ValueError.
+    by_sof = [None] * len(planes)
+    for plane, (comp, _dc, _ac) in zip(planes, sel):
+        by_sof[comps.index(comp)] = plane
+    y, cb, cr = by_sof
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

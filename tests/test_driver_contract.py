@@ -181,3 +181,19 @@ def test_bench_load_ledger_parses_baseline_block():
     assert "**total**" not in led and "query" not in led
     # a scale factor never recorded yields no rows, not garbage
     assert bench.load_ledger(123.0) == {}
+
+
+def test_bench_load_ledger_reads_sf1_block_too():
+    """ADVICE r10: the non-greedy single-search always matched the FIRST
+    ledger block, so sf1 lookups returned {} and the ledger requeue
+    trigger never armed during scale-point sweeps. load_ledger must now
+    walk every LEDGER block in BASELINE.md."""
+    import bench
+
+    led1 = bench.load_ledger(1.0)
+    assert led1, "expected the checked-in SF1_LEDGER block to parse"
+    assert all(v > 0 for v in led1.values())
+    # sf1 rows must come from the SF1 block, not leak from sf0.1
+    led01 = bench.load_ledger(0.1)
+    assert set(led1) <= set(led01)  # headline subset
+    assert led1 != {k: led01[k] for k in led1}

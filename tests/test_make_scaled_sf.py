@@ -134,3 +134,24 @@ def test_zipf_events_deterministic_hot_share_and_schema(tmp_path):
     info3 = write_zipf_events(SRC, out3, s=1.2, factor=3)
     assert info3["rows"] == 3 * info1["rows"]
     assert abs(info3["hot_share"] - info1["hot_share"]) < 0.05
+
+
+def test_zipf_rank_never_exceeds_n_users_at_cdf_edge():
+    """ADVICE r10: numpy's pairwise weights.sum() can land a hair above
+    the sequential cumsum's last element, leaving cdf[-1] < max u and
+    emitting rank n_users+1. The edge is pinned to exactly 1.0 — a
+    uniform draw of u == (2^53-1)/2^53 (the maximum the splitmix64 path
+    can produce) must still map inside 1..n_users."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(TOOL))
+
+    # replicate write_zipf_events' cdf construction for a size where
+    # pairwise vs sequential summation demonstrably differ
+    for n_users, s in [(10_000, 1.2), (100_000, 1.05)]:
+        weights = 1.0 / np.arange(1, n_users + 1, dtype=np.float64) ** s
+        cdf = np.cumsum(weights) / weights.sum()
+        cdf[-1] = 1.0
+        u_max = np.float64((1 << 53) - 1) / float(1 << 53)
+        rank = int(np.searchsorted(cdf, u_max, side="right")) + 1
+        assert rank <= n_users

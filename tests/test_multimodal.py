@@ -793,6 +793,116 @@ def test_jpeg_rejections_fall_back_to_stub():
         pass
 
 
+def test_jpeg_empty_sos_body_raises_valueerror_not_indexerror():
+    """ADVICE r10 (medium): an SOS segment with declared length 2 (empty
+    body) must raise ValueError — the mapInPandas stub fallback catches
+    ONLY ValueError, so an IndexError here would kill the executor task
+    on a corrupt corpus payload instead of falling back."""
+    import numpy as np
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rgb = np.full((8, 8, 3), 130, dtype=np.uint8)
+    good = encode_jpeg(8, 8, rgb.tobytes(), 3)
+    scan = good.find(b"\xff\xda")
+    assert scan > 0
+    empty_sos = good[:scan] + b"\xff\xda\x00\x02" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(empty_sos)
+
+
+def test_jpeg_duplicate_scan_component_raises():
+    """A scan listing the same component id twice is malformed; the
+    decoder must reject it (the SOF-order plane reassembly would
+    otherwise leave a hole)."""
+    import numpy as np
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rgb = np.full((8, 8, 3), 130, dtype=np.uint8)
+    good = bytearray(encode_jpeg(8, 8, rgb.tobytes(), 3))
+    scan = good.find(b"\xff\xda")
+    # SOS body: [ns, cid1, tid1, cid2, tid2, cid3, tid3, ss, se, a];
+    # body starts at scan+4, so the SECOND cid sits at scan+7
+    assert good[scan + 7] == 2
+    good[scan + 7] = 1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_scan_component_order_differs_from_sof():
+    """ADVICE r10: a conformant baseline JPEG may list scan components
+    in any order; channels must be assigned by SOF position, not scan
+    position — otherwise Cb/Cr swap silently and the content digest is
+    wrong instead of a stub fallback. Build a 4:4:4 stream whose scan
+    order is (Cr, Cb, Y) with the module's own primitives and require
+    pixel-identical output to the normal-order encoding."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators import jpeg as J
+
+    w = h = 16
+    rng = np.random.default_rng(7)
+    rgb = (rng.integers(0, 256, (h, w, 3))).astype(np.uint8)
+    normal = J.decode_jpeg(J.encode_jpeg(w, h, rgb.tobytes(), 3))
+
+    # -- re-encode with a permuted scan (SOF stays Y,Cb,Cr = cids 1,2,3)
+    import struct
+
+    y, cb, cr = J._rgb_to_ycbcr(rgb.tobytes(), w, h)
+    planes = [J._pad_edge(p, h, w) for p in (y, cb, cr)]
+    comp_blocks = []
+    for ci, p in enumerate(planes):
+        blocks, _by, bx = J._plane_blocks(p)
+        qt = J.QT_LUMA if ci == 0 else J.QT_CHROMA
+        comp_blocks.append(J._quantize_blocks(blocks, qt))
+    dc_l = J._canonical_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_l = J._canonical_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    dc_c = J._canonical_codes(J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    ac_c = J._canonical_codes(J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    huff = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+
+    out = bytearray(b"\xff\xd8")
+    out += J._seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    out += J._seg(0xDB, b"\x00" + bytes(J.QT_LUMA[J.ZIGZAG[i]] for i in range(64)))
+    out += J._seg(0xDB, b"\x01" + bytes(J.QT_CHROMA[J.ZIGZAG[i]] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in (1, 2, 3):
+        sof += struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+    out += J._seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(J._DC_LUMA_BITS) + bytes(J._DC_LUMA_VALS)
+    dht += bytes([0x10]) + bytes(J._AC_LUMA_BITS) + bytes(J._AC_LUMA_VALS)
+    dht += bytes([0x01]) + bytes(J._DC_CHROMA_BITS) + bytes(J._DC_CHROMA_VALS)
+    dht += bytes([0x11]) + bytes(J._AC_CHROMA_BITS) + bytes(J._AC_CHROMA_VALS)
+    out += J._seg(0xC4, dht)
+    order = (2, 1, 0)  # scan order Cr, Cb, Y (SOF positions)
+    sos = bytes([3])
+    for ci in order:
+        sos += struct.pack(">BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    sos += bytes([0, 63, 0])
+    out += J._seg(0xDA, sos)
+    writer = J._BitWriter()
+    preds = {0: 0, 1: 0, 2: 0}
+    mcx, mcy = w // 8, h // 8
+    for i in range(mcx * mcy):
+        for ci in order:
+            preds[ci] = J._encode_block(
+                writer, comp_blocks[ci][i], preds[ci], *huff[ci]
+            )
+    writer.flush()
+    out += writer.out + b"\xff\xd9"
+
+    assert J.decode_jpeg(bytes(out)) == normal
+
+
 def test_jpeg_decode_images_real_dimensions_and_distinct(spark):
     """Through the Spark surface: JPEG payloads take the REAL decode path
     (dims == metadata at non-trivial geometry keyed off the id) and the

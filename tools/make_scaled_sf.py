@@ -141,6 +141,11 @@ def write_zipf_events(
     u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
     weights = 1.0 / np.arange(1, n_users + 1, dtype=np.float64) ** s
     cdf = np.cumsum(weights) / weights.sum()
+    # numpy's pairwise-summed weights.sum() can differ in the last ulp
+    # from the sequential cumsum's final element, leaving cdf[-1]
+    # fractionally below the max possible u — which would emit rank
+    # n_users+1. Pin the last edge to exactly 1.
+    cdf[-1] = 1.0
     ranks = np.searchsorted(cdf, u, side="right") + 1  # 1..n_users
     uid_type = table.schema.field("user_id").type
     cols = {c: table.column(c) for c in table.column_names}
