@@ -89,10 +89,73 @@ def _minimal_stbl() -> bytes:
     return _box(b"stbl", stsd + stts + stsc + stsz + stco)
 
 
-def _minf(media_header: bytes) -> bytes:
+def _chunk_counts(n_samples: int, samples_per_chunk: int) -> list[int]:
+    """Sample count per chunk for a fixed samples-per-chunk layout (the
+    last chunk may be short)."""
+    spc = samples_per_chunk if samples_per_chunk > 0 else n_samples
+    full, rem = divmod(n_samples, spc)
+    return [spc] * full + ([rem] if rem else [])
+
+
+def _sample_stbl(
+    sizes: list[int],
+    media_duration: int,
+    samples_per_chunk: int,
+    chunk_offsets: list[int],
+) -> bytes:
+    """A POPULATED sample table (ISO/IEC 14496-12 §8.6-8.7): ``stts``
+    run-length encodes uniform decode deltas (remainder spread over the
+    tail samples), ``stsz`` carries per-sample byte sizes, ``stsc`` the
+    fixed samples-per-chunk runs (short last chunk gets its own run),
+    ``stco`` absolute file offsets of each chunk."""
+    n = len(sizes)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 0))
+    base, rem = divmod(media_duration, n)
+    if base == 0:
+        raise ValueError("mp4: media duration shorter than sample count")
+    entries = [(n - rem, base)] if rem == 0 else [(n - rem, base), (rem, base + 1)]
+    stts = _full(
+        b"stts",
+        0,
+        0,
+        struct.pack(">I", len(entries))
+        + b"".join(struct.pack(">II", c, d) for c, d in entries),
+    )
+    counts = _chunk_counts(n, samples_per_chunk)
+    runs = []  # (first_chunk 1-based, samples_per_chunk)
+    for i, c in enumerate(counts):
+        if not runs or runs[-1][1] != c:
+            runs.append((i + 1, c))
+    stsc = _full(
+        b"stsc",
+        0,
+        0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, c, 1) for fc, c in runs),
+    )
+    stsz = _full(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full(
+        b"stco",
+        0,
+        0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def _minf(media_header: bytes, stbl: bytes | None = None) -> bytes:
     url = _full(b"url ", 0, 1, b"")  # self-contained
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
-    return _box(b"minf", media_header + _box(b"dinf", dref) + _minimal_stbl())
+    return _box(
+        b"minf",
+        media_header + _box(b"dinf", dref) + (stbl or _minimal_stbl()),
+    )
 
 
 def _trak(
@@ -104,6 +167,7 @@ def _trak(
     width: int,
     height: int,
     mdhd_version: int,
+    stbl: bytes | None = None,
 ) -> bytes:
     if handler == b"vide":
         mh = _full(b"vmhd", 0, 1, struct.pack(">Hhhh", 0, 0, 0, 0))
@@ -115,7 +179,7 @@ def _trak(
         b"mdia",
         _mdhd(media_timescale, media_duration, mdhd_version)
         + _hdlr(handler, name)
-        + _minf(mh),
+        + _minf(mh, stbl),
     )
     return _box(
         b"trak", _tkhd(track_id, movie_duration, width, height) + mdia
@@ -130,38 +194,77 @@ def encode_mp4(
     mdat: bytes = b"",
     version: int = 0,
     largesize_mdat: bool = False,
+    video_samples: list[bytes] | None = None,
+    samples_per_chunk: int = 0,
 ) -> bytes:
     """Serialize a minimal spec-shaped ISO-BMFF container: ``ftyp`` +
     ``moov`` (mvhd + one trak per stream, each with tkhd/mdia/mdhd/hdlr/
-    minf/stbl skeleton) + ``mdat``. The movie/track durations are exact
-    unit conversions of ``duration_ms`` (caller must pick timescales that
-    divide; video track timescale 90000, audio 8000)."""
+    minf/stbl) + ``mdat``. The movie/track durations are exact unit
+    conversions of ``duration_ms`` (caller must pick timescales that
+    divide; video track timescale 90000, audio 8000).
+
+    ``video_samples`` (r11): real per-sample payloads for the video
+    track. The mdat body becomes their concatenation and the video
+    stbl is POPULATED — stts (uniform deltas over the media duration),
+    stsz (true per-sample sizes), stsc (``samples_per_chunk`` runs,
+    0 = one chunk) and stco (absolute file offsets, computed with a
+    second pass since moov precedes mdat). Mutually exclusive with a
+    raw ``mdat`` body."""
     if duration_ms < 0 or movie_timescale <= 0:
         raise ValueError("mp4: bad duration/timescale")
     if (duration_ms * movie_timescale) % 1000:
         raise ValueError("mp4: duration not representable in movie timescale")
     movie_dur = duration_ms * movie_timescale // 1000
+    if video_samples is not None:
+        if video_size is None:
+            raise ValueError("mp4: video_samples require a video track")
+        if mdat:
+            raise ValueError("mp4: video_samples and raw mdat are exclusive")
+        if not video_samples or any(len(s) == 0 for s in video_samples):
+            raise ValueError("mp4: empty video sample")
+        mdat = b"".join(video_samples)
 
-    traks = b""
-    tid = 1
-    if video_size is not None:
-        w, h = video_size
-        traks += _trak(
-            tid, b"vide", 90000, duration_ms * 90, movie_dur, w, h, version
-        )
-        tid += 1
-    if with_audio:
-        traks += _trak(
-            tid, b"soun", 8000, duration_ms * 8, movie_dur, 0, 0, version
-        )
-        tid += 1
-    if tid == 1:
-        raise ValueError("mp4: at least one track required")
+    def build(mdat_base: int) -> bytes:
+        traks = b""
+        tid = 1
+        if video_size is not None:
+            w, h = video_size
+            stbl = None
+            if video_samples is not None:
+                sizes = [len(s) for s in video_samples]
+                offsets, pos = [], mdat_base
+                consumed = 0
+                for c in _chunk_counts(len(sizes), samples_per_chunk):
+                    offsets.append(pos)
+                    pos += sum(sizes[consumed : consumed + c])
+                    consumed += c
+                stbl = _sample_stbl(
+                    sizes, duration_ms * 90, samples_per_chunk, offsets
+                )
+            traks += _trak(
+                tid, b"vide", 90000, duration_ms * 90, movie_dur, w, h,
+                version, stbl,
+            )
+            tid += 1
+        if with_audio:
+            traks += _trak(
+                tid, b"soun", 8000, duration_ms * 8, movie_dur, 0, 0, version
+            )
+            tid += 1
+        if tid == 1:
+            raise ValueError("mp4: at least one track required")
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+        moov = _box(b"moov", _mvhd(movie_timescale, movie_dur, version) + traks)
+        md = _box(b"mdat", mdat, largesize=largesize_mdat)
+        return ftyp + moov + md
 
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
-    moov = _box(b"moov", _mvhd(movie_timescale, movie_dur, version) + traks)
-    md = _box(b"mdat", mdat, largesize=largesize_mdat)
-    return ftyp + moov + md
+    if video_samples is None:
+        return build(0)
+    # stco holds ABSOLUTE file offsets and moov precedes mdat: build once
+    # with offset 0 to fix the layout (stco entry width is constant), then
+    # rebuild at the real mdat body position.
+    probe = build(0)
+    return build(len(probe) - len(mdat))
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +332,138 @@ def _read_mvhd_like(data: bytes, b: int, e: int) -> tuple[int, int]:
     if ts == 0:
         raise ValueError("mp4: zero timescale")
     return ts, dur
+
+
+def _read_entries(data: bytes, b: int, e: int, width: int) -> list[tuple]:
+    """Full-box body → list of ``width``-tuple u32 entries after the
+    4-byte entry count; validates the declared count against the body."""
+    _ver, q = _fullbox(data, b, e)
+    if q + 4 > e:
+        raise ValueError("mp4: truncated table box")
+    n = struct.unpack_from(">I", data, q)[0]
+    q += 4
+    if q + n * 4 * width > e:
+        raise ValueError("mp4: table entries overflow box")
+    return [
+        struct.unpack_from(">" + "I" * width, data, q + i * 4 * width)
+        for i in range(n)
+    ]
+
+
+def parse_mp4_samples(payload: bytes) -> dict:
+    """Parse the FIRST video track's sample table (r11 — ISO/IEC
+    14496-12 §8.6-8.7 ``stts``/``stsz``/``stsc``/``stco``/``co64``) →
+    ``{"timescale": media_ts, "n_chunks": int,
+    "samples": [(file_offset, size, decode_time), ...]}``.
+
+    This is what replaces the even-mdat-split approximation in frame
+    sampling: every sample's TRUE byte range and decode time. An empty
+    (skeleton) table yields ``samples == []`` — callers fall back to the
+    nominal-grid path. Inconsistent tables (stts/stsz count mismatch,
+    stsc runs not covering the chunk list, sample ranges outside the
+    file) raise ``ValueError``; no video track raises too."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp")
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov atom")
+    for t, b, e in _walk(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(payload, b, e, b"mdia")
+        if mdia is None:
+            raise ValueError("mp4: trak missing mdia")
+        hdlr = _find(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or hdlr[0] + 12 > hdlr[1]:
+            raise ValueError("mp4: bad hdlr")
+        if payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find(payload, mdia[0], mdia[1], b"mdhd")
+        if mdhd is None:
+            raise ValueError("mp4: mdia missing mdhd")
+        ts, _dur = _read_mvhd_like(payload, *mdhd)
+        minf = _find(payload, mdia[0], mdia[1], b"minf")
+        stbl = minf and _find(payload, minf[0], minf[1], b"stbl")
+        if not stbl:
+            raise ValueError("mp4: video trak missing stbl")
+        sb, se = stbl
+
+        stts = _find(payload, sb, se, b"stts")
+        stsz = _find(payload, sb, se, b"stsz")
+        stsc = _find(payload, sb, se, b"stsc")
+        stco = _find(payload, sb, se, b"stco")
+        co64 = _find(payload, sb, se, b"co64")
+        if stts is None or stsz is None or stsc is None:
+            raise ValueError("mp4: incomplete sample table")
+        if stco is None and co64 is None:
+            raise ValueError("mp4: missing chunk offset box")
+
+        # stsz: sample_size + sample_count precede any per-sample sizes
+        _ver, q = _fullbox(payload, *stsz)
+        if q + 8 > stsz[1]:
+            raise ValueError("mp4: truncated stsz")
+        uniform, n = struct.unpack_from(">II", payload, q)
+        if uniform == 0:
+            if q + 8 + 4 * n > stsz[1]:
+                raise ValueError("mp4: stsz sizes overflow box")
+            sizes = list(
+                struct.unpack_from(">" + "I" * n, payload, q + 8)
+            ) if n else []
+        else:
+            sizes = [uniform] * n
+
+        tt = _read_entries(payload, *stts, 2)
+        if sum(c for c, _d in tt) != n:
+            raise ValueError("mp4: stts count does not match stsz")
+        if stco is not None:
+            offs = [o for (o,) in _read_entries(payload, *stco, 1)]
+        else:
+            _ver, q = _fullbox(payload, *co64)
+            if q + 4 > co64[1]:
+                raise ValueError("mp4: truncated co64")
+            m = struct.unpack_from(">I", payload, q)[0]
+            if q + 4 + 8 * m > co64[1]:
+                raise ValueError("mp4: co64 entries overflow box")
+            offs = list(struct.unpack_from(">" + "Q" * m, payload, q + 4))
+        sc = _read_entries(payload, *stsc, 3)
+
+        if n == 0:
+            if offs or sc:
+                raise ValueError("mp4: empty stsz with nonempty chunks")
+            return {"timescale": ts, "n_chunks": 0, "samples": []}
+        if not offs or not sc:
+            raise ValueError("mp4: samples without chunk layout")
+        if sc[0][0] != 1 or any(
+            sc[i][0] >= sc[i + 1][0] for i in range(len(sc) - 1)
+        ):
+            raise ValueError("mp4: bad stsc first_chunk sequence")
+
+        # expand samples-per-chunk over the chunk list, then assign
+        # contiguous byte ranges within each chunk
+        per_chunk = []
+        for i, (first, spc, _desc) in enumerate(sc):
+            last = sc[i + 1][0] - 1 if i + 1 < len(sc) else len(offs)
+            if last > len(offs):
+                raise ValueError("mp4: stsc references missing chunk")
+            per_chunk += [spc] * (last - first + 1)
+        if sum(per_chunk) != n:
+            raise ValueError("mp4: chunk layout does not cover samples")
+
+        deltas = [d for c, d in tt for _ in range(c)]
+        samples = []
+        si, t_acc = 0, 0
+        for ci, spc in enumerate(per_chunk):
+            pos = offs[ci]
+            for _ in range(spc):
+                size = sizes[si]
+                if pos + size > len(payload):
+                    raise ValueError("mp4: sample range outside file")
+                samples.append((pos, size, t_acc))
+                pos += size
+                t_acc += deltas[si]
+                si += 1
+        return {"timescale": ts, "n_chunks": len(offs), "samples": samples}
+    raise ValueError("mp4: no video track")
 
 
 def mp4_mdat_bytes(payload: bytes) -> bytes:

@@ -56,6 +56,7 @@ __all__ = [
     "attach_synthetic_gif_video",
     "attach_synthetic_gif_video_repeats",
     "attach_synthetic_jpeg",
+    "attach_synthetic_mjpeg_mp4",
     "attach_synthetic_mp4",
     "attach_synthetic_png",
     "attach_synthetic_wav",
@@ -75,6 +76,8 @@ __all__ = [
     "encode_png",
     "encode_wav",
     "extract_features",
+    "mjpeg_frame_level",
+    "mp4_fixture_samples",
     "resize_images",
     "resize_nearest",
     "sample_video_frames",
@@ -82,6 +85,7 @@ __all__ = [
     "select_keyframes",
     "stub_features",
     "video_metadata",
+    "video_sample_stats",
 ]
 
 #: Output schema of decode_images (Arrow-compatible; arrays stay columnar).
@@ -1598,13 +1602,31 @@ def video_metadata(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(op, schema=VIDEO_META_SCHEMA)
 
 
+def mp4_fixture_samples(aid: int) -> list[bytes]:
+    """The closed-form per-sample payloads of ``attach_synthetic_mp4``:
+    one 40 ms sample per nominal frame (``10 + id%10`` of them), sample
+    ``f`` the ASCII unit ``s{id}:{f};`` repeated ``1 + (id+f)%3`` times —
+    pure-ASCII so a DuckDB oracle can recompute every byte (and its
+    sha256) with string functions alone, with sizes that genuinely vary
+    so a uniform-stsz shortcut in the walker goes red."""
+    n = 10 + aid % 10
+    return [
+        (f"s{aid}:{f};").encode() * (1 + (aid + f) % 3) for f in range(n)
+    ]
+
+
 def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
     """Fixture attach step with REAL ISO-BMFF payloads: one deterministic
     container per row — duration, movie timescale (600/1000 alternating),
     video presentation size and audio-track presence all keyed off the id
     in closed form (so a DuckDB oracle can recompute every field from the
     id alone), mvhd/mdhd version 1 and a 64-bit largesize mdat on id
-    residue classes to exercise those walker paths fleet-wide."""
+    residue classes to exercise those walker paths fleet-wide.
+
+    r11: the video track carries a POPULATED sample table — one sample
+    per nominal 25 fps frame (``mp4_fixture_samples``), chunked
+    ``1 + id%4`` samples per chunk so stsc runs, short last chunks and
+    multi-chunk stco offsets are all exercised fleet-wide."""
     from .mp4 import encode_mp4
 
     src = _spread_ids(df, id_col)
@@ -1624,9 +1646,10 @@ def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
                         movie_timescale=ts,
                         video_size=(w, h),
                         with_audio=aid % 3 == 0,
-                        mdat=struct.pack(">Q", aid) * 4,
                         version=1 if aid % 4 == 1 else 0,
                         largesize_mdat=aid % 5 == 0,
+                        video_samples=mp4_fixture_samples(aid),
+                        samples_per_chunk=1 + aid % 4,
                     )
                 )
                 durs.append(dur)
@@ -1652,6 +1675,137 @@ def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
         "meta struct<mime string, width int, height int, duration_ms long>"
     )
     return src.mapInPandas(op, schema=schema)
+
+
+def mjpeg_frame_level(aid: int, f: int) -> int:
+    """Closed-form gray level of MJPEG fixture frame ``f`` of asset
+    ``aid``: even values in [32, 126] — even offsets from 128 make the
+    baseline JPEG round trip BIT-exact for flat tiles (DC-only blocks
+    under the Annex K quantizer), and staying ≤ 126 keeps every decoded
+    pixel byte ASCII so a DuckDB oracle can rebuild the exact pixel
+    buffer with ``repeat(chr(L))`` and sha256 it (DuckDB's sha256 is
+    VARCHAR-only)."""
+    return 32 + 2 * ((aid + 7 * f) % 48)
+
+
+MJPEG_W, MJPEG_H = 16, 16
+
+
+def attach_synthetic_mjpeg_mp4(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL CODED VIDEO (r11): an MJPEG-in-MP4
+    container per row — ``3 + id%4`` video samples, each a genuine
+    baseline JFIF JPEG (the in-repo codec, zero new dependencies) of a
+    flat 16×16 RGB frame at the closed-form ``mjpeg_frame_level``,
+    carried in a POPULATED sample table (2 samples per chunk). This is
+    the container+codec composition that closes the "coded video stays
+    stubbed" gap: ``sample_video_frames`` walks the stbl, slices each
+    sample's true byte range, recognizes the JPEG SOI and digests the
+    frame's DECODED PIXELS."""
+    from .jpeg import encode_jpeg
+    from .mp4 import encode_mp4
+
+    src = _spread_ids(df, id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                n = 3 + aid % 4
+                frames = [
+                    encode_jpeg(
+                        MJPEG_W,
+                        MJPEG_H,
+                        bytes([mjpeg_frame_level(aid, f)])
+                        * (MJPEG_W * MJPEG_H * 3),
+                        3,
+                    )
+                    for f in range(n)
+                ]
+                dur = 40 * n
+                payloads.append(
+                    encode_mp4(
+                        dur,
+                        video_size=(MJPEG_W, MJPEG_H),
+                        video_samples=frames,
+                        samples_per_chunk=2,
+                        version=1 if aid % 4 == 1 else 0,
+                    )
+                )
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "video/mp4",
+                            "width": MJPEG_W,
+                            "height": MJPEG_H,
+                            "duration_ms": d,
+                        }
+                        for d in durs
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+#: Output schema of video_sample_stats.
+SAMPLE_STATS_SCHEMA = (
+    "asset_id long, n_samples int, n_chunks int, sum_sample_bytes long, "
+    "max_sample_bytes int, duration_consistent boolean"
+)
+
+
+def video_sample_stats(assets: DataFrame) -> DataFrame:
+    """Per-asset sample-table statistics off the parsed
+    ``stts``/``stsz``/``stsc``/``stco`` (r11): sample count, chunk
+    count, total/max sample bytes, and whether the stts decode-time
+    span matches the mdhd-timescale duration — the budgeting layer a
+    curation pipeline keys per-asset codec cost on, one walker pass per
+    payload, no codec decode. Same iterator ``mapInPandas`` contract as
+    ``video_metadata``; non-BMFF or video-less payloads raise."""
+    from .mp4 import parse_mp4_meta, parse_mp4_samples
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "n_samples", "n_chunks", "sum_sample_bytes",
+                "max_sample_bytes", "duration_consistent",
+            )}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(p)
+                meta = parse_mp4_meta(raw)
+                st = parse_mp4_samples(raw)
+                samples = st["samples"]
+                sizes = [s for _o, s, _t in samples]
+                # total decode span = last decode time + last delta; the
+                # writer spreads duration_ms over the samples exactly
+                span_ok = True
+                if samples:
+                    total = meta["duration_ms"] * st["timescale"] // 1000
+                    deltas = [
+                        samples[i + 1][2] - samples[i][2]
+                        for i in range(len(samples) - 1)
+                    ]
+                    last = total - samples[-1][2]
+                    span_ok = last > 0 and all(d > 0 for d in deltas)
+                rows["asset_id"].append(aid)
+                rows["n_samples"].append(len(samples))
+                rows["n_chunks"].append(st["n_chunks"])
+                rows["sum_sample_bytes"].append(sum(sizes))
+                rows["max_sample_bytes"].append(max(sizes) if sizes else 0)
+                rows["duration_consistent"].append(span_ok)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(op, schema=SAMPLE_STATS_SCHEMA)
 
 
 def stub_features(payload: bytes) -> list[float]:
@@ -1689,16 +1843,21 @@ def sample_video_frames(
     container walk, per-frame LZW — and every ``every_n_frames``-th
     TRUE frame is emitted with ``frame_idx`` = its frame number and a
     digest over its decoded RGB pixels (compression-choice invariant,
-    like ``decode_images``). An ISO-BMFF (MP4) payload is sampled
-    TIME-ALIGNED off its real parsed metadata (r10): a nominal 25 fps
-    frame grid over the container duration, every ``every_n_frames``-th
-    grid point digested over its even byte-range of the mdat sample
-    stream — the stbl-less approximation; decoding the coded samples
-    themselves still needs av/ffmpeg. Anything else keeps the
-    byte-chunk STUB fallback — one digest per ``every_n_bytes`` chunk."""
+    like ``decode_images``). An ISO-BMFF (MP4) payload with a populated
+    ``stbl`` (r11) is sampled over its TRUE per-sample byte ranges —
+    ``stts``/``stsz``/``stsc``/``stco`` parsed by
+    ``mp4.parse_mp4_samples`` — and a sample that is itself a baseline
+    JPEG (MJPEG-in-MP4) is DECODED, its digest covering the frame's
+    actual RGB pixels; other coded samples digest their exact coded
+    bytes (no av/ffmpeg in scope). A skeleton (empty) sample table
+    falls back to the r10 time-aligned approximation: a nominal 25 fps
+    grid over the parsed duration, digests over even mdat byte-ranges.
+    Anything else keeps the byte-chunk STUB fallback — one digest per
+    ``every_n_bytes`` chunk."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .mp4 import mp4_mdat_bytes, parse_mp4_meta
+        from .jpeg import decode_jpeg
+        from .mp4 import mp4_mdat_bytes, parse_mp4_meta, parse_mp4_samples
 
         for pdf in batches:
             out_id, out_idx, out_sha = [], [], []
@@ -1718,19 +1877,42 @@ def sample_video_frames(
                             )
                         continue
                 if raw[4:8] == b"ftyp":
-                    # MP4: TIME-ALIGNED sampling off the REAL container
-                    # metadata (r10) — nominal 25 fps frame grid over the
-                    # parsed duration, digests over the frame's even
-                    # byte-range of the mdat sample stream (the stbl-less
-                    # approximation; decoding the coded samples needs
-                    # av/ffmpeg). A malformed container falls through to
-                    # the byte-chunk stub like any other opaque payload.
+                    # MP4: sample-table-aligned sampling (r11). A
+                    # malformed container falls through to the
+                    # byte-chunk stub like any other opaque payload.
                     try:
                         meta = parse_mp4_meta(raw)
-                        mdat = mp4_mdat_bytes(raw)
                     except ValueError:
                         meta = None
+                    table = []
                     if meta is not None:
+                        try:
+                            # raises for audio-only tracks / malformed
+                            # tables → the nominal-grid fallback below
+                            table = parse_mp4_samples(raw)["samples"]
+                        except ValueError:
+                            table = []
+                        if not table:
+                            mdat = mp4_mdat_bytes(raw)
+                    if meta is not None and table:
+                        for f in range(0, len(table), every_n_frames):
+                            off, size, _dt = table[f]
+                            sample = raw[off : off + size]
+                            if sample[:2] == b"\xff\xd8":
+                                # MJPEG-in-MP4: digest the DECODED frame
+                                # pixels; a sample that merely looks like
+                                # a JPEG falls back to its coded bytes
+                                try:
+                                    _w, _h, _c, sample = decode_jpeg(sample)
+                                except ValueError:
+                                    pass
+                            out_id.append(aid)
+                            out_idx.append(f)
+                            out_sha.append(hashlib.sha256(sample).hexdigest())
+                        continue
+                    if meta is not None:
+                        # skeleton stbl: the r10 time-aligned even-split
+                        # approximation over the mdat stream
                         n_nominal = max(meta["duration_ms"] // 40, 1)
                         for f in range(0, n_nominal, every_n_frames):
                             lo = len(mdat) * f // n_nominal

@@ -1525,20 +1525,25 @@ def multimodal_keyframes_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TIME-ALIGNED MP4 frame sampling (r10): sample_video_frames routes
-# ISO-BMFF payloads through the real atom walker — the sampled grid is
-# the container's PARSED duration on a nominal 25 fps clock, not a
-# byte-count heuristic. The fixture's duration is closed-form in the id
-# (400 + 40·(id%10) ms → 10+id%10 nominal frames, every 2nd sampled), so
-# the oracle recomputes every (asset, frame_idx) row: a broken duration
-# parse or stride bug flips rows → red. Digests cover even mdat
-# byte-ranges (coded-sample decode still needs av/ffmpeg) and are
-# structure-pinned in pytest, not SQL.
+# SAMPLE-TABLE-ALIGNED MP4 frame sampling (r11, replacing the r10
+# even-mdat-split approximation): sample_video_frames walks the video
+# track's POPULATED stts/stsz/stsc/stco and digests each sampled
+# frame's TRUE byte range. The fixture's samples are closed-form ASCII
+# (mp4_fixture_samples: sample f of asset id = 's{id}:{f};' repeated
+# 1+(id+f)%3 times; 10+id%10 samples, every 2nd sampled; chunked
+# 1+id%4 per chunk), so the oracle recomputes EVERY digest with DuckDB
+# string functions — a walker that misreads any of the four tables, an
+# offset off by one byte, or a stride bug flips a hash → red. This is
+# the full per-row differential the r10 face could only pin in pytest.
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_mp4_frame_sample_check",
     oracle="""
-    SELECT doc_id AS asset_id, CAST(k * 2 AS INT) AS frame_idx
+    SELECT doc_id AS asset_id,
+           CAST(k * 2 AS INT) AS frame_idx,
+           sha256(repeat('s' || doc_id || ':' || (k * 2) || ';',
+                         CAST(1 + (doc_id + k * 2) % 3 AS INT)))
+             AS frame_sha256
     FROM (SELECT doc_id,
                  unnest(range((10 + doc_id % 10 + 1) // 2)) AS k
           FROM documents)
@@ -1552,7 +1557,87 @@ def multimodal_mp4_frame_sample_check(
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     assets = attach_synthetic_mp4(docs, "doc_id")
     return sample_video_frames(assets, every_n_frames=2).select(
-        "asset_id", "frame_idx"
+        "asset_id", "frame_idx", "frame_sha256"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample-table statistics (r11): video_sample_stats parses
+# stts/stsz/stsc/stco in one walker pass per payload — the per-asset
+# codec-cost budgeting layer of a video curation pipeline. Every output
+# column is closed-form in the id (sample count 10+id%10, chunk count
+# ceil(n / (1+id%4)), byte totals from the ASCII unit lengths), so the
+# oracle is a full per-row differential; duration_consistent pins the
+# stts decode-time span against the mdhd duration.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_mp4_sample_table_check",
+    oracle="""
+    WITH per AS (
+      SELECT doc_id,
+             10 + doc_id % 10 AS n,
+             1 + doc_id % 4 AS spc,
+             unnest(range(10 + doc_id % 10)) AS f
+    FROM documents)
+    SELECT doc_id AS asset_id,
+           CAST(MAX(n) AS INT) AS n_samples,
+           CAST((MAX(n) + MAX(spc) - 1) // MAX(spc) AS INT) AS n_chunks,
+           CAST(SUM(length('s' || doc_id || ':' || f || ';')
+                    * (1 + (doc_id + f) % 3)) AS BIGINT)
+             AS sum_sample_bytes,
+           CAST(MAX(length('s' || doc_id || ':' || f || ';')
+                    * (1 + (doc_id + f) % 3)) AS INT)
+             AS max_sample_bytes,
+           TRUE AS duration_consistent
+    FROM per GROUP BY doc_id
+    """,
+)
+def multimodal_mp4_sample_table_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import attach_synthetic_mp4, video_sample_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return video_sample_stats(attach_synthetic_mp4(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# REAL coded-video pixel decode (r11): MJPEG-in-MP4 — each container's
+# samples are genuine baseline JFIF JPEGs (the in-repo codec; zero new
+# dependencies), and sample_video_frames slices each sampled frame's
+# stbl byte range, recognizes the SOI and digests the frame's DECODED
+# RGB pixels. The fixture frames are flat 16×16 tiles at even ASCII-
+# range levels (mjpeg_frame_level), making the lossy round trip
+# bit-exact AND the pixel buffer re-buildable in DuckDB as
+# repeat(chr(L), 768) — so every digest is a per-row differential over
+# decoded PIXELS, not container bytes. This closes the last stubbed
+# modality: video frame decode without av/ffmpeg.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_video_pixels_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(k * 2 AS INT) AS frame_idx,
+           sha256(repeat(chr(CAST(32 + 2 * ((doc_id + 7 * (k * 2)) % 48)
+                                  AS INT)), 768))
+             AS frame_sha256
+    FROM (SELECT doc_id,
+                 unnest(range((3 + doc_id % 4 + 1) // 2)) AS k
+          FROM documents)
+    """,
+)
+def multimodal_video_pixels_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_synthetic_mjpeg_mp4,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_synthetic_mjpeg_mp4(docs, "doc_id")
+    return sample_video_frames(assets, every_n_frames=2).select(
+        "asset_id", "frame_idx", "frame_sha256"
     )
 
 

@@ -1145,6 +1145,165 @@ def test_jpeg_and_mp4_truncation_fuzz_never_wrong_only_raise():
             pass
 
 
+def test_mp4_sample_table_roundtrip_and_validation():
+    """r11 stbl: encode_mp4(video_samples=...) populates stts/stsz/stsc/
+    stco and parse_mp4_samples recovers every sample's TRUE byte range
+    and decode time; inconsistent tables raise ValueError (the walker
+    must never hand a wrong range to the frame sampler)."""
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_samples,
+    )
+
+    samples = [b"one", b"two-two", b"three#3", b"4", b"five55555", b"s6"]
+    p = encode_mp4(240, video_size=(32, 16), video_samples=samples,
+                   samples_per_chunk=4, with_audio=True)
+    st = parse_mp4_samples(p)
+    assert st["timescale"] == 90000 and st["n_chunks"] == 2
+    # 240ms * 90 = 21600 units / 6 samples = 3600 per sample
+    assert [dt for _o, _s, dt in st["samples"]] == [3600 * i for i in range(6)]
+    for (off, size, _dt), s in zip(st["samples"], samples):
+        assert p[off : off + size] == s
+
+    # skeleton stbl (no video_samples) parses as empty -> callers fall
+    # back to the nominal grid
+    assert parse_mp4_samples(encode_mp4(400, video_size=(8, 8)))["samples"] == []
+
+    # audio-only container: no video track to sample
+    with pytest.raises(ValueError):
+        parse_mp4_samples(encode_mp4(400, video_size=None, with_audio=True))
+
+    def mutated(tag, rel_off, new_u32):
+        import struct as _s
+
+        bad = bytearray(p)
+        i = bad.index(tag)
+        bad[i + rel_off : i + rel_off + 4] = _s.pack(">I", new_u32)
+        return bytes(bad)
+
+    # stts total count != stsz sample count
+    with pytest.raises(ValueError):
+        parse_mp4_samples(mutated(b"stts", 12, 7))
+    # stsc first_chunk sequence must start at 1
+    with pytest.raises(ValueError):
+        parse_mp4_samples(mutated(b"stsc", 12, 2))
+    # chunk offset pointing past EOF -> sample range outside file
+    with pytest.raises(ValueError):
+        parse_mp4_samples(mutated(b"stco", 12, len(p)))
+
+
+def test_mp4_sample_table_fuzz_never_wrong_only_raise():
+    """The r10 fuzz contract extended to the new atoms: every strict
+    prefix and 200 random byte flips of a stbl-POPULATED container must
+    either parse or raise ValueError — never IndexError/struct.error
+    (the mapInPandas fallback catches only ValueError)."""
+    import numpy as np
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_samples,
+    )
+
+    mp = encode_mp4(
+        280,
+        video_size=(48, 32),
+        video_samples=[b"abc", b"defgh", b"i", b"jklm", b"nopqrs", b"t", b"uv"],
+        samples_per_chunk=3,
+        with_audio=True,
+    )
+    for cut in range(0, len(mp), 5):
+        with pytest.raises(ValueError):
+            parse_mp4_samples(mp[:cut])
+    rng = np.random.RandomState(11)
+    for _ in range(200):
+        pos = int(rng.randint(0, len(mp)))
+        bad = bytearray(mp)
+        bad[pos] ^= int(rng.randint(1, 256))
+        try:
+            parse_mp4_samples(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_sample_video_frames_uses_true_sample_ranges(spark):
+    """The frame sampler digests each sampled frame's stbl byte range —
+    sha256(sample bytes) for the closed-form ASCII fixture samples, NOT
+    an even mdat split (sizes vary 1-3x so the two disagree)."""
+    import hashlib
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_mp4,
+        mp4_fixture_samples,
+        sample_video_frames,
+    )
+
+    ids = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    frames = sample_video_frames(
+        attach_synthetic_mp4(ids, "doc_id"), every_n_frames=2
+    ).collect()
+    got = {(r.asset_id, r.frame_idx): r.frame_sha256 for r in frames}
+    want = {}
+    for aid in range(25):
+        samples = mp4_fixture_samples(aid)
+        for f in range(0, len(samples), 2):
+            want[(aid, f)] = hashlib.sha256(samples[f]).hexdigest()
+    assert got == want
+
+
+def test_mjpeg_in_mp4_decodes_real_pixels(spark):
+    """MJPEG-in-MP4 (r11): sampled frame digests cover the DECODED RGB
+    pixels of each JPEG sample — the flat fixture tiles round-trip
+    bit-exactly, so the expected digest is sha256 of the closed-form
+    level byte repeated w*h*3 times."""
+    import hashlib
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        MJPEG_H,
+        MJPEG_W,
+        attach_synthetic_mjpeg_mp4,
+        mjpeg_frame_level,
+        sample_video_frames,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    frames = sample_video_frames(
+        attach_synthetic_mjpeg_mp4(ids, "doc_id"), every_n_frames=2
+    ).collect()
+    got = {(r.asset_id, r.frame_idx): r.frame_sha256 for r in frames}
+    want = {}
+    for aid in range(20):
+        for f in range(0, 3 + aid % 4, 2):
+            px = bytes([mjpeg_frame_level(aid, f)]) * (MJPEG_W * MJPEG_H * 3)
+            want[(aid, f)] = hashlib.sha256(px).hexdigest()
+    assert got == want
+
+
+def test_video_sample_stats_spark_surface(spark):
+    """video_sample_stats recovers the fixture's closed-form sample
+    counts, chunking and byte totals for every id."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_mp4,
+        mp4_fixture_samples,
+        video_sample_stats,
+    )
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    rows = video_sample_stats(attach_synthetic_mp4(ids, "doc_id")).collect()
+    assert len(rows) == 30
+    for r in rows:
+        aid = r.asset_id
+        sizes = [len(s) for s in mp4_fixture_samples(aid)]
+        spc = 1 + aid % 4
+        assert r.n_samples == len(sizes)
+        assert r.n_chunks == -(-len(sizes) // spc)
+        assert r.sum_sample_bytes == sum(sizes)
+        assert r.max_sample_bytes == max(sizes)
+        assert r.duration_consistent
+
+
 def test_segment_audio_by_energy_boundaries(spark):
     """Run-length and threshold edge cases, plus the Spark surface: the
     segmenter's active test is the exact integer sum(|x|) >= thr*frame
