@@ -24,77 +24,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-10 rotation (VERDICT
-# r9 items 2 and 6): lead with the rows NEW or newly ORACLE-CHECKED this
-# round (the real baseline-JPEG codec check face; the ISO-BMFF container
-# metadata face; embedding_label_pca converted from rows-only to a full
-# hash check via trained-constant DOUBLE literals), then the SIXTEEN
-# r6-stamped rows — the oldest driver stamps in the registry, after this
-# round no stamp is older than r7 — then 28 of the 50 r7-stamped rows,
-# prioritizing plan-modified (text_decontaminate, r10 broadcast-gate
-# fix), check-face, and multi-join TPC-H shapes. The remaining TWENTY-TWO
-# r7 rows (stable single-agg/window shapes with full pytest oracle
-# replicas) are the designated overflow, listed after slot 50 for the
-# r11 window. Every rotated-out query is still re-verified each round by
+# entries; registry order is ours to choose. Round-11 rotation (VERDICT
+# r10 items 1 and 4): lead with the rows NEW or CHANGED this round —
+# the re-pinned MP4 frame-sample face (oracle now a full per-sample
+# digest differential off the parsed stbl), the new sample-table-stats
+# and MJPEG-decoded-pixels faces, and dedup_minhash/dedup_simhash
+# converted rows-only → full hash checks via the XXH64-twin VALUES
+# literals (operators/dedup_twin.py) — then ALL twenty-two r7-stamped
+# rows (the oldest stamps; after this round none older than r8), then
+# the 23 alphabetically-first r8 rows. The remaining TWENTY-FOUR r8
+# rows are the designated overflow, listed after slot 50 for the r12
+# window. Every rotated-out query is still re-verified each round by
 # the full local check_oracle sweep and the pytest oracle replicas.
 _CHECK_FIRST = [
-    # --- new or newly hash-checked in r10 ---
-    "multimodal_jpeg_decode_check",  # REAL baseline JFIF decode vs meta dims
-    "multimodal_mp4_meta_check",  # REAL ISO-BMFF atom walk, per-row oracle
-    "embedding_label_pca",  # rows-only -> ORACLE: bit-identical twin literals
-    "multimodal_audio_segments_check",  # VAD-gate segments, per-row oracle
-    "multimodal_keyframes_check",  # consecutive-dup frame suppression
-    "multimodal_mp4_frame_sample_check",  # time-aligned sampling off parsed duration
-    # --- last driver row r6 (the oldest stamps; VERDICT r9 item 2) ---
-    "customer_name_ids",
-    "dedup_winnow_pairs",
-    "distinct_users_by_type",
-    "docs_dup_span_profile",
-    "docs_quantile_sketch",
-    "docs_reservoir_sample",
-    "events_value_stats",
-    "events_windowed",
-    "orders_by_month",
-    "orders_profile",
-    "sales_rollup",
-    "token_histogram",
-    "tokens_cms_check",
-    "tokens_cms_sketch",  # rows-only by design (sketch cells); CMS pair together
-    "top_parts_by_brand",
-    "vocab_bpe_pair_counts",
-    # --- last driver row r7 (28 of 50; rest are the designated overflow) ---
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_pq_recall_check",
-    "ann_pq_rerank_topk",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_ppjoin",
-    "docs_lm_perplexity",
-    "embedding_label_pca_check",
-    "embedding_pq_codes",
-    "events_exact_quantiles_sketch",
-    "events_retention_cohorts",
-    "events_stream_interval_join",
-    "events_value_mad_outliers",
-    "orders_hot_custkeys_cms_check",
-    "purchases_asof_error",
-    "text_bigram_lm",
-    "text_decontaminate",  # r10 plan change: broadcast hint dropped for AQE
-    "text_pii_scrub",
-    "text_repetition",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_orders",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_semijoin",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    # --- the designated r7 overflow rows (slots 51+; r11 window) ---
-    "events_value_zscore_outliers",  # stable; MAD sibling stays in-window
-    "multimodal_features_ann",  # stub-featurizer ANN face; stable oracle
-    "multimodal_frame_sample",  # byte-chunk stub face; stable oracle
+    # --- new or changed in r11 ---
+    "multimodal_mp4_frame_sample_check",  # re-pinned: per-sample stbl digests
+    "multimodal_mp4_sample_table_check",  # NEW: stts/stsz/stsc/stco stats
+    "multimodal_video_pixels_check",  # NEW: MJPEG-in-MP4 decoded-pixel digests
+    "dedup_minhash",  # rows-only -> ORACLE: XXH64-twin VALUES literals
+    "dedup_simhash",  # rows-only -> ORACLE: XXH64-twin VALUES literals
+    # --- last driver row r7 (all 22; VERDICT r10 item 1) ---
     "customer_running_spend",
     "dedup_exact",
     "docs_chunk_overlap",
@@ -105,7 +54,10 @@ _CHECK_FIRST = [
     "events_salted_stats",
     "events_session_window",
     "events_trailing_7d_spend",
+    "events_value_zscore_outliers",
     "lineitem_price_qty_corr",
+    "multimodal_features_ann",
+    "multimodal_frame_sample",
     "multimodal_stats",
     "orders_grouping_sets",
     "parties_union",
@@ -114,6 +66,55 @@ _CHECK_FIRST = [
     "top_terms",
     "tpch_q14_promo_revenue",
     "users_error_no_recovery",
+    # --- last driver row r8 (23 of 49; rest are the designated overflow) ---
+    "ann_cosine_topk_ivf",  # rows-only by design; IVF check face is its pair
+    "ann_ivf_probe_topk",
+    "corpus_prepare_audit",
+    "corpus_prepare_semantic",
+    "customer_rfm",
+    "customer_snapshot_diff",
+    "customers_without_orders",
+    "dedup_incremental",
+    "dedup_incremental_minhash_check",
+    "dedup_semantic",
+    "dedup_semantic_incremental",
+    "docs_difficulty_quartiles",
+    "docs_hash_split",
+    "docs_mixture_sample",
+    "docs_pack_chunks",
+    "docs_repetition_filter",
+    "docs_source_budget_cap",
+    "docs_top_quality_per_source",
+    "docs_weighted_sample",
+    "docs_weighted_sample_merge_check",
+    "embedding_label_centroids",
+    "events_asof_signup",
+    "events_json_props",
+    # --- the designated r8 overflow rows (slots 51+; r12 window) ---
+    "events_latest_state",
+    "events_mad_outliers_by_type",
+    "events_segment_spend",
+    "events_sessionize",
+    "events_user_overlap_check",
+    "events_user_overlap_sketch",
+    "events_user_sketch_check",
+    "events_user_sketch_rollup",
+    "multimodal_bmp_decode_check",
+    "orders_above_customer_avg",
+    "text_bm25",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmodes",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_inactive_rich",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit_by_nation_year",
 ]
 
 

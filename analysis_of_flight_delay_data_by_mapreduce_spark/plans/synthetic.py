@@ -375,10 +375,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
-# Hash functions are engine-specific (xxhash64) → rows-only driver check;
-# recall/precision pinned by pytest with planted near-duplicates.
+# r11: converted rows-only → FULL hash check. The hash family is
+# engine-specific (xxhash64), so the oracle renders the pair set from
+# the operators/dedup_twin.py pyarrow+numpy twin — a step-for-step
+# replica of the Spark pipeline on a bit-exact XXH64 implementation
+# (public spec; Spark-parity pinned in pytest against live F.xxhash64).
+# NOT the exact-pairwise-Jaccard oracle: that would depend on LSH recall
+# being exactly 1 at every SF, which the 1-(1-j^r)^b S-curve only gives
+# probabilistically — the twin replicates the banding itself, so the
+# oracle is exact by construction at any SF. Recall vs the exact pair
+# set stays pinned by dedup_minhash_recall_check below.
 # ---------------------------------------------------------------------------
-@register("dedup_minhash")
+_dedup_twin_cache: dict[tuple[str, str], str] = {}
+
+
+def _dedup_minhash_oracle(sf_dir: str) -> str:
+    key = ("minhash", sf_dir)
+    if key not in _dedup_twin_cache:
+        from ..operators.dedup_twin import minhash_lsh_pairs_parquet
+
+        pairs = minhash_lsh_pairs_parquet(sf_dir)
+        if pairs:
+            values = ", ".join(f"({a}, {b})" for a, b in pairs)
+            sql = f"""
+            SELECT CAST(v.a AS BIGINT) AS id_a, CAST(v.b AS BIGINT) AS id_b
+            FROM (VALUES {values}) v(a, b)
+            """
+        else:
+            sql = """
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+            WHERE FALSE
+            """
+        _dedup_twin_cache[key] = sql
+    return _dedup_twin_cache[key]
+
+
+def _dedup_simhash_oracle(sf_dir: str) -> str:
+    key = ("simhash", sf_dir)
+    if key not in _dedup_twin_cache:
+        from ..operators.dedup_twin import simhash_pairs_parquet
+
+        triples = simhash_pairs_parquet(sf_dir)
+        if triples:
+            values = ", ".join(f"({a}, {b}, {h})" for a, b, h in triples)
+            sql = f"""
+            SELECT CAST(v.a AS BIGINT) AS id_a, CAST(v.b AS BIGINT) AS id_b,
+                   CAST(v.h AS INT) AS hamming
+            FROM (VALUES {values}) v(a, b, h)
+            """
+        else:
+            sql = """
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                   CAST(NULL AS INT) AS hamming
+            WHERE FALSE
+            """
+        _dedup_twin_cache[key] = sql
+    return _dedup_twin_cache[key]
+
+
+@register("dedup_minhash", oracle=_dedup_minhash_oracle)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_dedup(
@@ -461,9 +516,12 @@ def dedup_minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup candidates (64-bit fingerprint, 16-bit bands → hamming≤3
-# by pigeonhole). Rows-only (xxhash64-based).
+# by pigeonhole). r11: rows-only → FULL hash check via the dedup_twin
+# XXH64 replica (same move as dedup_minhash above — fingerprint bit
+# votes, banding, hot-bucket cap and the bit_count verify all recomputed
+# outside Spark and rendered as VALUES literals).
 # ---------------------------------------------------------------------------
-@register("dedup_simhash")
+@register("dedup_simhash", oracle=_dedup_simhash_oracle)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup(docs, "doc_id", "text")

@@ -611,3 +611,95 @@ def test_pagerank_broadcast_and_shuffle_formulations_agree(spark):
         .collect()
     }
     assert len(a2) >= 50 and a2 == b2
+
+
+def test_xxh64_twin_matches_spark_expression(spark):
+    """operators/xxh64.py is a BIT-exact twin of Spark's xxhash64 for
+    every encoding the dedup twins use: string (UTF-8 bytes), long
+    (8-byte lane), int literal (4-byte lane), the left-fold column
+    chaining, and the public-spec reference vectors. This is the parity
+    that lets the dedup_minhash/dedup_simhash oracles recompute the LSH
+    pipelines outside Spark (VERDICT r10 item 4)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.xxh64 import (
+        xxh64_bytes,
+        xxh64_chain,
+        xxh64_int,
+        xxh64_long,
+        xxh64_long_vec,
+        xxh64_string,
+    )
+
+    # public XXH64 test vectors (xxhash.com reference implementation)
+    assert xxh64_bytes(b"", 0) & (2**64 - 1) == 0xEF46DB3751D8E999
+    assert xxh64_bytes(b"a", 0) & (2**64 - 1) == 0xD24EC4F1A98C6E5B
+
+    rows = [
+        ("hello world", 12345, 7),
+        ("", -9999999999, 0),
+        ("a b c", 2**62, -3),
+        ("sig fold é", -1, 2**31 - 1),
+    ]
+    df = spark.createDataFrame(rows, "st string, lg long, it int")
+    got = df.select(
+        F.xxhash64("st").alias("hs"),
+        F.xxhash64("lg").alias("hl"),
+        F.xxhash64("it").alias("hi"),
+        F.xxhash64(F.lit(5), F.col("lg")).alias("hseed"),
+        F.xxhash64(F.col("lg"), F.col("st")).alias("hfold"),
+    ).collect()
+    for (st, lg, it), r in zip(rows, got):
+        assert r.hs == xxh64_string(st)
+        assert r.hl == xxh64_long(lg)
+        assert r.hi == xxh64_int(it)
+        assert r.hseed == xxh64_chain([("int", 5), ("long", lg)])
+        assert r.hfold == xxh64_chain([("long", lg), ("str", st)])
+
+    # vectorized long path == scalar path, including per-element seeds
+    import numpy as np
+
+    vals = np.array([0, 1, -5, 2**62, -(2**63), 42], dtype=np.int64)
+    assert xxh64_long_vec(vals, 42).view(np.int64).tolist() == [
+        xxh64_long(int(v)) for v in vals
+    ]
+    seeds = xxh64_long_vec(vals, 42)
+    chained = xxh64_long_vec(vals, seeds).view(np.int64).tolist()
+    assert chained == [
+        xxh64_long(int(v), int(s)) for v, s in zip(vals, seeds.tolist())
+    ]
+
+
+def test_dedup_twins_match_spark_pipelines(spark):
+    """The pyarrow+numpy twins reproduce minhash_lsh_dedup and
+    simhash_near_dup EXACTLY on real corpus data — every stage from
+    tokenization to the hot-bucket cap. This equality is what the
+    r11 VALUES-literal oracles stand on."""
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_near_dup,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.dedup_twin import (
+        minhash_lsh_pairs_parquet,
+        simhash_pairs_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_parquet_table(spark, sf, "documents")
+    mh_spark = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(
+            docs, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3,
+            mode="word", verify_jaccard=0.3,
+        ).collect()
+    )
+    assert mh_spark == minhash_lsh_pairs_parquet(sf) and mh_spark
+
+    sh_spark = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup(docs, "doc_id", "text").collect()
+    )
+    assert sh_spark == simhash_pairs_parquet(sf) and sh_spark
