@@ -30,9 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # digest differential off the parsed stbl), the new sample-table-stats
 # and MJPEG-decoded-pixels faces, and dedup_minhash/dedup_simhash
 # converted rows-only → full hash checks via the XXH64-twin VALUES
-# literals (operators/dedup_twin.py) — then ALL twenty-two r7-stamped
-# rows (the oldest stamps; after this round none older than r8), then
-# the 23 alphabetically-first r8 rows. The remaining TWENTY-FOUR r8
+# literals (operators/dedup_twin.py), plus tokens_cms_sketch (xxh64-twin
+# CMS grid) and ann_cosine_topk_ivf (bit-exact fold-order cosine twin,
+# raw-double literals) likewise converted — then ALL twenty-two
+# r7-stamped rows (the oldest stamps; after this round none older than
+# r8), then the 22 alphabetically-first r8 rows (ann_cosine_topk_ivf
+# sits in that block with its NEW oracle). The remaining TWENTY-FIVE r8
 # rows are the designated overflow, listed after slot 50 for the r12
 # window. Every rotated-out query is still re-verified each round by
 # the full local check_oracle sweep and the pytest oracle replicas.
@@ -43,6 +46,7 @@ _CHECK_FIRST = [
     "multimodal_video_pixels_check",  # NEW: MJPEG-in-MP4 decoded-pixel digests
     "dedup_minhash",  # rows-only -> ORACLE: XXH64-twin VALUES literals
     "dedup_simhash",  # rows-only -> ORACLE: XXH64-twin VALUES literals
+    "tokens_cms_sketch",  # rows-only -> ORACLE: xxh64-twin CMS grid literals
     # --- last driver row r7 (all 22; VERDICT r10 item 1) ---
     "customer_running_spend",
     "dedup_exact",
@@ -67,7 +71,7 @@ _CHECK_FIRST = [
     "tpch_q14_promo_revenue",
     "users_error_no_recovery",
     # --- last driver row r8 (23 of 49; rest are the designated overflow) ---
-    "ann_cosine_topk_ivf",  # rows-only by design; IVF check face is its pair
+    "ann_cosine_topk_ivf",  # rows-only -> ORACLE: fold-exact twin literals
     "ann_ivf_probe_topk",
     "corpus_prepare_audit",
     "corpus_prepare_semantic",
@@ -89,8 +93,8 @@ _CHECK_FIRST = [
     "docs_weighted_sample_merge_check",
     "embedding_label_centroids",
     "events_asof_signup",
-    "events_json_props",
     # --- the designated r8 overflow rows (slots 51+; r12 window) ---
+    "events_json_props",
     "events_latest_state",
     "events_mad_outliers_by_type",
     "events_segment_spend",

@@ -18,18 +18,23 @@ tested. Codecs (VERDICT r7 item 5):
   r10), PCM WAV (``encode_wav`` / ``decode_wav`` via the stdlib
   ``wave`` module; ``decode_wav_pcm`` + ``audio_features`` compute
   exact-integer signal features from the decoded samples), and
-  ISO-BMFF (MP4) container METADATA (``operators.mp4`` atom walker
-  behind ``video_metadata`` — duration/timescale/tracks/presentation
-  size, r10). ``decode_images`` parses a strictly-validated BMP, PNG,
+  ISO-BMFF (MP4) container METADATA and SAMPLE TABLES
+  (``operators.mp4`` atom walker behind ``video_metadata`` /
+  ``video_sample_stats`` — duration/timescale/tracks/presentation
+  size, r10; parsed ``stts``/``stsz``/``stsc``/``stco`` per-sample
+  byte ranges, r11), and MJPEG-in-MP4 CODED VIDEO FRAME decode
+  (``sample_video_frames`` slices each sample's true stbl byte range
+  and runs JPEG samples through the in-repo codec — frame digests
+  cover decoded PIXELS, r11). ``decode_images`` parses a strictly-validated BMP, PNG,
   GIF, or JPEG payload for its TRUE dimensions and digests the decoded
   PIXELS; ``decode_audio`` reads the true sample rate / duration from
   WAV headers.
 - **STUBBED**: any image payload that is none of the above falls back
   to the deterministic ``_fake_decode_image`` (the oracle face — its
   sha256 arithmetic is replicated in SQL). The only remaining stub
-  surface is coded VIDEO samples (H.264 etc. inside mdat) — container
-  metadata is real, frame decode needs av/ffmpeg (re-checked absent
-  2026-08-16).
+  surface is NON-MJPEG coded video samples (H.264 etc. inside mdat) —
+  container metadata, sample geometry and MJPEG frames are real;
+  inter-frame codecs need av/ffmpeg (re-checked absent 2026-08-16).
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``mapInPandas`` is an iterator — never materializes a partition);

@@ -35,6 +35,7 @@ __all__ = [
     "train_ivf_centroids_parquet",
     "assign_ivf_cluster",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_parquet",
     "build_ann_table",
     "upsert_ann_table",
     "query_ann_table",
@@ -359,6 +360,76 @@ def cosine_topk_ivf(
         .orderBy(F.col(out).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_topk_ivf_parquet(
+    parquet_path: str,
+    query_vec_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    k: int = 10,
+    n_probe: int = 4,
+) -> list[tuple[int, float]]:
+    """Out-of-Spark twin of the ``ann_cosine_topk_ivf`` face (r11): the
+    full IVF probe pipeline — twin-trained centroids
+    (:func:`train_ivf_centroids_parquet`, bit-identical to the Spark
+    trainer), the SAME numpy probe-selection and cluster-assignment
+    expressions ``assign_ivf_cluster`` evaluates per Arrow batch, and a
+    LEFT-TO-RIGHT float64 fold for the cosine (replicating Catalyst's
+    sequential ``aggregate`` lambda exactly — numpy's pairwise sum
+    would drift in the last ulp). Raw double scores are bit-identical
+    to the Spark face's, so they render as exact ``repr`` literals —
+    no rounding step needed. Returns the top-``k`` ``(id, score)``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()  # float32 -> exact Python floats
+    by_id = dict(zip(ids, vecs))
+    q = [float(x) for x in by_id[query_vec_id]]
+
+    C = np.asarray(
+        train_ivf_centroids_parquet(
+            parquet_path, vec_col, id_col, n_clusters, seed=seed
+        ),
+        dtype="float64",
+    )
+    qa = np.asarray(q, dtype="float64")
+    probes = set(
+        np.argsort(((C - qa[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    )
+    M = np.stack([np.asarray(v, dtype="float32") for v in vecs]).astype(
+        "float64"
+    )
+    C_sq = (C**2).sum(axis=1)
+    clusters = (C_sq[None, :] - 2.0 * (M @ C.T)).argmin(axis=1)
+
+    def _fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * y
+        return acc
+
+    def _fold_norm(a: list) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + float(x) * float(x)
+        return acc
+
+    import math
+
+    qn = math.sqrt(_fold_norm(q))
+    scored = []
+    for i, (vid, v) in enumerate(zip(ids, vecs)):
+        if int(clusters[i]) not in probes:
+            continue
+        denom = math.sqrt(_fold_norm(v)) * qn
+        if denom != 0:
+            scored.append((vid, _fold_dot(v, q) / denom))
+    scored.sort(key=lambda t2: (-t2[1], t2[0]))
+    return scored[:k]
 
 
 def build_ann_table(

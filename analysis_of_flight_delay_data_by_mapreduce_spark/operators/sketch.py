@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cms_build",
+    "cms_token_cells_parquet",
     "cms_estimate",
     "cms_inner_product",
     "cms_merge",
@@ -41,6 +42,39 @@ __all__ = [
 
 def _cell(seed: Column, item: Column, width: int) -> Column:
     return F.pmod(F.xxhash64(seed, item), F.lit(width))
+
+
+def cms_token_cells_parquet(
+    sf_dir: str, depth: int = 4, width: int = 1024
+) -> list[tuple[int, int, int]]:
+    """Out-of-Spark twin of ``tokens_cms_sketch`` (r11, the dedup_twin
+    move): recompute the CMS grid over the documents table's whitespace
+    tokens with the bit-exact :mod:`xxh64` replica of Spark's
+    ``pmod(xxhash64(seed, token), width)`` cell hash — so the rows-only
+    sketch build becomes a full VALUES-literal hash differential.
+    Returns sorted ``(seed, cell, cnt)`` rows, empty cells omitted."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from .xxh64 import xxh64_chain
+
+    ws = re.compile(r"\s+", flags=re.ASCII)
+    toks: Counter = Counter()
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    for text in t.column("text").to_pylist():
+        for w in ws.split(text):
+            if w:
+                toks[w] += 1
+    cells: Counter = Counter()
+    for tok, c in toks.items():
+        for s in range(depth):
+            cells[(s, xxh64_chain([("int", s), ("str", tok)]) % width)] += c
+    return sorted((s, cell, n) for (s, cell), n in cells.items())
 
 
 def cms_build(

@@ -1964,10 +1964,30 @@ def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF-indexed approximate top-k (sampled k-means centroids, n_probe cluster
-# prune, exact cosine within probed clusters). Rows-only (approximate);
-# recall vs brute force pinned in pytest.
+# prune, exact cosine within probed clusters). r11: rows-only → FULL hash
+# check. The Spark trainer samples the 2048 smallest ids (deterministic,
+# bit-identical to the pyarrow twin — pinned in pytest), and the twin
+# cosine_topk_ivf_parquet replicates the probe pipeline end to end with
+# Catalyst's LEFT-TO-RIGHT fold order, so the RAW double scores match
+# bit for bit and render as exact repr literals — no rounding layer.
 # ---------------------------------------------------------------------------
-@register("ann_cosine_topk_ivf")
+def _ann_cosine_ivf_oracle(sf_dir: str) -> str:
+    key = ("ann_ivf", sf_dir)
+    if key not in _dedup_twin_cache:
+        from ..operators.similarity import cosine_topk_ivf_parquet
+
+        rows = cosine_topk_ivf_parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        values = ", ".join(f"({i}, {s!r})" for i, s in rows)
+        _dedup_twin_cache[key] = f"""
+        SELECT CAST(v.i AS BIGINT) AS vec_id, CAST(v.s AS DOUBLE) AS score
+        FROM (VALUES {values}) v(i, s)
+        """
+    return _dedup_twin_cache[key]
+
+
+@register("ann_cosine_topk_ivf", oracle=_ann_cosine_ivf_oracle)
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_ivf, train_ivf_centroids
 
@@ -2810,20 +2830,38 @@ def _text_bm25_oracle(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 # Count-min sketch over document tokens (Cormode-Muthukrishnan) — the
 # mergeable FREQUENCY sketch completing the sketch tier next to the HLL
-# distinct-count and theta set-algebra rollups. The build is rows-only
-# (xxhash64 grid, no DuckDB twin); the check face probes six terms
-# (heavy hitters + absent words) and asserts the two CMS guarantees
-# against oracle-replicated exact counts: estimate ≥ true ALWAYS (the
-# deterministic over-count invariant) and estimate ≤ true + (e/width)·N
-# (holds w.p. 1−e^{−depth}; measured overcount on all three corpora: 0).
-# The oracle's `TRUE AS upper_ok` is fixture-pinned like
-# orders_join_size_cms_check's (see the ADVICE-r6 note there): true for
-# this seed family + grid + data, probabilistic in general.
+# distinct-count and theta set-algebra rollups. r11: the build itself is
+# now a FULL hash check — the xxh64-twin grid replica
+# (sketch.cms_token_cells_parquet) renders every non-empty cell as a
+# VALUES literal, the dedup_minhash/dedup_simhash move. The check face
+# additionally probes six terms (heavy hitters + absent words) and
+# asserts the two CMS guarantees against oracle-replicated exact counts:
+# estimate ≥ true ALWAYS (the deterministic over-count invariant) and
+# estimate ≤ true + (e/width)·N (holds w.p. 1−e^{−depth}; measured
+# overcount on all three corpora: 0). The oracle's `TRUE AS upper_ok` is
+# fixture-pinned like orders_join_size_cms_check's (see the ADVICE-r6
+# note there): true for this seed family + grid + data, probabilistic in
+# general.
 # ---------------------------------------------------------------------------
 _CMS_PROBES = ["spark", "window", "sort", "merge", "zebra", "xylophone"]
 
 
-@register("tokens_cms_sketch")
+def _tokens_cms_oracle(sf_dir: str) -> str:
+    key = ("cms_cells", sf_dir)
+    if key not in _dedup_twin_cache:
+        from ..operators.sketch import cms_token_cells_parquet
+
+        rows = cms_token_cells_parquet(sf_dir)
+        values = ", ".join(f"({s}, {c}, {n})" for s, c, n in rows)
+        _dedup_twin_cache[key] = f"""
+        SELECT CAST(v.s AS INT) AS seed, CAST(v.c AS BIGINT) AS cell,
+               CAST(v.n AS BIGINT) AS cnt
+        FROM (VALUES {values}) v(s, c, n)
+        """
+    return _dedup_twin_cache[key]
+
+
+@register("tokens_cms_sketch", oracle=_tokens_cms_oracle)
 def tokens_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import cms_build
 

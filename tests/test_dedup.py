@@ -703,3 +703,49 @@ def test_dedup_twins_match_spark_pipelines(spark):
         for r in simhash_near_dup(docs, "doc_id", "text").collect()
     )
     assert sh_spark == simhash_pairs_parquet(sf) and sh_spark
+
+
+def test_cms_twin_matches_spark_grid(spark):
+    """sketch.cms_token_cells_parquet reproduces the tokens_cms_sketch
+    grid exactly — every (seed, cell, cnt) row — via the xxh64 twin of
+    pmod(xxhash64(seed, token), width)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.functions import word_tokens
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.sketch import (
+        cms_build,
+        cms_token_cells_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_parquet_table(spark, sf, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    got = sorted(
+        (r.seed, r.cell, r.cnt)
+        for r in cms_build(toks, "tok", depth=4, width=1024).collect()
+    )
+    assert got == cms_token_cells_parquet(sf) and got
+
+
+def test_ivf_topk_twin_matches_spark_raw_doubles(spark):
+    """cosine_topk_ivf_parquet reproduces the ann_cosine_topk_ivf face
+    BIT-exactly including the raw double scores — the left-to-right
+    float64 fold replicates Catalyst's sequential aggregate lambda, so
+    no rounding layer is needed for the r11 oracle."""
+    import os
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.similarity import (
+        cosine_topk_ivf_parquet,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.plans import synthetic
+
+    sf = "/root/testdata/sf0.001"
+    spark_rows = [
+        (r.vec_id, r.score)
+        for r in synthetic.QUERIES["ann_cosine_topk_ivf"](spark, sf).collect()
+    ]
+    twin = cosine_topk_ivf_parquet(os.path.join(sf, "embeddings.parquet"))
+    assert spark_rows == twin and len(twin) == 10
