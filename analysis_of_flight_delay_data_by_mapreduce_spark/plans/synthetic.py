@@ -528,9 +528,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-checkable face of the SimHash near-dup (VERDICT r3 item 6 pattern):
-# dedup_simhash itself stays rows-only (xxhash64 has no DuckDB twin), but
-# its banding CONTRACT — "banded candidates + bit_count verify emit exactly
+# Driver-checkable face of the SimHash near-dup (VERDICT r3 item 6 pattern;
+# since r11 dedup_simhash itself is ALSO hash-checked via the xxh64 twin —
+# this face stays as the independent structural audit): the banding CONTRACT — "banded candidates + bit_count verify emit exactly
 # the hamming≤3 pair set" (pigeonhole over 4×16-bit bands) — is asserted
 # here on a deterministic 1-in-3 doc sample: Spark computes the banded
 # pairs AND the brute-force O(s²) pair set over the sampled fingerprints
@@ -2005,9 +2005,9 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-checkable face of the IVF ANN (VERDICT r3 item 6 pattern). The IVF
-# query itself must stay rows-only: its centroids come from driver-side
-# seeded k-means (train_ivf_centroids), which no SQL engine replicates.
+# Driver-checkable face of the IVF ANN (VERDICT r3 item 6 pattern; since
+# r11 the IVF query above is ALSO hash-checked via the fold-exact twin —
+# this face stays as the independent recall/anchor audit).
 # This face emits, in one row:
 #   min_exact_score — min cosine of the TRUE top-10 (rounded 6 dp), the
 #     oracle-replicable differential anchor (brute-force math drift → hash
@@ -3661,7 +3661,8 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact dedup (md5 fingerprint) → EXACT jaccard pairs → connected-component
 # closure → keep each cluster's min id. Every stage is deterministic and
 # SQL-expressible, so the flagship pipeline is value-hash-checked
-# end-to-end (the MinHash variant above stays rows-only by design).
+# end-to-end (the MinHash variant above is hash-checked via the xxh64
+# twin since r11).
 # ---------------------------------------------------------------------------
 @register(
     "corpus_prepare_cc",
@@ -5505,9 +5506,9 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal breadth (rows-only — binary digests and hash-derived vectors
-# aren't SQL-portable): the two mapInPandas contracts not yet on the driver
-# surface.
+# Multimodal breadth: the byte-chunk frame-sampling and stub-featurizer
+# mapInPandas contracts, both hash-checked (the sha256 arithmetic is
+# replicated in SQL over the ASCII corpus).
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_frame_sample",

@@ -1194,6 +1194,49 @@ def test_mp4_sample_table_roundtrip_and_validation():
         parse_mp4_samples(mutated(b"stco", 12, len(p)))
 
 
+def test_mp4_co64_chunk_offsets_parse():
+    """The 64-bit chunk-offset box (co64) takes the same expansion path
+    as stco — exercised by rewriting a written stco into co64 by hand
+    (the writer itself never emits co64, so this pins the parser's
+    only untraveled branch)."""
+    import struct
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_samples,
+    )
+
+    samples = [b"aa", b"bbb", b"c", b"dddd"]
+    p = encode_mp4(160, video_size=(16, 16), video_samples=samples,
+                   samples_per_chunk=2)
+    st = parse_mp4_samples(p)
+
+    i = p.index(b"stco") - 4
+    size = struct.unpack_from(">I", p, i)[0]
+    body = p[i + 8 : i + size]
+    n = struct.unpack_from(">I", body, 4)[0]
+    offs = struct.unpack_from(">" + "I" * n, body, 8)
+    co64_body = body[:4] + struct.pack(">I", n) + b"".join(
+        struct.pack(">Q", o) for o in offs
+    )
+    co64 = struct.pack(">I", 8 + len(co64_body)) + b"co64" + co64_body
+    delta = len(co64) - size
+    q = bytearray(p[:i] + co64 + p[i + size :])
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = q.index(tag) - 4
+        struct.pack_into(">I", q, j, struct.unpack_from(">I", q, j)[0] + delta)
+    k = q.index(b"co64") + 4
+    for m in range(n):
+        o = struct.unpack_from(">Q", q, k + 8 + 8 * m)[0]
+        struct.pack_into(">Q", q, k + 8 + 8 * m, o + delta)
+
+    st2 = parse_mp4_samples(bytes(q))
+    assert len(st2["samples"]) == len(samples)
+    for (off, sz, _dt), s in zip(st2["samples"], samples):
+        assert bytes(q)[off : off + sz] == s
+    assert [x[2] for x in st2["samples"]] == [x[2] for x in st["samples"]]
+
+
 def test_mp4_sample_table_fuzz_never_wrong_only_raise():
     """The r10 fuzz contract extended to the new atoms: every strict
     prefix and 200 random byte flips of a stbl-POPULATED container must
