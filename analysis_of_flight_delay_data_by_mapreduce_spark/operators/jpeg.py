@@ -173,6 +173,14 @@ def _canonical_codes(bits, vals):
     return out
 
 
+@lru_cache(maxsize=16)
+def _canonical_codes_cached(bits: tuple, vals: tuple):
+    """Encoder-side memo (r11): the four Annex K tables were rebuilt on
+    every encode_jpeg call — a measurable constant for fleet fixtures
+    that encode thousands of small frames per sweep."""
+    return _canonical_codes(bits, vals)
+
+
 def _decode_table(bits, vals):
     """Two-level decode structure (r11 — replaces the bit-serial
     ``(length, code) -> symbol`` dict walk): an 8-bit-prefix lookup
@@ -224,20 +232,25 @@ class _BitWriter:
         self._n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((code >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                b = self._acc & 0xFF
-                self.out.append(b)
-                if b == 0xFF:  # §B.1.1.5 byte stuffing
-                    self.out.append(0x00)
-                self._acc = 0
-                self._n = 0
+        # whole-code accumulate (r11 — the per-bit loop was the
+        # encoder's second-largest constant), emitting stuffed bytes
+        # as they complete
+        acc = (self._acc << length) | (code & ((1 << length) - 1))
+        n = self._n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:  # §B.1.1.5 byte stuffing
+                out.append(0x00)
+        self._acc = acc & ((1 << n) - 1)
+        self._n = n
 
     def flush(self) -> None:
-        while self._n:
-            self.write(1, 1)  # pad with 1-bits per §F.1.2.3
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits, §F.1.2.3
 
 
 def _unstuff_scan(d: bytes, pos: int):
@@ -332,18 +345,22 @@ def _plane_blocks(plane):
 
 
 def _quantize_blocks(blocks, qt_nat):
-    """Level-shift, forward DCT, quantize → (n, 64) int32 in zigzag order."""
+    """Level-shift, forward DCT, quantize → (n, 64) int64 in zigzag
+    order. Batched matmuls (m·B·mᵀ), same contraction the decoder's
+    IDCT uses — einsum's non-BLAS kernel was the encoder's largest
+    constant (r11)."""
     import numpy as np
 
     m = _m()
-    coefs = np.einsum("ij,njk,lk->nil", m, blocks - 128.0, m)
+    coefs = m @ (blocks - 128.0) @ m.T
     q = np.rint(coefs / np.asarray(qt_nat, dtype=np.float64).reshape(8, 8))
     zz = np.asarray(ZIGZAG, dtype=np.int64)
     return q.reshape(-1, 64)[:, zz].astype(np.int64)
 
 
 def _encode_block(bw: _BitWriter, zzc, pred: int, dc_codes, ac_codes) -> int:
-    dc = int(zzc[0])
+    zzc = zzc.tolist()  # one bulk conversion beats 64 ndarray getitems
+    dc = zzc[0]
     diff = dc - pred
     t = _category(diff)
     code, ln = dc_codes[t]
@@ -358,7 +375,7 @@ def _encode_block(bw: _BitWriter, zzc, pred: int, dc_codes, ac_codes) -> int:
             last = k
             break
     for k in range(1, last + 1):
-        v = int(zzc[k])
+        v = zzc[k]
         if v == 0:
             run += 1
             continue
@@ -448,10 +465,10 @@ def encode_jpeg(
         qt = QT_LUMA if qid == 0 else QT_CHROMA
         comp_blocks.append((_quantize_blocks(blocks, qt), by, bx))
 
-    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_l = _canonical_codes_cached(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _canonical_codes_cached(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _canonical_codes_cached(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _canonical_codes_cached(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
     huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
 
     # headers
