@@ -1194,6 +1194,59 @@ def test_mp4_sample_table_roundtrip_and_validation():
         parse_mp4_samples(mutated(b"stco", 12, len(p)))
 
 
+def test_mp4_sample_table_roundtrip_property():
+    """Property fuzz (hypothesis): ANY sample layout — 1..24 samples of
+    1..64 bytes, any samples_per_chunk, any representable duration —
+    round-trips through encode_mp4/parse_mp4_samples with exact byte
+    ranges, chunk counts, and a decode-time ramp that ends at the media
+    duration (stts deltas sum exactly; the remainder-spread rule)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_samples,
+    )
+
+    @given(
+        sizes=st.lists(st.integers(1, 64), min_size=1, max_size=24),
+        spc=st.integers(0, 7),
+        dur_ms=st.integers(1, 2000),
+        audio=st.booleans(),
+        large=st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(sizes, spc, dur_ms, audio, large):
+        if dur_ms * 90 < len(sizes):  # writer rejects sub-unit deltas
+            return
+        samples = [bytes([65 + (i % 26)]) * s for i, s in enumerate(sizes)]
+        p = encode_mp4(
+            dur_ms,
+            video_size=(16, 16),
+            video_samples=samples,
+            samples_per_chunk=spc,
+            with_audio=audio,
+            largesize_mdat=large,
+        )
+        st_ = parse_mp4_samples(p)
+        assert len(st_["samples"]) == len(samples)
+        eff = spc if spc > 0 else len(samples)
+        assert st_["n_chunks"] == -(-len(samples) // eff)
+        for (off, size, _dt), s in zip(st_["samples"], samples):
+            assert p[off : off + size] == s
+        times = [dt for _o, _s, dt in st_["samples"]]
+        assert times[0] == 0 and times == sorted(times)
+        # stts deltas must tile the media duration exactly
+        total = dur_ms * 90
+        base = total // len(samples)
+        assert all(
+            (times[i + 1] - times[i]) in (base, base + 1)
+            for i in range(len(times) - 1)
+        )
+
+    check()
+
+
 def test_mp4_co64_chunk_offsets_parse():
     """The 64-bit chunk-offset box (co64) takes the same expansion path
     as stco — exercised by rewriting a written stco into co64 by hand
