@@ -1027,3 +1027,50 @@ def test_weighted_sample_merge_conflicting_weights_deterministic(spark):
     merged = weighted_sample_merge([a, b], ["source"], "doc_id", k=4)
     for r in merged.collect():
         assert (r.doc_id, r.n_chars, r.key_micro) in valid
+
+
+def test_stream_video_frame_decode_parity(spark):
+    """The multimodal codec path is stateless mapInPandas end to end
+    (attach fixture -> stbl walk -> MJPEG pixel decode -> digest), so it
+    must run UNCHANGED on a streaming source: the per-corpus frame count
+    and distinct decoded-pixel digest count of sample_video_frames over
+    a streamed documents table equal the batch read's (r11 — extends the
+    parity contract to the coded-video tier)."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_mjpeg_mp4,
+        sample_video_frames,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        read_documents_stream,
+    )
+
+    def agg(docs):
+        frames = sample_video_frames(
+            attach_synthetic_mjpeg_mp4(docs.select("doc_id"), "doc_id"),
+            every_n_frames=2,
+        )
+        # per-digest counts (COUNT DISTINCT is unsupported on streams;
+        # the grouped form carries the same information)
+        return frames.groupBy("frame_sha256").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    batch = {
+        r.frame_sha256: r.n
+        for r in agg(read_parquet_table(spark, SF_DIR, "documents")).collect()
+    }
+
+    q = run_stream_to_memory(
+        agg(read_documents_stream(spark, SF_DIR)), "vid_parity", mode="complete"
+    )
+    try:
+        got = {
+            r.frame_sha256: r.n
+            for r in spark.sql("SELECT * FROM vid_parity").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert len(got) > 1 and sum(got.values()) > len(got)
