@@ -102,18 +102,36 @@ def _sample_stbl(
     media_duration: int,
     samples_per_chunk: int,
     chunk_offsets: list[int],
+    deltas: list[int] | None = None,
 ) -> bytes:
     """A POPULATED sample table (ISO/IEC 14496-12 §8.6-8.7): ``stts``
-    run-length encodes uniform decode deltas (remainder spread over the
-    tail samples), ``stsz`` carries per-sample byte sizes, ``stsc`` the
-    fixed samples-per-chunk runs (short last chunk gets its own run),
-    ``stco`` absolute file offsets of each chunk."""
+    run-length encodes the decode deltas — uniform (remainder spread
+    over the tail samples) by default, or the caller's explicit
+    per-sample ``deltas`` (must tile ``media_duration`` exactly; this
+    is what produces genuine multi-entry stts runs) — ``stsz`` carries
+    per-sample byte sizes, ``stsc`` the fixed samples-per-chunk runs
+    (short last chunk gets its own run), ``stco`` absolute file offsets
+    of each chunk."""
     n = len(sizes)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 0))
-    base, rem = divmod(media_duration, n)
-    if base == 0:
-        raise ValueError("mp4: media duration shorter than sample count")
-    entries = [(n - rem, base)] if rem == 0 else [(n - rem, base), (rem, base + 1)]
+    if deltas is not None:
+        if len(deltas) != n or any(d <= 0 for d in deltas):
+            raise ValueError("mp4: bad per-sample deltas")
+        if sum(deltas) != media_duration:
+            raise ValueError("mp4: deltas do not tile the media duration")
+        entries = []
+        for d in deltas:
+            if entries and entries[-1][1] == d:
+                entries[-1] = (entries[-1][0] + 1, d)
+            else:
+                entries.append((1, d))
+    else:
+        base, rem = divmod(media_duration, n)
+        if base == 0:
+            raise ValueError("mp4: media duration shorter than sample count")
+        entries = (
+            [(n - rem, base)] if rem == 0 else [(n - rem, base), (rem, base + 1)]
+        )
     stts = _full(
         b"stts",
         0,
@@ -196,6 +214,7 @@ def encode_mp4(
     largesize_mdat: bool = False,
     video_samples: list[bytes] | None = None,
     samples_per_chunk: int = 0,
+    video_sample_deltas: list[int] | None = None,
 ) -> bytes:
     """Serialize a minimal spec-shaped ISO-BMFF container: ``ftyp`` +
     ``moov`` (mvhd + one trak per stream, each with tkhd/mdia/mdhd/hdlr/
@@ -205,11 +224,13 @@ def encode_mp4(
 
     ``video_samples`` (r11): real per-sample payloads for the video
     track. The mdat body becomes their concatenation and the video
-    stbl is POPULATED — stts (uniform deltas over the media duration),
-    stsz (true per-sample sizes), stsc (``samples_per_chunk`` runs,
-    0 = one chunk) and stco (absolute file offsets, computed with a
-    second pass since moov precedes mdat). Mutually exclusive with a
-    raw ``mdat`` body."""
+    stbl is POPULATED — stts (uniform deltas over the media duration,
+    or the caller's explicit ``video_sample_deltas``, which must tile
+    it exactly — the variable-fps path that yields multi-entry stts
+    runs), stsz (true per-sample sizes), stsc (``samples_per_chunk``
+    runs, 0 = one chunk) and stco (absolute file offsets, computed
+    with a second pass since moov precedes mdat). Mutually exclusive
+    with a raw ``mdat`` body."""
     if duration_ms < 0 or movie_timescale <= 0:
         raise ValueError("mp4: bad duration/timescale")
     if (duration_ms * movie_timescale) % 1000:
@@ -239,7 +260,8 @@ def encode_mp4(
                     pos += sum(sizes[consumed : consumed + c])
                     consumed += c
                 stbl = _sample_stbl(
-                    sizes, duration_ms * 90, samples_per_chunk, offsets
+                    sizes, duration_ms * 90, samples_per_chunk, offsets,
+                    video_sample_deltas,
                 )
             traks += _trak(
                 tid, b"vide", 90000, duration_ms * 90, movie_dur, w, h,

@@ -1631,7 +1631,10 @@ def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
     r11: the video track carries a POPULATED sample table — one sample
     per nominal 25 fps frame (``mp4_fixture_samples``), chunked
     ``1 + id%4`` samples per chunk so stsc runs, short last chunks and
-    multi-chunk stco offsets are all exercised fleet-wide."""
+    multi-chunk stco offsets are all exercised fleet-wide; on the
+    ``id%2 == 1`` residue class the decode deltas alternate ±600 media
+    units around the 3600 base (sum-preserving pair swaps), so genuine
+    MULTI-ENTRY stts runs are in the fleet too, not just unit tests."""
     from .mp4 import encode_mp4
 
     src = _spread_ids(df, id_col)
@@ -1645,6 +1648,13 @@ def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
                 ts = 600 + 400 * (aid % 2)
                 w = 16 * (2 + aid % 5)
                 h = 16 * (1 + aid % 3)
+                n = 10 + aid % 10
+                deltas = None
+                if aid % 2 == 1:  # variable-fps residue class
+                    deltas = [
+                        3600 + (600 if f % 2 == 0 else -600)
+                        for f in range(n - (n % 2))
+                    ] + [3600] * (n % 2)
                 payloads.append(
                     encode_mp4(
                         dur,
@@ -1655,6 +1665,7 @@ def attach_synthetic_mp4(df: DataFrame, id_col: str) -> DataFrame:
                         largesize_mdat=aid % 5 == 0,
                         video_samples=mp4_fixture_samples(aid),
                         samples_per_chunk=1 + aid % 4,
+                        video_sample_deltas=deltas,
                     )
                 )
                 durs.append(dur)

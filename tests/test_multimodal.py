@@ -1247,6 +1247,38 @@ def test_mp4_sample_table_roundtrip_property():
     check()
 
 
+def test_mp4_variable_sample_deltas_roundtrip_and_validation():
+    """Explicit per-sample decode deltas (variable fps) produce genuine
+    multi-entry stts runs and round-trip exactly; deltas that don't
+    tile the media duration, or non-positive deltas, raise."""
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+        parse_mp4_samples,
+    )
+
+    samples = [b"a", b"bb", b"ccc", b"dddd", b"e"]
+    deltas = [4200, 3000, 4200, 3000, 3600]  # sums to 5 * 3600 = 200ms*90
+    p = encode_mp4(200, video_size=(16, 16), video_samples=samples,
+                   samples_per_chunk=2, video_sample_deltas=deltas)
+    st = parse_mp4_samples(p)
+    times = [dt for _o, _s, dt in st["samples"]]
+    assert times == [0, 4200, 7200, 11400, 14400]
+    for (off, size, _dt), s in zip(st["samples"], samples):
+        assert p[off : off + size] == s
+
+    with pytest.raises(ValueError):  # does not tile 200ms * 90 = 18000
+        encode_mp4(200, video_size=(16, 16), video_samples=samples,
+                   video_sample_deltas=[4000] * 5)
+    with pytest.raises(ValueError):
+        encode_mp4(200, video_size=(16, 16), video_samples=samples,
+                   video_sample_deltas=[9000, 9000, 0, 0, 0])
+    with pytest.raises(ValueError):
+        encode_mp4(200, video_size=(16, 16), video_samples=samples,
+                   video_sample_deltas=[1000] * 4)
+
+
 def test_mp4_co64_chunk_offsets_parse():
     """The 64-bit chunk-offset box (co64) takes the same expansion path
     as stco — exercised by rewriting a written stco into co64 by hand
