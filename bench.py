@@ -47,26 +47,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    load1_start = round(os.getloadavg()[0], 2)  # host-contention evidence:
-    # sweeps on this box have measured a flat ~1.5× multiplier from
-    # external load (r4 session, two discarded ledger recordings). The
-    # PRE-start load1 is the clean signal (it cannot include this
-    # process's own executors); load1_end necessarily includes them and
-    # is only useful relative to other runs' end values.
-    #
-    # VERDICT r10 item 6: a contended START (r10 began at load1 9.29)
-    # produced five >2x rows that all adjudicated as contention — two
-    # rounds running. Gate the sweep the way record_baseline.py refuses:
-    # wait (bounded) for load1 to drop under BENCH_LOAD1_GATE before
-    # timing anything, and RECORD the wait so a still-contended start is
-    # visible in the artifact rather than silently poisoning rows.
-    load1_gate = float(os.environ.get("BENCH_LOAD1_GATE", "2.0"))
-    gate_wait_max = float(os.environ.get("BENCH_LOAD1_WAIT_MAX", "600"))
-    load1_wait = 0.0
-    while load1_start > load1_gate and load1_wait < gate_wait_max:
-        time.sleep(15.0)
-        load1_wait += 15.0
-        load1_start = round(os.getloadavg()[0], 2)
+    # Host-contention evidence: sweeps on this box have measured a flat
+    # ~1.5× multiplier from external load (r4 session, two discarded
+    # ledger recordings). The PRE-start load1 is the clean signal (it
+    # cannot include this process's own executors); load1_end
+    # necessarily includes them and is only useful relative to other
+    # runs' end values. The gate itself (wait_for_idle) holds the sweep
+    # until the host is quiet.
+    load1_start, load1_wait = wait_for_idle(
+        float(os.environ.get("BENCH_LOAD1_GATE", "2.0")),
+        float(os.environ.get("BENCH_LOAD1_WAIT_MAX", "600")),
+    )
     spark = get_spark("bench")
 
     warmups = int(os.environ.get("BENCH_WARMUPS", "2"))
@@ -193,6 +184,30 @@ def main() -> None:
         json.dump(payload, f, indent=1)
     print(json.dumps(slim_stdout_payload(payload), separators=(",", ":")))
     spark.stop()
+
+
+def wait_for_idle(
+    gate: float,
+    wait_max: float,
+    load_fn=None,
+    sleep_fn=None,
+) -> tuple[float, float]:
+    """Block (bounded) until load1 drops under ``gate`` → ``(load1,
+    waited_sec)``. VERDICT r10 item 6: a contended start poisons rows
+    that all adjudicate as contention later — wasted judge cycles. The
+    wait is RECORDED in the artifact, and a still-contended start after
+    ``wait_max`` proceeds anyway (the driver's sweep must not hang
+    forever); the recorded load makes it visibly untrustworthy.
+    ``load_fn``/``sleep_fn`` exist for the unit test."""
+    load_fn = load_fn or (lambda: os.getloadavg()[0])
+    sleep_fn = sleep_fn or time.sleep
+    load1 = round(load_fn(), 2)
+    waited = 0.0
+    while load1 > gate and waited < wait_max:
+        sleep_fn(15.0)
+        waited += 15.0
+        load1 = round(load_fn(), 2)
+    return load1, waited
 
 
 def load_ledger(sf: float) -> dict[str, float]:

@@ -183,6 +183,33 @@ def test_bench_load_ledger_parses_baseline_block():
     assert bench.load_ledger(123.0) == {}
 
 
+def test_bench_wait_for_idle_gate():
+    """VERDICT r10 item 6: the sweep start gate waits (bounded) for
+    load1 to drop under the gate, records the wait, and proceeds anyway
+    after wait_max so a driver sweep can't hang forever."""
+    import bench
+
+    # already idle: no sleeping at all
+    sleeps = []
+    load, waited = bench.wait_for_idle(
+        2.0, 600, load_fn=lambda: 0.5, sleep_fn=sleeps.append
+    )
+    assert (load, waited, sleeps) == (0.5, 0.0, [])
+
+    # contended then clearing: waits in 15s steps until under the gate
+    seq = iter([9.0, 6.0, 3.0, 1.2])
+    load, waited = bench.wait_for_idle(
+        2.0, 600, load_fn=lambda: next(seq), sleep_fn=sleeps.append
+    )
+    assert load == 1.2 and waited == 45.0 and sleeps == [15.0] * 3
+
+    # never clears: gives up at wait_max with the contended load visible
+    load, waited = bench.wait_for_idle(
+        2.0, 30, load_fn=lambda: 8.8, sleep_fn=lambda s: None
+    )
+    assert load == 8.8 and waited == 30.0
+
+
 def test_bench_load_ledger_reads_sf1_block_too():
     """ADVICE r10: the non-greedy single-search always matched the FIRST
     ledger block, so sf1 lookups returned {} and the ledger requeue
