@@ -70,7 +70,7 @@ _CHECK_FIRST = [
     "top_terms",
     "tpch_q14_promo_revenue",
     "users_error_no_recovery",
-    # --- last driver row r8 (23 of 49; rest are the designated overflow) ---
+    # --- last driver row r8 (22 of 47; rest are the designated overflow) ---
     "ann_cosine_topk_ivf",  # rows-only -> ORACLE: fold-exact twin literals
     "ann_ivf_probe_topk",
     "corpus_prepare_audit",

@@ -375,7 +375,7 @@ def _read_entries(data: bytes, b: int, e: int, width: int) -> list[tuple]:
 def parse_mp4_samples(payload: bytes) -> dict:
     """Parse the FIRST video track's sample table (r11 — ISO/IEC
     14496-12 §8.6-8.7 ``stts``/``stsz``/``stsc``/``stco``/``co64``) →
-    ``{"timescale": media_ts, "n_chunks": int,
+    ``{"timescale": media_ts, "n_chunks": int, "span": sum_of_stts_deltas,
     "samples": [(file_offset, size, decode_time), ...]}``.
 
     This is what replaces the even-mdat-split approximation in frame
@@ -452,7 +452,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
         if n == 0:
             if offs or sc:
                 raise ValueError("mp4: empty stsz with nonempty chunks")
-            return {"timescale": ts, "n_chunks": 0, "samples": []}
+            return {"timescale": ts, "n_chunks": 0, "span": 0, "samples": []}
         if not offs or not sc:
             raise ValueError("mp4: samples without chunk layout")
         if sc[0][0] != 1 or any(
@@ -465,7 +465,10 @@ def parse_mp4_samples(payload: bytes) -> dict:
         per_chunk = []
         for i, (first, spc, _desc) in enumerate(sc):
             last = sc[i + 1][0] - 1 if i + 1 < len(sc) else len(offs)
-            if last > len(offs):
+            # every run's first_chunk must exist in stco — the final
+            # run's clamp (last = len(offs)) must not silently absorb a
+            # run that starts past the chunk list (r12 hardening)
+            if first > len(offs) or last > len(offs):
                 raise ValueError("mp4: stsc references missing chunk")
             per_chunk += [spc] * (last - first + 1)
         if sum(per_chunk) != n:
@@ -484,7 +487,12 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 pos += size
                 t_acc += deltas[si]
                 si += 1
-        return {"timescale": ts, "n_chunks": len(offs), "samples": samples}
+        return {
+            "timescale": ts,
+            "n_chunks": len(offs),
+            "span": t_acc,
+            "samples": samples,
+        }
     raise ValueError("mp4: no video track")
 
 

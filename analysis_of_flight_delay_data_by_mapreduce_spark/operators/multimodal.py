@@ -1802,17 +1802,19 @@ def video_sample_stats(assets: DataFrame) -> DataFrame:
                 st = parse_mp4_samples(raw)
                 samples = st["samples"]
                 sizes = [s for _o, s, _t in samples]
-                # total decode span = last decode time + last delta; the
-                # writer spreads duration_ms over the samples exactly
+                # the writer spreads duration_ms over the samples exactly:
+                # sum(stts deltas) must EQUAL the mdhd-timescale duration
+                # (r12 hardening — under-spanning drift flips this too,
+                # not just over-spans), and every delta must be positive
+                # (the last one = span - last decode time)
                 span_ok = True
                 if samples:
                     total = meta["duration_ms"] * st["timescale"] // 1000
                     deltas = [
                         samples[i + 1][2] - samples[i][2]
                         for i in range(len(samples) - 1)
-                    ]
-                    last = total - samples[-1][2]
-                    span_ok = last > 0 and all(d > 0 for d in deltas)
+                    ] + [st["span"] - samples[-1][2]]
+                    span_ok = st["span"] == total and all(d > 0 for d in deltas)
                 rows["asset_id"].append(aid)
                 rows["n_samples"].append(len(samples))
                 rows["n_chunks"].append(st["n_chunks"])

@@ -1193,6 +1193,24 @@ def test_mp4_sample_table_roundtrip_and_validation():
     with pytest.raises(ValueError):
         parse_mp4_samples(mutated(b"stco", 12, len(p)))
 
+    # r12: a final stsc run whose first_chunk exceeds the stco chunk
+    # count must raise EVEN when the earlier runs alone cover n samples
+    # (run1 spc 4->3 covers chunks 1-2 = 6 = n; run2 first 2->3 > 2
+    # chunks used to contribute zero chunks silently via the last-run
+    # clamp). Layout from the stsc tag: entry_count +8, run1 (first,
+    # spc, desc) at +12/+16/+20, run2 at +24/+28/+32.
+    import struct as _s2
+
+    bad = bytearray(p)
+    i = bad.index(b"stsc")
+    bad[i + 16 : i + 20] = _s2.pack(">I", 3)  # run1 samples_per_chunk
+    bad[i + 24 : i + 28] = _s2.pack(">I", 3)  # run2 first_chunk (> stco)
+    with pytest.raises(ValueError):
+        parse_mp4_samples(bytes(bad))
+
+    # r12: span = exact sum of stts deltas (6 samples x 3600)
+    assert st["span"] == 240 * 90
+
 
 def test_mp4_sample_table_roundtrip_property():
     """Property fuzz (hypothesis): ANY sample layout — 1..24 samples of
@@ -1430,6 +1448,36 @@ def test_video_sample_stats_spark_surface(spark):
         assert r.sum_sample_bytes == sum(sizes)
         assert r.max_sample_bytes == max(sizes)
         assert r.duration_consistent
+
+
+def test_video_sample_stats_flags_underspanning_stts(spark):
+    """r12 hardening: duration_consistent must go FALSE when the stts
+    deltas UNDER-span the mdhd duration (all deltas still positive) —
+    the exact drift the old last-delta>0 check let through."""
+    import struct
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.mp4 import (
+        encode_mp4,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        video_sample_stats,
+    )
+
+    samples = [b"a" * 8] * 6  # 240ms * 90 = 21600 units -> delta 3600
+    p = bytearray(encode_mp4(240, video_size=(16, 16), video_samples=samples))
+    i = p.index(b"stts")
+    # single run (count=6, delta=3600) at tag+12/+16; shrink the delta
+    assert struct.unpack_from(">II", p, i + 12) == (6, 3600)
+    p[i + 16 : i + 20] = struct.pack(">I", 3599)
+
+    df = spark.createDataFrame(
+        [(0, bytes(encode_mp4(240, video_size=(16, 16), video_samples=samples))),
+         (1, bytes(p))],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: r.duration_consistent
+           for r in video_sample_stats(df).collect()}
+    assert got == {0: True, 1: False}
 
 
 def test_segment_audio_by_energy_boundaries(spark):
