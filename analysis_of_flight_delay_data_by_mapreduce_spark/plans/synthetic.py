@@ -6590,38 +6590,79 @@ def events_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Mergeable distinct-count sketches (Apache DataSketches HLL): per-day
-# user sketches unioned into per-type estimates. THE incremental pattern
-# for 100 TB analytics — daily jobs materialize small sketch rows; any
-# later window's distinct count is a cheap union of sketches instead of a
-# rescan of raw facts. Rows-only (sketch binaries are engine-specific);
-# the estimate's error bound vs exact is pinned in pytest.
+# Mergeable distinct-count sketches (own-register HLL, operators/hll.py):
+# per-day user register rows unioned into per-type estimates. THE
+# incremental pattern for 100 TB analytics — daily jobs materialize small
+# sketch rows; any later window's distinct count is a cheap register-max
+# merge instead of a rescan of raw facts. r12: converted rows-only → FULL
+# hash check — the serialized DataSketches binary is replaced by
+# xxhash64-bucketed leading-zero registers whose estimate is a
+# deterministic column expression (exact decimal harmonic sum, one double
+# division, Python-computed linear-counting table), so the
+# hll_estimates_parquet twin renders the per-type estimates as VALUES
+# literals and the driver hash-witnesses every stage. The n_days/exact
+# side stays live SQL. Estimate error vs exact stays pinned by
+# events_user_sketch_check (and pytest's error-bound test).
 # ---------------------------------------------------------------------------
-@register("events_user_sketch_rollup")
+def _hll_rollup_oracle(sf_dir: str) -> str:
+    key = ("hll_rollup", sf_dir)
+    if key not in _dedup_twin_cache:
+        from ..operators.hll import hll_estimates_parquet
+
+        ests = hll_estimates_parquet(sf_dir)
+        values = ", ".join(f"('{t}', {e})" for t, e in sorted(ests.items()))
+        _dedup_twin_cache[key] = f"""
+        WITH est(event_type, approx_users) AS (VALUES {values})
+        SELECT e.event_type,
+               CAST(COUNT(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(est.approx_users AS BIGINT) AS approx_users
+        FROM events e JOIN est ON e.event_type = est.event_type
+        GROUP BY e.event_type, est.approx_users
+        """
+    return _dedup_twin_cache[key]
+
+
+@register("events_user_sketch_rollup", oracle=_hll_rollup_oracle)
 def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hll import (
+        hll_estimate_rows,
+        hll_merge_rows,
+        hll_register_rows,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk"))
-            .cast("long")
-            .alias("approx_users"),
-        )
+    # the daily sketch materialization a real rollup would persist...
+    daily = hll_register_rows(
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id"),
+        ["event_type", "day"],
+        "user_id",
+    )
+    # ...then the window's distinct count = register-max merge + estimate
+    est = hll_estimate_rows(
+        hll_merge_rows(daily, ["event_type"]),
+        ["event_type"],
+        out="approx_users",
+    )
+    n_days = ev.groupBy("event_type").agg(
+        F.countDistinct(F.to_date("ts")).alias("n_days")
+    )
+    return n_days.join(est, "event_type").select(
+        "event_type", "n_days", "approx_users"
     )
 
 
 # ---------------------------------------------------------------------------
-# Theta-sketch set algebra: approximate |users(A) ∩ users(B)| per event-type
-# pair from per-type sketches. Theta sketches (unlike HLL) support
-# intersection/difference — at 100 TB, per-segment sketches materialized
-# once answer ANY pairwise audience-overlap question without rescanning
-# facts. Rows-only (sketch binaries engine-specific); error bound vs the
-# exact INTERSECT pinned in pytest.
-# ---------------------------------------------------------------------------
+# KMV-theta set algebra: approximate |users(A) ∩ users(B)| per event-type
+# pair from per-type k-minimum-values sketches (operators/hll.py). KMV
+# (like DataSketches theta, unlike HLL) supports intersection — at
+# 100 TB, per-segment sketches materialized once answer ANY pairwise
+# audience-overlap question without rescanning facts. r12: converted
+# rows-only → FULL hash check — the k smallest distinct xxhash64 values
+# + the (k+1)-th threshold are plain BIGINT columns (salted two-level
+# top-k, no single-task funnel), the estimate is one long/double
+# division, and the kmv_overlap_parquet twin renders every pair estimate
+# as VALUES literals. Error vs the exact INTERSECT stays pinned by
+# events_user_overlap_check (and pytest).
 # ---------------------------------------------------------------------------
 # Driver-checkable face of the HLL rollup: the same sketch pipeline plus
 # the exact distinct count in one job, reduced to a hashable boolean —
@@ -6670,23 +6711,27 @@ def events_user_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_user_overlap_sketch")
+def _kmv_overlap_oracle(sf_dir: str) -> str:
+    key = ("kmv_overlap", sf_dir)
+    if key not in _dedup_twin_cache:
+        from ..operators.hll import kmv_overlap_parquet
+
+        trips = kmv_overlap_parquet(sf_dir)
+        values = ", ".join(f"('{a}', '{b}', {e})" for a, b, e in trips)
+        _dedup_twin_cache[key] = f"""
+        SELECT v.a AS type_a, v.b AS type_b,
+               CAST(v.e AS BIGINT) AS approx_both
+        FROM (VALUES {values}) v(a, b, e)
+        """
+    return _dedup_twin_cache[key]
+
+
+@register("events_user_overlap_sketch", oracle=_kmv_overlap_oracle)
 def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hll import kmv_pair_overlap
+
     ev = _t(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
-    a, b = sk.alias("a"), sk.alias("b")
-    return (
-        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
-        .select(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-            F.theta_sketch_estimate(
-                F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
-            )
-            .cast("long")
-            .alias("approx_both"),
-        )
-    )
+    return kmv_pair_overlap(ev, "event_type", "user_id", out="approx_both")
 
 
 # ---------------------------------------------------------------------------

@@ -267,9 +267,10 @@ def test_corpus_prepare_equals_exact_reconstruction(spark, docs):
 
 
 def test_hll_sketch_rollup_error_bound(spark):
-    """Per-type distinct-user estimates from unioned per-day HLL sketches
-    must sit within 2% of the exact distinct counts (default lgConfigK=12
-    gives ~1.6% RSE; the corpus cardinalities are far below saturation)."""
+    """Per-type distinct-user estimates from merged per-day own-register
+    HLL sketches (operators/hll.py, p=12) must sit within 2% of the exact
+    distinct counts (m=4096 gives ~1.6% RSE; at these cardinalities the
+    linear-counting branch is active and far tighter)."""
     from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
         QUERIES,
     )
@@ -292,9 +293,10 @@ def test_hll_sketch_rollup_error_bound(spark):
 
 
 def test_theta_overlap_sketch_error_bound(spark):
-    """Pairwise audience-overlap estimates from theta-sketch intersection
-    must sit within 2% of the exact INTERSECT counts for every event-type
-    pair (cardinalities far below the default sketch saturation)."""
+    """Pairwise audience-overlap estimates from KMV-theta intersection
+    (operators/hll.py, k=4096) must sit within 2% of the exact INTERSECT
+    counts for every event-type pair (cardinalities below k -> the
+    sketch is exact up to 64-bit hash collisions)."""
     from analysis_of_flight_delay_data_by_mapreduce_spark.plans.synthetic import (
         QUERIES,
     )
@@ -317,6 +319,83 @@ def test_theta_overlap_sketch_error_bound(spark):
             .count()
         )
         assert abs(est - exact) <= max(1, 0.02 * exact), (ta, tb, est, exact)
+
+
+def test_hll_kmv_large_cardinality_paths_match_twins(spark, tmp_path):
+    """The sketch branches the test SFs never reach — the HLL RAW
+    harmonic-mean estimate (n >> 2.5m linear-counting cutoff) and the
+    KMV theta path (distinct > k) — must (a) agree BIT-FOR-BIT with the
+    pyarrow twins that render the driver oracles, and (b) land within
+    ~4x their published RSE of the exact answers. 30k/27k-user groups
+    with a 15k-user overlap, fixed ids -> fully deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.hll import (
+        hll_estimate_rows,
+        hll_estimates_parquet,
+        hll_register_rows,
+        kmv_overlap_parquet,
+        kmv_pair_overlap,
+    )
+
+    ua = np.arange(0, 30000, dtype=np.int64)
+    ub = np.arange(15000, 42000, dtype=np.int64)
+    types = ["a"] * len(ua) + ["b"] * len(ub)
+    users = np.concatenate([ua, ub])
+    pq.write_table(
+        pa.table({"event_type": types, "user_id": users}),
+        str(tmp_path / "events.parquet"),
+    )
+    df = spark.createDataFrame(
+        zip(types, users.tolist()), "event_type string, user_id long"
+    )
+
+    regs = hll_register_rows(df, ["event_type"], "user_id")
+    est = {
+        r.event_type: r.approx_distinct
+        for r in hll_estimate_rows(regs, ["event_type"]).collect()
+    }
+    assert est == hll_estimates_parquet(str(tmp_path))
+    for t, n in (("a", 30000), ("b", 27000)):
+        assert n > 2.5 * 4096  # the raw path, not linear counting
+        assert abs(est[t] - n) <= 0.07 * n, (t, est[t], n)
+
+    got = sorted(
+        (r.type_a, r.type_b, r.approx_both)
+        for r in kmv_pair_overlap(df, "event_type", "user_id").collect()
+    )
+    assert got == kmv_overlap_parquet(str(tmp_path))
+    assert got[0][:2] == ("a", "b")
+    assert abs(got[0][2] - 15000) <= 0.10 * 15000, got
+
+
+def test_hll_register_merge_is_lossless(spark):
+    """Sketch mergeability ground truth: per-day register rows merged
+    with hll_merge_rows must estimate IDENTICALLY to registers built in
+    one pass over the whole table (max is associative) — the property
+    that makes materialized daily sketches answer any later window."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.hll import (
+        hll_estimate_rows,
+        hll_merge_rows,
+        hll_register_rows,
+    )
+
+    ev = read_parquet_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_register_rows(ev, ["event_type", "day"], "user_id")
+    merged = hll_estimate_rows(
+        hll_merge_rows(daily, ["event_type"]), ["event_type"]
+    )
+    direct = hll_estimate_rows(
+        hll_register_rows(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
 
 
 def test_cms_invariants_and_merge_linearity(spark):
