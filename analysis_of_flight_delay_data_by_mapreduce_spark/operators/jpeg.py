@@ -6,12 +6,15 @@ lossless formats; this module adds the lossy DCT family so JPEG payloads
 take the REAL decode path in ``decode_images`` / ``resize_images``
 instead of the deterministic stub.
 
-Scope — baseline sequential DCT, the ITU-T T.81 subset that covers the
-overwhelming majority of JPEGs in the wild:
+Scope — the ITU-T T.81 subset that covers the overwhelming majority of
+JPEGs in the wild:
 
-- 8-bit precision, Huffman entropy coding (SOF0; progressive/arithmetic/
-  hierarchical raise ``ValueError`` so the caller's auto-detect-else-stub
-  contract holds),
+- 8-bit precision, Huffman entropy coding: baseline/extended sequential
+  (SOF0/SOF1) AND progressive (SOF2, r12 — Annex G spectral selection +
+  successive approximation, EOB runs, per-scan table redefinition, the
+  libjpeg interchange semantics real-world progressive files are written
+  against); arithmetic/hierarchical/lossless raise ``ValueError`` so the
+  caller's auto-detect-else-stub contract holds,
 - grayscale and 3-component YCbCr frames,
 - any sampling grid with factors in {1..4} where each component's factor
   divides the frame maximum — which includes 4:4:4, 4:2:2 and 4:2:0,
@@ -124,7 +127,21 @@ _AC_CHROMA_VALS = tuple(
     + _r(0xE2, 0xEA) + _r(0xF2, 0xFA)
 )
 
+# Progressive AC scans need EOBn symbols (r<<4, s=0 for r<15) that the
+# Annex K tables don't carry — and those tables are Kraft-FULL (65535 of
+# 65536 16-bit units used), so nothing can be appended. The progressive
+# encoder ships its own flat canonical table instead: every symbol the
+# Annex G AC coder can emit — (r<<4)|s for r 0..15, s 0..10, where s=0
+# is EOBn (r<=14) / ZRL (r=15) — at code length 8. 176 codes of 8 bits
+# is a valid incomplete table (Kraft 45056/65536) whose largest code
+# 0xAF is not the reserved all-ones pattern, and every decode hits the
+# 8-bit LUT fast path. Emitted as DHT id 2, shared by both chroma and
+# luma AC scans.
+_AC_PROG_BITS = (0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+_AC_PROG_VALS = tuple((r << 4) | s for r in range(16) for s in range(11))
+
 # a malformed spec here would corrupt every stream — fail at import
+assert sum(_AC_PROG_BITS) == len(_AC_PROG_VALS) == 176
 assert sum(_AC_LUMA_BITS) == len(_AC_LUMA_VALS) == 162
 assert sum(_AC_CHROMA_BITS) == len(_AC_CHROMA_VALS) == 162
 assert sum(_DC_LUMA_BITS) == len(_DC_LUMA_VALS) == 12
@@ -394,6 +411,243 @@ def _encode_block(bw: _BitWriter, zzc, pred: int, dc_codes, ac_codes) -> int:
     return dc
 
 
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G, Huffman) — the scan-script emitters.
+# EOB-run / correction-bit buffering follows the interchange behavior
+# codified in libjpeg's jcphuff.c, which is what the decoder (and every
+# real-world progressive file) expects.
+# ---------------------------------------------------------------------------
+
+
+def _rst_of(writer: _BitWriter, rst: int) -> None:
+    writer.flush()
+    writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+
+
+def _emit_dc_scan(comp_blocks, samp, huff, mcx, mcy, al, ah, ri) -> bytes:
+    """Interleaved DC scan over every component: first pass (Ah=0)
+    Huffman-codes the Al-shifted DC diffs; a refinement pass (Ah=Al+1)
+    is one raw bit per block — no Huffman tables at all."""
+    writer = _BitWriter()
+    preds = [0] * len(samp)
+    rst = 0
+    n_mcus = mcx * mcy
+    for i in range(n_mcus):
+        my, mx = divmod(i, mcx)
+        for ci, (h_f, v_f) in enumerate(samp):
+            blocks, _by, bx = comp_blocks[ci]
+            dc_codes = huff[ci][0]
+            for vy in range(v_f):
+                for vx in range(h_f):
+                    bi = (my * v_f + vy) * bx + (mx * h_f + vx)
+                    dc = int(blocks[bi][0])
+                    if ah == 0:
+                        # arithmetic shift: the spec's DC point transform
+                        sh = dc >> al
+                        diff = sh - preds[ci]
+                        preds[ci] = sh
+                        t = _category(diff)
+                        code, ln = dc_codes[t]
+                        writer.write(code, ln)
+                        if t:
+                            writer.write(
+                                diff if diff > 0 else diff + (1 << t) - 1, t
+                            )
+                    else:
+                        writer.write((dc >> al) & 1, 1)
+        if ri and (i + 1) % ri == 0 and i + 1 < n_mcus:
+            _rst_of(writer, rst)
+            rst += 1
+            preds = [0] * len(samp)
+    writer.flush()
+    return bytes(writer.out)
+
+
+def _comp_block_indices(ci, comp_blocks, samp, width, height, max_h, max_v):
+    """Non-interleaved scan order: the component's OWN ceil-grid raster
+    (§A.2.2), mapped into the MCU-padded block array."""
+    h_f, v_f = samp[ci]
+    _blocks, _by, bx = comp_blocks[ci]
+    cw = -(-width * h_f // max_h)
+    ch = -(-height * v_f // max_v)
+    bw_n, bh_n = -(-cw // 8), -(-ch // 8)
+    return [r * bx + c for r in range(bh_n) for c in range(bw_n)]
+
+
+def _emit_ac_first_scan(blocks, indices, ac_codes, ss, se, al, ri) -> bytes:
+    """AC first pass (§G.1.2.2): run/size over the Al-shifted band with
+    EOB runs accumulated across blocks (symbol r<<4, r extension bits)."""
+    writer = _BitWriter()
+    eob_run = 0
+    rst = 0
+
+    def flush_eobrun():
+        nonlocal eob_run
+        if eob_run > 0:
+            nbits = eob_run.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            writer.write(code, ln)
+            if nbits:
+                writer.write(eob_run & ((1 << nbits) - 1), nbits)
+            eob_run = 0
+
+    for n, bi in enumerate(indices):
+        zz = blocks[bi].tolist()
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            mag = (-v if v < 0 else v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            flush_eobrun()
+            while r > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.write(code, ln)
+                r -= 16
+            s = mag.bit_length()
+            code, ln = ac_codes[(r << 4) | s]
+            writer.write(code, ln)
+            writer.write(mag if v > 0 else (~mag) & ((1 << s) - 1), s)
+            r = 0
+        if r > 0:
+            eob_run += 1
+            if eob_run == 0x7FFF:
+                flush_eobrun()
+        if ri and (n + 1) % ri == 0 and n + 1 < len(indices):
+            flush_eobrun()
+            _rst_of(writer, rst)
+            rst += 1
+    flush_eobrun()
+    writer.flush()
+    return bytes(writer.out)
+
+
+def _emit_ac_refine_scan(blocks, indices, ac_codes, ss, se, al, ri) -> bytes:
+    """AC refinement pass (§G.1.2.3): newly-nonzero coefficients carry a
+    run/1 symbol + sign bit; every previously-nonzero coefficient passed
+    (including those inside EOB runs) appends one buffered correction
+    bit, emitted after the symbol that closes its run."""
+    writer = _BitWriter()
+    eob_run = 0
+    be_bits: list[int] = []  # correction bits pending behind the EOB run
+    rst = 0
+
+    def flush_eobrun():
+        nonlocal eob_run, be_bits
+        if eob_run > 0:
+            nbits = eob_run.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            writer.write(code, ln)
+            if nbits:
+                writer.write(eob_run & ((1 << nbits) - 1), nbits)
+            eob_run = 0
+        for b in be_bits:
+            writer.write(b, 1)
+        be_bits = []
+
+    for n, bi in enumerate(indices):
+        zz = blocks[bi].tolist()
+        absvals = [0] * (se + 1)
+        eob_k = ss - 1  # last NEWLY-nonzero position in this pass
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            a = (-v if v < 0 else v) >> al
+            absvals[k] = a
+            if a == 1:
+                eob_k = k
+        r = 0
+        br: list[int] = []  # correction bits for the current run
+        for k in range(ss, se + 1):
+            a = absvals[k]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_k:
+                flush_eobrun()
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.write(code, ln)
+                r -= 16
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)  # history-nonzero: one correction bit
+                continue
+            flush_eobrun()
+            code, ln = ac_codes[(r << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if int(zz[k]) > 0 else 0, 1)  # sign of new coef
+            for b in br:
+                writer.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eob_run += 1
+            be_bits.extend(br)
+            if eob_run == 0x7FFF:
+                flush_eobrun()
+        if ri and (n + 1) % ri == 0 and n + 1 < len(indices):
+            flush_eobrun()
+            _rst_of(writer, rst)
+            rst += 1
+    flush_eobrun()
+    writer.flush()
+    return bytes(writer.out)
+
+
+def _encode_progressive_scans(
+    out: bytearray, comp_blocks, samp, huff, width, height,
+    max_h, max_v, ri,
+) -> None:
+    """Emit the scan script: interleaved DC first (Al=1), per-component
+    AC first passes at Al=1 (luma band split 1-5/6-63), DC refinement,
+    per-component AC refinements to Al=0."""
+    mcx = -(-width // (8 * max_h))
+    mcy = -(-height // (8 * max_v))
+    nc = len(samp)
+    # the progressive AC table (id 2) — Annex K carries no EOBn symbols
+    out += _seg(
+        0xC4,
+        bytes([0x12]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS),
+    )
+    ac_prog = _canonical_codes_cached(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def sos(sel, ss, se, ah, al):
+        body = bytes([len(sel)])
+        for ci, tid in sel:
+            body += struct.pack(">BB", ci + 1, tid)
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    dc_sel = [(ci, (0 if ci == 0 else 1) << 4) for ci in range(nc)]
+    # 1. DC first, all components interleaved, Al=1
+    out += sos(dc_sel, 0, 0, 0, 1)
+    out += _emit_dc_scan(comp_blocks, samp, huff, mcx, mcy, 1, 0, ri)
+    # 2. AC first passes at Al=1 (luma spectrally split)
+    bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, nc)]
+    for ci, ss, se in bands:
+        idx = _comp_block_indices(
+            ci, comp_blocks, samp, width, height, max_h, max_v
+        )
+        out += sos([(ci, 2)], ss, se, 0, 1)
+        out += _emit_ac_first_scan(
+            comp_blocks[ci][0], idx, ac_prog, ss, se, 1, ri
+        )
+    # 3. DC refinement (no Huffman tables; table id bits ignored)
+    out += sos([(ci, 0) for ci in range(nc)], 0, 0, 1, 0)
+    out += _emit_dc_scan(comp_blocks, samp, huff, mcx, mcy, 0, 1, ri)
+    # 4. AC refinements to Al=0
+    for ci in range(nc):
+        idx = _comp_block_indices(
+            ci, comp_blocks, samp, width, height, max_h, max_v
+        )
+        out += sos([(ci, 2)], 1, 63, 1, 0)
+        out += _emit_ac_refine_scan(
+            comp_blocks[ci][0], idx, ac_prog, 1, 63, 0, ri
+        )
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -401,6 +655,7 @@ def encode_jpeg(
     channels: int = 3,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode row-major RGB (``channels=3``) or grayscale (``channels=1``)
     pixels as a baseline sequential JFIF JPEG with the Annex K tables.
@@ -409,7 +664,14 @@ def encode_jpeg(
     ``"4:2:2"`` (chroma box-averaged horizontally; MCU 16×8) or
     ``"4:2:0"`` (chroma box-averaged 2×2; MCU 16×16). Grayscale ignores
     it. ``restart_interval`` > 0 emits DRI and an RSTn every that many
-    MCUs.
+    scan units (MCUs, or blocks in non-interleaved progressive scans).
+
+    ``progressive=True`` emits a SOF2 frame with a scan script that
+    exercises both Annex G dimensions — an interleaved DC first scan at
+    Al=1 + DC refinement, per-component AC first scans at Al=1 with the
+    luma band split 1-5 / 6-63 (spectral selection), and per-component
+    AC refinement scans to Al=0 — so the decoded coefficients equal the
+    baseline encoding's exactly (the round-trip property the tests pin).
     """
     import numpy as np
 
@@ -485,7 +747,7 @@ def encode_jpeg(
     for ci, (h_f, v_f) in enumerate(samp):
         qid = 0 if ci == 0 else 1
         sof += struct.pack(">BBB", ci + 1, (h_f << 4) | v_f, qid)
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     dht = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
     dht += bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
     if not gray:
@@ -494,6 +756,15 @@ def encode_jpeg(
     out += _seg(0xC4, dht)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        _encode_progressive_scans(
+            out, comp_blocks, samp, huff, width, height,
+            max_h, max_v, restart_interval,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         tid = 0 if ci == 0 else 0x11
@@ -543,10 +814,12 @@ def _read_u16(d: bytes, p: int) -> int:
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline sequential JFIF payload →
     ``(width, height, channels, pixels)`` where pixels are row-major RGB
-    (3-component frames) or grayscale (1-component). Raises ``ValueError``
-    on anything outside the supported subset — truncation, progressive
-    (SOF2) / arithmetic frames, 12-bit precision, bad table ids, scan
-    overruns — so dispatchers can fall back to the stub path."""
+    (3-component frames) or grayscale (1-component). Sequential
+    (SOF0/SOF1) and progressive (SOF2) Huffman frames are supported.
+    Raises ``ValueError`` on anything outside the subset — truncation,
+    arithmetic frames, 12-bit precision, bad table ids, scan overruns,
+    malformed scan scripts — so dispatchers can fall back to the stub
+    path."""
     import numpy as np
 
     d = payload
@@ -559,13 +832,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     frame = None  # (h, w, [(cid, h_f, v_f, qid)])
     ri = 0
     scan = None
+    progressive = False
+    prog_store: dict = {}  # cid -> [[0]*64 per block] (int rows)
+    prog_grids: dict = {}  # cid -> (by, bx) on the MCU grid
+    prog_dims = None
+    n_scans = 0
+    saw_eoi = False
 
     while p + 1 < len(d):
         if d[p] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = d[p + 1]
         p += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -611,8 +891,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table_cached(
                     bytes(bits), bytes(vals)
                 )
-        elif marker == 0xC0 or marker == 0xC1:
-            # baseline / extended-sequential Huffman (identical layout)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # baseline / extended-sequential / progressive Huffman
+            # (identical SOF layout; 0xC2 switches the scan machinery)
+            if frame is not None:
+                raise ValueError("jpeg: multiple SOF markers")
             if len(body) < 6:
                 raise ValueError("jpeg: bad SOF")
             prec, h, w, nc = body[0], (body[1] << 8) | body[2], (
@@ -631,9 +914,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 cid, sf, qid = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, sf >> 4, sf & 15, qid))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg: only baseline sequential Huffman (SOF0/SOF1) supported"
+                "jpeg: only sequential/progressive Huffman "
+                "(SOF0/SOF1/SOF2) supported"
             )
         elif marker == 0xDD:
             if len(body) != 2:
@@ -648,8 +933,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(body) != 1 + 2 * ns + 3:
                 raise ValueError("jpeg: bad SOS length")
             h, w, comps = frame
-            if ns != len(comps):
-                raise ValueError("jpeg: non-interleaved scans not supported")
             sel = []
             seen_cids = set()
             for si in range(ns):
@@ -661,13 +944,60 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("jpeg: duplicate component in scan")
                 seen_cids.add(cid)
                 sel.append((match[0], tid >> 4, tid & 15))
-            ss, se, _a = body[-3], body[-2], body[-1]
-            if ss != 0 or se != 63:
-                raise ValueError("jpeg: spectral selection not supported")
-            scan = (sel, p)
-            break
+            ss, se, a = body[-3], body[-2], body[-1]
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError(
+                        "jpeg: non-interleaved scans not supported"
+                    )
+                if ss != 0 or se != 63:
+                    raise ValueError("jpeg: spectral selection not supported")
+                scan = (sel, p)
+                break
+            # progressive scan (§G.1.1.1.1): DC scans have Ss=Se=0 and
+            # may interleave; AC scans cover one component and a band
+            # 1..63; each refinement halves the point transform
+            ah, al = a >> 4, a & 15
+            if ss > se or se > 63 or (ss == 0) != (se == 0):
+                raise ValueError("jpeg: bad spectral selection bounds")
+            if ss > 0 and ns != 1:
+                raise ValueError("jpeg: AC scans must be single-component")
+            if al > 13 or (ah != 0 and ah != al + 1):
+                raise ValueError("jpeg: bad successive approximation")
+            if prog_dims is None:
+                max_h = max(c[1] for c in comps)
+                max_v = max(c[2] for c in comps)
+                if not (1 <= max_h <= 4 and 1 <= max_v <= 4):
+                    raise ValueError("jpeg: bad sampling factors")
+                for _, h_f, v_f, _ in comps:
+                    if h_f < 1 or v_f < 1 or max_h % h_f or max_v % v_f:
+                        raise ValueError("jpeg: unsupported sampling grid")
+                mcx = -(-w // (8 * max_h))
+                mcy = -(-h // (8 * max_v))
+                prog_dims = (h, w, max_h, max_v, mcx, mcy)
+                for cid_, h_f, v_f, _qid in comps:
+                    by, bx = mcy * v_f, mcx * h_f
+                    prog_grids[cid_] = (by, bx)
+                    prog_store[cid_] = [[0] * 64 for _ in range(by * bx)]
+            p = _decode_scan_progressive(
+                d, p, sel, ss, se, ah, al, comps, prog_store, prog_grids,
+                dc_tabs, ac_tabs, ri, prog_dims,
+            )
+            n_scans += 1
         else:
             raise ValueError(f"jpeg: unsupported marker 0x{marker:02x}")
+
+    if progressive:
+        if n_scans == 0:
+            raise ValueError("jpeg: no frame/scan found")
+        if not saw_eoi:
+            raise ValueError("jpeg: missing EOI after scan")
+        h, w, comps = frame
+        _h2, _w2, max_h, max_v, _mcx, _mcy = prog_dims
+        by_comp = [
+            (prog_store[cid], *prog_grids[cid]) for cid, _hf, _vf, _q in comps
+        ]
+        return _reconstruct(h, w, comps, by_comp, qts, max_h, max_v)
 
     if frame is None or scan is None:
         raise ValueError("jpeg: no frame/scan found")
@@ -835,18 +1165,33 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if d.find(b"\xff\xd9", scan_end) < 0:
         raise ValueError("jpeg: missing EOI after scan")
 
-    # dequantize + IDCT per component, vectorized. Batched matmuls
-    # (m.T @ C @ m over the block axis) instead of einsum: same
-    # contraction, BLAS-backed — einsum's C kernel was ~40% of decode
-    # wall time on real-AC images.
+    # A conformant scan may list components in any order; the YCbCr
+    # convention is the SOF position (JFIF: comps[0]=Y, [1]=Cb, [2]=Cr).
+    # Reorder the stores back to SOF order before reconstruction —
+    # decoding in scan order with the wrong channel assignment would
+    # produce silently-swapped colors, not a ValueError.
+    by_comp = [None] * len(comps)
+    for ci, (comp, _dc, _ac) in enumerate(sel):
+        by_comp[comps.index(comp)] = (coef_store[ci], *grids[ci])
+    return _reconstruct(h, w, comps, by_comp, qts, max_h, max_v)
+
+
+def _reconstruct(h, w, comps, by_comp, qts, max_h, max_v):
+    """Shared decode tail (baseline + progressive): dequantize + IDCT
+    per component, upsample to the frame grid, crop, color-convert.
+
+    Batched matmuls (m.T @ C @ m over the block axis) instead of
+    einsum: same contraction, BLAS-backed — einsum's C kernel was ~40%
+    of decode wall time on real-AC images."""
+    import numpy as np
+
     m = _m()
     planes = []
-    for ci, ((_cid, h_f, v_f, qid), _dc, _ac) in enumerate(sel):
-        by, bx = grids[ci]
+    for (_cid, h_f, v_f, qid), (rows, by, bx) in zip(comps, by_comp):
+        if qid not in qts:
+            raise ValueError("jpeg: scan references undefined quant table")
         qt = np.asarray(qts[qid], dtype=np.float64).reshape(8, 8)
-        coefs = np.asarray(coef_store[ci], dtype=np.float64).reshape(
-            -1, 8, 8
-        ) * qt
+        coefs = np.asarray(rows, dtype=np.float64).reshape(-1, 8, 8) * qt
         spatial = m.T @ coefs @ m + 128.0
         plane = (
             spatial.reshape(by, bx, 8, 8)
@@ -864,15 +1209,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
 
-    # A conformant scan may list components in any order; the YCbCr
-    # convention is the SOF position (JFIF: comps[0]=Y, [1]=Cb, [2]=Cr).
-    # Reorder decoded planes back to SOF order before color conversion —
-    # decoding in scan order with the wrong channel assignment would
-    # produce silently-swapped colors, not a ValueError.
-    by_sof = [None] * len(planes)
-    for plane, (comp, _dc, _ac) in zip(planes, sel):
-        by_sof[comps.index(comp)] = plane
-    y, cb, cr = by_sof
+    y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
@@ -890,6 +1227,256 @@ def _huff_slow(long_codes: dict, v16: int) -> tuple[int, int]:
         if sym is not None:
             return sym, length
     raise ValueError("jpeg: invalid huffman code in scan")
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G, Huffman) — spectral selection +
+# successive approximation, matching the libjpeg interchange behavior
+# (jdphuff.c) that real-world progressive files are written against.
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    """Bit reader over one restart segment of unstuffed entropy data.
+
+    Progressive scans interleave Huffman decodes, raw ``receive`` bits
+    and single correction bits at block granularity — a small stateful
+    reader is the readable shape here; the baseline decoder keeps its
+    measured locals-inlined loop (this path decodes each coefficient
+    once per REFINEMENT, not per scan, so the constant is bounded by
+    the number of scans, not multiplied into the hot MJPEG faces)."""
+
+    __slots__ = ("buf", "blen", "pos", "acc", "nb")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.blen = len(buf)
+        self.pos = 0
+        self.acc = 0
+        self.nb = 0
+
+    def _fill(self) -> None:
+        chunk = self.buf[self.pos : self.pos + 7]
+        if chunk:
+            self.acc = (
+                (self.acc & ((1 << self.nb) - 1)) << (8 * len(chunk))
+            ) | int.from_bytes(chunk, "big")
+            self.nb += 8 * len(chunk)
+            self.pos += len(chunk)
+
+    def decode(self, lut, long_codes) -> int:
+        if self.nb < 16 and self.pos < self.blen:
+            self._fill()
+        nb = self.nb
+        v16 = (
+            (self.acc >> (nb - 16)) & 0xFFFF
+            if nb >= 16
+            else (self.acc << (16 - nb)) & 0xFFFF
+        )
+        e = lut[v16 >> 8]
+        if e is None:
+            sym, ln = _huff_slow(long_codes, v16)
+        else:
+            sym, ln = e
+        if ln > nb:
+            raise ValueError("jpeg: truncated entropy-coded segment")
+        self.nb = nb - ln
+        return sym
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nb < n:
+            self._fill()
+            if self.nb < n:
+                raise ValueError("jpeg: truncated entropy-coded segment")
+        self.nb -= n
+        return (self.acc >> self.nb) & ((1 << n) - 1)
+
+    def bit(self) -> int:
+        return self.receive(1)
+
+    def assert_aligned_end(self) -> None:
+        # §F.2.1.3.1: at a restart boundary at most 7 padding bits may
+        # remain unconsumed before the marker
+        if (self.blen - self.pos) * 8 + self.nb >= 8:
+            raise ValueError("jpeg: data before restart marker")
+
+
+def _decode_scan_progressive(
+    d: bytes,
+    scan_pos: int,
+    sel: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list,
+    coef_store: dict,
+    grids: dict,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    ri: int,
+    dims: tuple,
+) -> int:
+    """Decode ONE progressive scan into the per-component coefficient
+    stores (T.81 §G.2; EOB-run / correction-bit semantics per the
+    interchange behavior codified in libjpeg's jdphuff.c). Returns the
+    stream position where the scan's entropy data ended."""
+    h, w, max_h, max_v, mcx, mcy = dims
+    segments, rst_markers, scan_end = _unstuff_scan(d, scan_pos)
+
+    interleaved = len(sel) > 1
+    if interleaved:
+        n_units = mcx * mcy
+    else:
+        # non-interleaved scans cover the component's OWN ceil-grid —
+        # NOT the MCU-padded grid (§A.2.2); right/bottom MCU padding
+        # blocks simply never receive AC data
+        _cid, h_f, v_f, _qid = sel[0][0]
+        cw = -(-w * h_f // max_h)
+        ch = -(-h * v_f // max_v)
+        bw_n = -(-cw // 8)
+        bh_n = -(-ch // 8)
+        n_units = bw_n * bh_n
+
+    dc_scan = ss == 0
+    tabs = []
+    for comp, dc_id, ac_id in sel:
+        if dc_scan and ah == 0:
+            if dc_id not in dc_tabs:
+                raise ValueError("jpeg: scan references undefined huffman table")
+            tabs.append(dc_tabs[dc_id])
+        elif not dc_scan:
+            if ac_id not in ac_tabs:
+                raise ValueError("jpeg: scan references undefined huffman table")
+            tabs.append(ac_tabs[ac_id])
+        else:
+            tabs.append(None)  # DC refinement needs no table
+
+    bits = _Bits(segments[0])
+    seg_idx = 0
+    rst = 0
+    preds = [0] * len(sel)
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    zig = ZIGZAG
+
+    for unit in range(n_units):
+        if interleaved:
+            my, mx = divmod(unit, mcx)
+            targets = []
+            for si, (comp, _dc, _ac) in enumerate(sel):
+                cid, h_f, v_f, _qid = comp
+                _by, bx = grids[cid]
+                store = coef_store[cid]
+                for vy in range(v_f):
+                    base = (my * v_f + vy) * bx + mx * h_f
+                    for vx in range(h_f):
+                        targets.append((si, store[base + vx]))
+        else:
+            cid = sel[0][0][0]
+            _by, bx = grids[cid]
+            r_, c_ = divmod(unit, bw_n)
+            targets = [(0, coef_store[cid][r_ * bx + c_])]
+
+        for si, row in targets:
+            if dc_scan:
+                if ah == 0:
+                    dc_lut, dc_long = tabs[si]
+                    t = bits.decode(dc_lut, dc_long)
+                    if t > 11:
+                        raise ValueError("jpeg: bad DC category")
+                    preds[si] += _extend(bits.receive(t), t)
+                    row[0] = preds[si] << al
+                else:
+                    if bits.bit():
+                        row[0] |= p1
+            elif ah == 0:
+                # AC initial pass (§G.1.2.2 decode side)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                ac_lut, ac_long = tabs[si]
+                while k <= se:
+                    sym = bits.decode(ac_lut, ac_long)
+                    s = sym & 15
+                    r = sym >> 4
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC coefficient overrun")
+                        row[zig[k]] = _extend(bits.receive(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) + bits.receive(r) - 1
+                            break
+                        k += 16  # ZRL
+            else:
+                # AC refinement pass (§G.1.2.3 decode side / jdphuff.c):
+                # each symbol carries a newly-nonzero coefficient (s=1),
+                # a ZRL, or an EOB run; history-nonzero coefficients
+                # consume one correction bit each as the band advances
+                k = ss
+                ac_lut, ac_long = tabs[si]
+                if eobrun == 0:
+                    while k <= se:
+                        sym = bits.decode(ac_lut, ac_long)
+                        s = sym & 15
+                        r = sym >> 4
+                        newly = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: bad code in AC refinement scan"
+                                )
+                            newly = p1 if bits.bit() else m1
+                        elif r != 15:
+                            eobrun = (1 << r) + bits.receive(r)
+                            break
+                        # advance over r zero-history positions,
+                        # refining every nonzero-history one passed
+                        while k <= se:
+                            cv = row[zig[k]]
+                            if cv:
+                                if bits.bit() and not (int(cv) & p1):
+                                    row[zig[k]] = cv + (p1 if cv > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newly:
+                            if k > se:
+                                raise ValueError(
+                                    "jpeg: AC coefficient overrun"
+                                )
+                            row[zig[k]] = newly
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cv = row[zig[k]]
+                        if cv and bits.bit() and not (int(cv) & p1):
+                            row[zig[k]] = cv + (p1 if cv > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+        if ri and (unit + 1) % ri == 0 and unit + 1 < n_units:
+            bits.assert_aligned_end()
+            if seg_idx >= len(rst_markers):
+                raise ValueError("jpeg: missing restart marker")
+            if rst_markers[seg_idx] != (rst & 7):
+                raise ValueError("jpeg: out-of-order restart marker")
+            seg_idx += 1
+            bits = _Bits(segments[seg_idx])
+            rst += 1
+            preds = [0] * len(sel)
+            eobrun = 0
+
+    return scan_end
 
 
 def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
@@ -911,7 +1498,7 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
             raise ValueError("jpeg: truncated segment body")
         body = d[p + 2 : p + seg_len]
         p += seg_len
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             if len(body) < 6:
                 raise ValueError("jpeg: bad SOF")
             return (

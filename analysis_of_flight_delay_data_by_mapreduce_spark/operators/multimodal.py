@@ -64,6 +64,7 @@ __all__ = [
     "attach_synthetic_mjpeg_mp4",
     "attach_synthetic_mp4",
     "attach_synthetic_png",
+    "attach_synthetic_progressive_jpeg",
     "attach_synthetic_wav",
     "attach_synthetic_wav_bursts",
     "audio_features",
@@ -1228,6 +1229,67 @@ def attach_synthetic_jpeg(df: DataFrame, id_col: str) -> DataFrame:
                         }
                         for w, h in zip(widths, heights)
                     ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+def attach_synthetic_progressive_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with REAL progressive (SOF2) JPEG payloads —
+    Annex G scan scripts: interleaved DC first + refinement, spectrally
+    split AC first passes at Al=1, AC refinements to Al=0, rotating
+    subsampling (4:4:4/4:2:0/4:2:2 by id) and restart intervals (DRI 0/2
+    by id parity). Content: a fixed 24×16 gray frame of six flat 8×8
+    tiles whose levels spell the asset id in nibbles (32 + 4·nibble —
+    even and ≤ 92, so the lossy round trip is BIT-EXACT under the Annex
+    K DC quantizer AND the pixel bytes stay ASCII-rebuildable for a
+    DuckDB sha256 oracle; gray pixels keep chroma flat at 128, so
+    subsampled planes are DC-only too). Same ``_spread_ids`` contract as
+    ``attach_synthetic_jpeg``."""
+    from .jpeg import encode_jpeg
+
+    src = _spread_ids(df, id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w, h = 24, 16
+        for pdf in batches:
+            payloads = []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                gray = np.zeros((h, w), dtype=np.uint8)
+                for t in range(6):
+                    nib = (aid >> (4 * t)) & 15
+                    r, c = divmod(t, 3)
+                    gray[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = 32 + 4 * nib
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                payloads.append(
+                    encode_jpeg(
+                        w, h, rgb.tobytes(), 3,
+                        subsampling=("4:4:4", "4:2:0", "4:2:2")[aid % 3],
+                        restart_interval=2 * (aid % 2),
+                        progressive=True,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "image/jpeg",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                        }
+                    ] * len(pdf),
                 }
             )
 

@@ -750,8 +750,10 @@ def test_jpeg_header_only_dimensions():
 
 def test_jpeg_rejections_fall_back_to_stub():
     """Out-of-subset payloads raise ValueError, and _decode_image falls
-    back to the deterministic stub: truncation, progressive SOF2, bad
-    Huffman stream, missing EOI, non-JPEG bytes."""
+    back to the deterministic stub: truncation, a baseline scan script
+    inside a SOF2 frame (Ss=0/Se=63 is not a valid progressive scan —
+    SOF2 itself decodes for real since r12), bad Huffman stream, missing
+    EOI, non-JPEG bytes."""
     import numpy as np
     import pytest
 
@@ -1141,6 +1143,89 @@ def test_jpeg_and_mp4_truncation_fuzz_never_wrong_only_raise():
         bad[pos] ^= int(rng.randint(1, 256))
         try:
             parse_mp4_meta(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """r12 progressive (SOF2): the scan script reconstructs EXACTLY the
+    quantized coefficients the baseline encoding carries, so decode of
+    the progressive stream must be BYTE-IDENTICAL to decode of the
+    baseline stream — across content regimes (noise exercises dense
+    run/size coding; flat exercises multi-block EOBn runs; gradients
+    exercise refinement correction bits inside EOB runs), geometries
+    that make the non-interleaved ceil-grid differ from the MCU grid,
+    all subsamplings, restart intervals, and grayscale."""
+    import numpy as np
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+
+    def imgs(w, h):
+        yield rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)  # noise
+        yield np.full((h, w, 3), 130, dtype=np.uint8)  # flat -> EOB runs
+        gx = np.linspace(0, 255, w)[None, :, None]
+        gy = np.linspace(0, 255, h)[:, None, None]
+        yield np.clip(np.rint(gx * 0.6 + gy * 0.4), 0, 255).astype(
+            np.uint8
+        ) * np.ones((1, 1, 3), dtype=np.uint8)  # smooth gradient
+
+    # (17, 9) at 4:2:2/4:2:0: luma ceil-grid (3 blocks/row) < MCU grid
+    # (4 blocks/row) — the §A.2.2 distinction progressive AC scans hit
+    for (w, h) in [(16, 16), (17, 9), (40, 24)]:
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            for ri in (0, 3):
+                for img in imgs(w, h):
+                    px = img.tobytes()
+                    base = decode_jpeg(
+                        encode_jpeg(w, h, px, 3, sub, restart_interval=ri)
+                    )
+                    prog = decode_jpeg(
+                        encode_jpeg(
+                            w, h, px, 3, sub,
+                            restart_interval=ri, progressive=True,
+                        )
+                    )
+                    assert base == prog, (w, h, sub, ri)
+
+    g = rng.randint(0, 256, size=(32, 24), dtype=np.uint8).tobytes()
+    assert decode_jpeg(encode_jpeg(24, 32, g, 1)) == decode_jpeg(
+        encode_jpeg(24, 32, g, 1, progressive=True)
+    )
+
+
+def test_jpeg_progressive_fuzz_never_wrong_only_raise():
+    """The rejection contract extends to progressive streams: every
+    strict prefix raises ValueError, and any single byte flip either
+    still decodes or raises ValueError — never another exception type
+    (the mapInPandas stub fallback catches ValueError only)."""
+    import numpy as np
+    import pytest
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    jp = encode_jpeg(
+        24, 16, img.tobytes(), 3, subsampling="4:2:0", progressive=True
+    )
+    assert decode_jpeg(jp)  # the fixture itself is valid
+    for cut in range(0, len(jp), 7):
+        with pytest.raises(ValueError):
+            decode_jpeg(jp[:cut])
+    for _ in range(200):
+        pos = int(rng.randint(0, len(jp)))
+        bad = bytearray(jp)
+        bad[pos] ^= int(rng.randint(1, 256))
+        try:
+            decode_jpeg(bytes(bad))
         except ValueError:
             pass
 
