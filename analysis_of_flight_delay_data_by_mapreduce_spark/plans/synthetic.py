@@ -8609,3 +8609,159 @@ def docs_weighted_sample_merge_check(spark: SparkSession, sf_dir: str) -> DataFr
     return merged.select(
         "source", "doc_id", "n_chars", "key_micro", F.col("rk").cast("long").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest face (r12, VERDICT r11 item 7): the schema-explicit
+# PERMISSIVE JSON-lines reader (sources/readers.py::read_jsonl) gets a
+# driver witness. A JSONL corpus is materialized once per source-parquet
+# identity (good lines = to_json of every event row; one deterministic
+# MALFORMED line injected per event_id % 97 == 0), read back with the
+# explicit schema, and reduced per event_type: corrupt lines must land
+# in the _corrupt_record quarantine column (null-typed group) without
+# failing the job OR contaminating the typed groups' cent-exact sums.
+# The oracle recomputes every group from the parquet in closed form —
+# a reader that dropped corrupt lines, mis-parsed a double, or leaked a
+# corrupt row into a typed group goes red. Scratch caching follows the
+# ann_ivfpq_upsert_check convention (marker + rename; face-local test
+# scaffolding — the reader itself is scheme-agnostic through Spark).
+# ---------------------------------------------------------------------------
+def _jsonl_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import shutil
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/spark_graft_jsonl_{key}"
+    marker = os.path.join(path, "_COMMITTED")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events")
+    good = ev.select(
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("value")
+    )
+    bad = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.concat(
+            F.lit('{"event_id": '), F.col("event_id").cast("string"),
+            F.lit(', "user_id":')  # truncated on purpose — not valid JSON
+        ).alias("value")
+    )
+    good.unionAll(bad).write.mode("overwrite").text(staging)
+    with open(os.path.join(staging, "_COMMITTED"), "w") as fh:
+        fh.write("ok\n")
+    os.rename(staging, path)
+    return path
+
+
+@register(
+    "events_jsonl_ingest_check",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT NULL,
+           CAST(COUNT(*) AS BIGINT),
+           NULL,
+           CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def events_jsonl_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.readers import read_jsonl
+
+    path = _jsonl_fixture_path(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = read_jsonl(spark, path, schema)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("cents"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip face (r12, VERDICT r11 item 7): orders written to ORC
+# (sources/sinks.py::write_orc) and scanned back (readers.py::read_orc)
+# with a date-range filter + status rollup, hash-compared against the
+# same aggregate DuckDB computes from the parquet — witnessing that the
+# second columnar format round-trips values (timestamps included)
+# bit-exactly and that the scan path accepts pushed filters. Scratch
+# caching as above.
+# ---------------------------------------------------------------------------
+def _orc_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import shutil
+
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/spark_graft_orc_{key}"
+    marker = os.path.join(path, "_COMMITTED")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    from ..sources.sinks import write_orc
+
+    write_orc(_t(spark, sf_dir, "orders"), staging)
+    with open(os.path.join(staging, "_COMMITTED"), "w") as fh:
+        fh.write("ok\n")
+    os.rename(staging, path)
+    return path
+
+
+@register(
+    "orders_orc_roundtrip_check",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_orc_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_orc
+
+    orders = read_orc(spark, _orc_fixture_path(spark, sf_dir))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
