@@ -24,85 +24,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-11 rotation (VERDICT
-# r10 items 1 and 4): lead with the rows NEW or CHANGED this round —
-# the re-pinned MP4 frame-sample face (oracle now a full per-sample
-# digest differential off the parsed stbl), the new sample-table-stats
-# and MJPEG-decoded-pixels faces, and dedup_minhash/dedup_simhash
-# converted rows-only → full hash checks via the XXH64-twin VALUES
-# literals (operators/dedup_twin.py), plus tokens_cms_sketch (xxh64-twin
-# CMS grid) and ann_cosine_topk_ivf (bit-exact fold-order cosine twin,
-# raw-double literals) likewise converted — then ALL twenty-two
-# r7-stamped rows (the oldest stamps; after this round none older than
-# r8), then the 22 alphabetically-first r8 rows (ann_cosine_topk_ivf
-# sits in that block with its NEW oracle). The remaining TWENTY-FIVE r8
-# rows are the designated overflow, listed after slot 50 for the r12
-# window. Every rotated-out query is still re-verified each round by
-# the full local check_oracle sweep and the pytest oracle replicas.
+# entries; registry order is ours to choose. Round-12 rotation (VERDICT
+# r11 items 1, 2, 3, 7): lead with the rows NEW or CHANGED this round —
+# the progressive-JPEG per-row digest face, the JSONL/ORC reader
+# round-trip faces, and the MP4 sample-table face whose
+# duration_consistent check was strengthened (exact stts-span equality)
+# — then ALL twenty-five r8-stamped overflow rows (the oldest stamps;
+# this block includes events_user_sketch_rollup / events_user_overlap_
+# sketch, converted this round from rows-only to FULL hash checks via
+# the own-register HLL / KMV-theta twins in operators/hll.py), then the
+# 21 alphabetically-first r9 rows. After this round no stamp is older
+# than r9; the remaining 28 r9 rows are the designated overflow for the
+# r13 window, listed after slot 50. Every rotated-out query is still
+# re-verified each round by the full local check_oracle sweep and the
+# pytest oracle replicas.
 _CHECK_FIRST = [
-    # --- new or changed in r11 ---
-    "multimodal_mp4_frame_sample_check",  # re-pinned: per-sample stbl digests
-    "multimodal_mp4_sample_table_check",  # NEW: stts/stsz/stsc/stco stats
-    "multimodal_video_pixels_check",  # NEW: MJPEG-in-MP4 decoded-pixel digests
-    "dedup_minhash",  # rows-only -> ORACLE: XXH64-twin VALUES literals
-    "dedup_simhash",  # rows-only -> ORACLE: XXH64-twin VALUES literals
-    "tokens_cms_sketch",  # rows-only -> ORACLE: xxh64-twin CMS grid literals
-    # --- last driver row r7 (all 22; VERDICT r10 item 1) ---
-    "customer_running_spend",
-    "dedup_exact",
-    "docs_chunk_overlap",
-    "events_funnel",
-    "events_interval_join",
-    "events_purchase_gaps",
-    "events_quantiles_by_type",
-    "events_salted_stats",
-    "events_session_window",
-    "events_trailing_7d_spend",
-    "events_value_zscore_outliers",
-    "lineitem_price_qty_corr",
-    "multimodal_features_ann",
-    "multimodal_frame_sample",
-    "multimodal_stats",
-    "orders_grouping_sets",
-    "parties_union",
-    "revenue_by_nation",
-    "revenue_decimal_by_flag",
-    "top_terms",
-    "tpch_q14_promo_revenue",
-    "users_error_no_recovery",
-    # --- last driver row r8 (22 of 47; rest are the designated overflow) ---
-    "ann_cosine_topk_ivf",  # rows-only -> ORACLE: fold-exact twin literals
-    "ann_ivf_probe_topk",
-    "corpus_prepare_audit",
-    "corpus_prepare_semantic",
-    "customer_rfm",
-    "customer_snapshot_diff",
-    "customers_without_orders",
-    "dedup_incremental",
-    "dedup_incremental_minhash_check",
-    "dedup_semantic",
-    "dedup_semantic_incremental",
-    "docs_difficulty_quartiles",
-    "docs_hash_split",
-    "docs_mixture_sample",
-    "docs_pack_chunks",
-    "docs_repetition_filter",
-    "docs_source_budget_cap",
-    "docs_top_quality_per_source",
-    "docs_weighted_sample",
-    "docs_weighted_sample_merge_check",
-    "embedding_label_centroids",
-    "events_asof_signup",
-    # --- the designated r8 overflow rows (slots 51+; r12 window) ---
+    # --- new or changed in r12 ---
+    "multimodal_jpeg_progressive_check",  # NEW: SOF2 per-row pixel digests
+    "events_jsonl_ingest_check",  # NEW: PERMISSIVE JSONL + quarantine
+    "orders_orc_roundtrip_check",  # NEW: ORC sink/scan round trip
+    "multimodal_mp4_sample_table_check",  # CHANGED: exact stts-span check
+    # --- last driver row r8 (all 25; VERDICT r11 item 1) ---
     "events_json_props",
     "events_latest_state",
     "events_mad_outliers_by_type",
     "events_segment_spend",
     "events_sessionize",
     "events_user_overlap_check",
-    "events_user_overlap_sketch",
+    "events_user_overlap_sketch",  # rows-only -> ORACLE: KMV-theta twin
     "events_user_sketch_check",
-    "events_user_sketch_rollup",
+    "events_user_sketch_rollup",  # rows-only -> ORACLE: own-register HLL twin
     "multimodal_bmp_decode_check",
     "orders_above_customer_avg",
     "text_bm25",
@@ -119,6 +70,57 @@ _CHECK_FIRST = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
     "tpch_q9_profit_by_nation_year",
+    # --- last driver row r9 (21 of 49 alphabetically; rest overflow) ---
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "ann_ivf_recall_check",
+    "ann_ivfpq_upsert_check",
+    "corpus_prepare",
+    "corpus_prepare_cc",
+    "corpus_prepare_cc_best",
+    "dedup_embedding",
+    "dedup_minhash_recall_check",
+    "dedup_simhash_check",
+    "docs_bpe_token_counts",
+    "docs_dsir_selected_mixture",
+    "docs_dsir_weights",
+    "docs_dup_span_strip",
+    "docs_dup_spans",
+    "docs_quantile_sketch_check",
+    "docs_tfidf_cosine_pairs",
+    "events_interval_join_binned",
+    "events_quantile_merge_check",
+    "events_sliding",
+    "events_value_quantile_check",
+    # --- the designated r9 overflow rows (slots 51+; r13 window) ---
+    "multimodal_audio_features",
+    "multimodal_gif_decode_check",
+    "multimodal_png_decode_check",
+    "multimodal_resize_check",
+    "multimodal_video_frame_check",
+    "nation_customer_counts",
+    "orders_bloom_semijoin",
+    "orders_join_size_cms_check",
+    "pivot_status_revenue",
+    "purchase_age_salted_join",
+    "q1_delay",
+    "q2_late",
+    "q3_wordcount",
+    "q4_repeat_visits",
+    "q5_dup_dates",
+    "sales_cube",
+    "supplier_authority_pagerank",
+    "text_language_id",
+    "text_language_id_trigram",
+    "text_quality",
+    "text_tfidf",
+    "text_token_counts",
+    "text_winnow_fingerprint",
+    "user_spend_quartiles",
+    "user_state_intervals",
+    "users_purchase_and_error",
+    "users_purchase_no_refund_day",
+    "vocab_build",
 ]
 
 
