@@ -54,9 +54,10 @@ def main() -> None:
     # necessarily includes them and is only useful relative to other
     # runs' end values. The gate itself (wait_for_idle) holds the sweep
     # until the host is quiet.
-    load1_start, load1_wait = wait_for_idle(
+    load1_start, load5_start, load1_wait = wait_for_idle(
         float(os.environ.get("BENCH_LOAD1_GATE", "2.0")),
         float(os.environ.get("BENCH_LOAD1_WAIT_MAX", "600")),
+        float(os.environ.get("BENCH_LOAD5_GATE", "2.5")),
     )
     spark = get_spark("bench")
 
@@ -163,6 +164,7 @@ def main() -> None:
         "cold": cold,
         "cold_total": round(sum(cold.values()), 4),
         "load1_start": load1_start,
+        "load5_start": load5_start,
         "load1_wait_sec": load1_wait,
         "load1_end": round(os.getloadavg()[0], 2),
         "load1_per_query": loads,
@@ -189,25 +191,32 @@ def main() -> None:
 def wait_for_idle(
     gate: float,
     wait_max: float,
+    load5_gate: float | None = None,
     load_fn=None,
     sleep_fn=None,
-) -> tuple[float, float]:
-    """Block (bounded) until load1 drops under ``gate`` → ``(load1,
-    waited_sec)``. VERDICT r10 item 6: a contended start poisons rows
-    that all adjudicate as contention later — wasted judge cycles. The
-    wait is RECORDED in the artifact, and a still-contended start after
-    ``wait_max`` proceeds anyway (the driver's sweep must not hang
-    forever); the recorded load makes it visibly untrustworthy.
+) -> tuple[float, float, float]:
+    """Block (bounded) until BOTH load1 < ``gate`` and load5 <
+    ``load5_gate`` → ``(load1, load5, waited_sec)``. VERDICT r10 item 6
+    introduced the load1 gate; r11's lesson (VERDICT r11 item 6 /
+    NEXT.md) is that load1 decays minutes before load5 does — a sweep
+    started ~2 min after a heavy job saw load1 1.74 but recorded 1.6-2.2×
+    phantom rows that all idle-re-measured clean. Gating on load5 too
+    holds the start until the recent-history average has actually
+    drained. A still-contended start after ``wait_max`` proceeds anyway
+    (the driver's sweep must not hang forever); the recorded loads make
+    it visibly untrustworthy. ``load_fn`` returns ``(load1, load5)``;
     ``load_fn``/``sleep_fn`` exist for the unit test."""
-    load_fn = load_fn or (lambda: os.getloadavg()[0])
+    load_fn = load_fn or (lambda: os.getloadavg()[:2])
     sleep_fn = sleep_fn or time.sleep
-    load1 = round(load_fn(), 2)
+    if load5_gate is None:
+        load5_gate = 1.25 * gate
+    l1, l5 = (round(x, 2) for x in load_fn())
     waited = 0.0
-    while load1 > gate and waited < wait_max:
+    while (l1 > gate or l5 > load5_gate) and waited < wait_max:
         sleep_fn(15.0)
         waited += 15.0
-        load1 = round(load_fn(), 2)
-    return load1, waited
+        l1, l5 = (round(x, 2) for x in load_fn())
+    return l1, l5, waited
 
 
 def load_ledger(sf: float) -> dict[str, float]:

@@ -184,30 +184,47 @@ def test_bench_load_ledger_parses_baseline_block():
 
 
 def test_bench_wait_for_idle_gate():
-    """VERDICT r10 item 6: the sweep start gate waits (bounded) for
-    load1 to drop under the gate, records the wait, and proceeds anyway
-    after wait_max so a driver sweep can't hang forever."""
+    """VERDICT r10 item 6 + r11 item 6: the sweep start gate waits
+    (bounded) for BOTH load1 and load5 to drop under their gates —
+    load1 decays minutes before load5, and an early start poisons rows
+    — records the wait, and proceeds anyway after wait_max so a driver
+    sweep can't hang forever."""
     import bench
 
     # already idle: no sleeping at all
     sleeps = []
-    load, waited = bench.wait_for_idle(
-        2.0, 600, load_fn=lambda: 0.5, sleep_fn=sleeps.append
+    l1, l5, waited = bench.wait_for_idle(
+        2.0, 600, 2.5, load_fn=lambda: (0.5, 0.4), sleep_fn=sleeps.append
     )
-    assert (load, waited, sleeps) == (0.5, 0.0, [])
+    assert (l1, l5, waited, sleeps) == (0.5, 0.4, 0.0, [])
 
     # contended then clearing: waits in 15s steps until under the gate
-    seq = iter([9.0, 6.0, 3.0, 1.2])
-    load, waited = bench.wait_for_idle(
-        2.0, 600, load_fn=lambda: next(seq), sleep_fn=sleeps.append
+    seq = iter([(9.0, 9.5), (6.0, 7.0), (3.0, 4.0), (1.2, 1.5)])
+    l1, l5, waited = bench.wait_for_idle(
+        2.0, 600, 2.5, load_fn=lambda: next(seq), sleep_fn=sleeps.append
     )
-    assert load == 1.2 and waited == 45.0 and sleeps == [15.0] * 3
+    assert (l1, l5, waited) == (1.2, 1.5, 45.0) and sleeps == [15.0] * 3
+
+    # the r11 phantom-row regime: load1 already clean but load5 still
+    # draining MUST keep the gate closed
+    seq = iter([(1.7, 6.2), (1.5, 3.1), (1.4, 2.0)])
+    l1, l5, waited = bench.wait_for_idle(
+        2.0, 600, 2.5, load_fn=lambda: next(seq), sleep_fn=lambda s: None
+    )
+    assert (l1, l5, waited) == (1.4, 2.0, 30.0)
 
     # never clears: gives up at wait_max with the contended load visible
-    load, waited = bench.wait_for_idle(
-        2.0, 30, load_fn=lambda: 8.8, sleep_fn=lambda s: None
+    l1, l5, waited = bench.wait_for_idle(
+        2.0, 30, 2.5, load_fn=lambda: (8.8, 9.0), sleep_fn=lambda s: None
     )
-    assert load == 8.8 and waited == 30.0
+    assert (l1, l5, waited) == (8.8, 9.0, 30.0)
+
+    # default load5 gate derives from the load1 gate (1.25x)
+    seq = iter([(0.5, 2.6), (0.5, 2.4)])
+    l1, l5, waited = bench.wait_for_idle(
+        2.0, 600, load_fn=lambda: next(seq), sleep_fn=lambda s: None
+    )
+    assert (l1, l5, waited) == (0.5, 2.4, 15.0)
 
 
 def test_bench_load_ledger_reads_sf1_block_too():
