@@ -105,8 +105,17 @@ def prepare_corpus_cc(
     cluster — the production convention. Every stage is deterministic and
     SQL-expressible, so — unlike the MinHash variant — this composed
     pipeline is value-hash-checked against the DuckDB oracle end-to-end.
-    At 100 TB the exact pair stage is the documented PPJoin/inverted-index
-    path and the closure is the O(log n) star algorithm.
+
+    Scale posture (measured, BASELINE.md "sf3 (30x) scale point"): the
+    exact pair stage costs Θ(Σ C(df,2)) over shingle document
+    frequencies — ~linear on open-vocabulary text, QUADRATIC when the
+    shingle space saturates (measured n^2.5 wall at 30x on the
+    synthetic corpus, whose ~30k-shingle vocabulary saturates by
+    construction). At 100 TB use :func:`prepare_corpus` (MinHash-LSH
+    pair stage, measured flat at the same scale points) or pass a
+    ``max_doc_freq`` stop-shingle cap into the exact path; this
+    function is the exact-semantics correctness witness. The closure is
+    the O(log n) star algorithm either way.
     """
     scored = quality_score(docs, text_col).filter(F.col("quality") >= min_quality)
     scored = fingerprint(scored, text_col)
