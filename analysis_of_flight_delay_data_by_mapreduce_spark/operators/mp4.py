@@ -89,6 +89,37 @@ def _minimal_stbl() -> bytes:
     return _box(b"stbl", stsd + stts + stsc + stsz + stco)
 
 
+def make_avc1_entry(width: int, height: int, avcc: bytes) -> bytes:
+    """An ``avc1`` VisualSampleEntry (ISO/IEC 14496-15 §5.3.4 over
+    14496-12 §12.1.3) wrapping the given AVCDecoderConfigurationRecord:
+    the stsd entry that tells a reader the track's samples are
+    length-prefixed H.264 NAL units whose parameter sets live in the
+    embedded ``avcC`` box."""
+    if not 0 < width <= 0xFFFF or not 0 < height <= 0xFFFF:
+        raise ValueError("mp4: avc1 geometry out of range")
+    if not avcc or avcc[0] != 1:
+        raise ValueError("mp4: bad avcC record")
+    body = (
+        b"\x00" * 6  # SampleEntry reserved
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4  # reserved
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname (empty pascal string)
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        + _box(b"avcC", avcc)
+    )
+    return _box(b"avc1", body)
+
+
+def _stsd(sample_entry: bytes | None) -> bytes:
+    if sample_entry is None:
+        return _full(b"stsd", 0, 0, struct.pack(">I", 0))
+    return _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+
+
 def _chunk_counts(n_samples: int, samples_per_chunk: int) -> list[int]:
     """Sample count per chunk for a fixed samples-per-chunk layout (the
     last chunk may be short)."""
@@ -103,6 +134,8 @@ def _sample_stbl(
     samples_per_chunk: int,
     chunk_offsets: list[int],
     deltas: list[int] | None = None,
+    sample_entry: bytes | None = None,
+    sync_samples: list[int] | None = None,
 ) -> bytes:
     """A POPULATED sample table (ISO/IEC 14496-12 §8.6-8.7): ``stts``
     run-length encodes the decode deltas — uniform (remainder spread
@@ -111,9 +144,11 @@ def _sample_stbl(
     is what produces genuine multi-entry stts runs) — ``stsz`` carries
     per-sample byte sizes, ``stsc`` the fixed samples-per-chunk runs
     (short last chunk gets its own run), ``stco`` absolute file offsets
-    of each chunk."""
+    of each chunk. ``sample_entry`` (r12) populates ``stsd`` with a real
+    codec entry (e.g. ``avc1``); ``sync_samples`` (r12) emits an ``stss``
+    sync-sample box — 1-based, strictly increasing, the keyframe map."""
     n = len(sizes)
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 0))
+    stsd = _stsd(sample_entry)
     if deltas is not None:
         if len(deltas) != n or any(d <= 0 for d in deltas):
             raise ValueError("mp4: bad per-sample deltas")
@@ -164,7 +199,22 @@ def _sample_stbl(
         struct.pack(">I", len(chunk_offsets))
         + b"".join(struct.pack(">I", o) for o in chunk_offsets),
     )
-    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stss = b""
+    if sync_samples is not None:
+        if not sync_samples or any(
+            s < 1 or s > n for s in sync_samples
+        ) or any(
+            a >= b for a, b in zip(sync_samples, sync_samples[1:])
+        ):
+            raise ValueError("mp4: bad sync sample list")
+        stss = _full(
+            b"stss",
+            0,
+            0,
+            struct.pack(">I", len(sync_samples))
+            + b"".join(struct.pack(">I", s) for s in sync_samples),
+        )
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
 
 
 def _minf(media_header: bytes, stbl: bytes | None = None) -> bytes:
@@ -215,6 +265,8 @@ def encode_mp4(
     video_samples: list[bytes] | None = None,
     samples_per_chunk: int = 0,
     video_sample_deltas: list[int] | None = None,
+    video_sample_entry: bytes | None = None,
+    sync_samples: list[int] | None = None,
 ) -> bytes:
     """Serialize a minimal spec-shaped ISO-BMFF container: ``ftyp`` +
     ``moov`` (mvhd + one trak per stream, each with tkhd/mdia/mdhd/hdlr/
@@ -230,9 +282,17 @@ def encode_mp4(
     runs), stsz (true per-sample sizes), stsc (``samples_per_chunk``
     runs, 0 = one chunk) and stco (absolute file offsets, computed
     with a second pass since moov precedes mdat). Mutually exclusive
-    with a raw ``mdat`` body."""
+    with a raw ``mdat`` body.
+
+    ``video_sample_entry`` / ``sync_samples`` (r12): a real ``stsd``
+    codec entry (see ``make_avc1_entry``) and an ``stss`` sync-sample
+    (keyframe) box for the video track; both require ``video_samples``."""
     if duration_ms < 0 or movie_timescale <= 0:
         raise ValueError("mp4: bad duration/timescale")
+    if video_samples is None and (
+        video_sample_entry is not None or sync_samples is not None
+    ):
+        raise ValueError("mp4: stsd entry/stss require video_samples")
     if (duration_ms * movie_timescale) % 1000:
         raise ValueError("mp4: duration not representable in movie timescale")
     movie_dur = duration_ms * movie_timescale // 1000
@@ -261,7 +321,7 @@ def encode_mp4(
                     consumed += c
                 stbl = _sample_stbl(
                     sizes, duration_ms * 90, samples_per_chunk, offsets,
-                    video_sample_deltas,
+                    video_sample_deltas, video_sample_entry, sync_samples,
                 )
             traks += _trak(
                 tid, b"vide", 90000, duration_ms * 90, movie_dur, w, h,
@@ -372,11 +432,39 @@ def _read_entries(data: bytes, b: int, e: int, width: int) -> list[tuple]:
     ]
 
 
+def _parse_stsd(payload: bytes, b: int, e: int) -> tuple[str | None, bytes | None]:
+    """stsd → (codec fourcc, avcC record bytes) of the first sample
+    entry; an empty (skeleton) stsd yields ``(None, None)``. For an
+    ``avc1`` entry the child boxes start after the fixed 78-byte
+    VisualSampleEntry prefix (ISO 14496-12 §12.1.3)."""
+    _ver, q = _fullbox(payload, b, e)
+    if q + 4 > e:
+        raise ValueError("mp4: truncated stsd")
+    n = struct.unpack_from(">I", payload, q)[0]
+    if n == 0:
+        return None, None
+    for t, eb, ee in _walk(payload, q + 4, e):
+        codec = t.decode("latin-1")
+        if t != b"avc1":
+            return codec, None
+        if eb + 78 > ee:
+            raise ValueError("mp4: truncated avc1 sample entry")
+        avcc = _find(payload, eb + 78, ee, b"avcC")
+        if avcc is None:
+            raise ValueError("mp4: avc1 entry missing avcC")
+        return codec, payload[avcc[0] : avcc[1]]
+    raise ValueError("mp4: stsd entry count disagrees with body")
+
+
 def parse_mp4_samples(payload: bytes) -> dict:
     """Parse the FIRST video track's sample table (r11 — ISO/IEC
     14496-12 §8.6-8.7 ``stts``/``stsz``/``stsc``/``stco``/``co64``) →
     ``{"timescale": media_ts, "n_chunks": int, "span": sum_of_stts_deltas,
-    "samples": [(file_offset, size, decode_time), ...]}``.
+    "samples": [(file_offset, size, decode_time), ...]}``, plus (r12)
+    ``"codec"``/``"avcc"`` from the ``stsd`` sample entry (both None for
+    a skeleton stsd) and ``"sync"`` — the 0-based sync-sample (keyframe)
+    indices from ``stss``, or None when the box is absent (per §8.6.2,
+    no stss means every sample is a sync sample).
 
     This is what replaces the even-mdat-split approximation in frame
     sampling: every sample's TRUE byte range and decode time. An empty
@@ -415,8 +503,13 @@ def parse_mp4_samples(payload: bytes) -> dict:
         stsc = _find(payload, sb, se, b"stsc")
         stco = _find(payload, sb, se, b"stco")
         co64 = _find(payload, sb, se, b"co64")
+        stsd = _find(payload, sb, se, b"stsd")
+        stss = _find(payload, sb, se, b"stss")
         if stts is None or stsz is None or stsc is None:
             raise ValueError("mp4: incomplete sample table")
+        codec, avcc = (None, None) if stsd is None else _parse_stsd(
+            payload, *stsd
+        )
         if stco is None and co64 is None:
             raise ValueError("mp4: missing chunk offset box")
 
@@ -449,10 +542,22 @@ def parse_mp4_samples(payload: bytes) -> dict:
             offs = list(struct.unpack_from(">" + "Q" * m, payload, q + 4))
         sc = _read_entries(payload, *stsc, 3)
 
+        sync: list[int] | None = None
+        if stss is not None:
+            nums = [s for (s,) in _read_entries(payload, *stss, 1)]
+            if not nums or any(
+                s < 1 or s > n for s in nums
+            ) or any(a >= b for a, b in zip(nums, nums[1:])):
+                raise ValueError("mp4: bad stss sync sample list")
+            sync = [s - 1 for s in nums]
+
         if n == 0:
             if offs or sc:
                 raise ValueError("mp4: empty stsz with nonempty chunks")
-            return {"timescale": ts, "n_chunks": 0, "span": 0, "samples": []}
+            return {
+                "timescale": ts, "n_chunks": 0, "span": 0, "samples": [],
+                "codec": codec, "avcc": avcc, "sync": sync,
+            }
         if not offs or not sc:
             raise ValueError("mp4: samples without chunk layout")
         if sc[0][0] != 1 or any(
@@ -492,6 +597,9 @@ def parse_mp4_samples(payload: bytes) -> dict:
             "n_chunks": len(offs),
             "span": t_acc,
             "samples": samples,
+            "codec": codec,
+            "avcc": avcc,
+            "sync": sync,
         }
     raise ValueError("mp4: no video track")
 

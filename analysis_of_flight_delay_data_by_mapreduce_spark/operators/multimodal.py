@@ -1835,6 +1835,160 @@ def attach_synthetic_mjpeg_mp4(df: DataFrame, id_col: str) -> DataFrame:
     return src.mapInPandas(op, schema=schema)
 
 
+def attach_synthetic_h264_mp4(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with H.264-in-MP4 containers (r12): per row,
+    an ``avc1`` track whose avcC carries a genuinely bit-encoded
+    SPS/PPS (operators/h264.py — Exp-Golomb, emulation prevention,
+    cropping) and whose ``4 + id%2`` GOP pattern is written into a real
+    ``stss`` sync-sample box. Every header field is closed-form in the
+    id: display geometry ``160+8*(id%5) × 96+2*(id%7)`` (the %16
+    residues exercise SPS frame cropping fleet-wide), profile 66/100
+    alternating by parity (both SPS branch shapes), ``4 + id%3``
+    samples with an IDR every ``2 + id%2`` frames. Slice NALs carry
+    real headers over opaque deterministic bodies — per the module
+    contract, nothing decodes macroblocks (no av/ffmpeg exists here),
+    but everything a curation pipeline reads (resolution, profile,
+    keyframe map) is real coded bits, not metadata copies."""
+    from . import h264
+    from .mp4 import encode_mp4, make_avc1_entry
+
+    src = _spread_ids(df, id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights, durs = [], [], [], []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                w = 160 + 8 * (aid % 5)
+                h = 96 + 2 * (aid % 7)
+                profile = 66 if aid % 2 == 0 else 100
+                n = 4 + aid % 3
+                gop = 2 + aid % 2
+                sps = h264.encode_sps(w, h, profile_idc=profile, level_idc=30)
+                pps = h264.encode_pps()
+                frames = []
+                for f in range(n):
+                    body = bytes([65 + (aid + f) % 26]) * (8 + (aid + f) % 5)
+                    frames.append(
+                        h264.encode_length_prefixed(
+                            [h264.encode_slice(f % gop == 0, f, body)]
+                        )
+                    )
+                entry = make_avc1_entry(w, h, h264.encode_avcc([sps], [pps]))
+                dur = 40 * n
+                payloads.append(
+                    encode_mp4(
+                        dur,
+                        video_size=(w, h),
+                        video_samples=frames,
+                        samples_per_chunk=2,
+                        video_sample_entry=entry,
+                        sync_samples=[
+                            f + 1 for f in range(n) if f % gop == 0
+                        ],
+                    )
+                )
+                widths.append(w)
+                heights.append(h)
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "video/mp4",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": d,
+                        }
+                        for w, h, d in zip(widths, heights, durs)
+                    ],
+                }
+            )
+
+    schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>"
+    )
+    return src.mapInPandas(op, schema=schema)
+
+
+#: Output schema of h264_video_summary.
+H264_SUMMARY_SCHEMA = (
+    "asset_id long, width int, height int, profile_idc int, level_idc int, "
+    "n_samples int, n_idr int, sync_match boolean, params_ok boolean"
+)
+
+
+def h264_video_summary(assets: DataFrame) -> DataFrame:
+    """Per-asset H.264 stream census WITHOUT a decoder (r12): the stsd
+    ``avcC`` record is parsed, its SPS bit-parsed for true display
+    geometry (cropping arithmetic) / profile / level, every sample's
+    length-prefixed NAL units split and their slice headers lite-parsed.
+    ``sync_match`` pins the container's ``stss`` keyframe map against
+    the NAL-derived IDR positions — the two encodings of "where can a
+    sampler land" must agree; ``params_ok`` pins the parameter-set
+    chain (exactly one SPS+PPS, every slice referencing them). This is
+    the budget/index layer a 100 TB video pipeline runs BEFORE paying
+    for decode: row-linear ``mapInPandas``, no shuffle, no codec."""
+    from . import h264
+    from .mp4 import parse_mp4_samples
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "profile_idc", "level_idc",
+                "n_samples", "n_idr", "sync_match", "params_ok",
+            )}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(p)
+                st = parse_mp4_samples(raw)
+                if st["codec"] != "avc1" or st["avcc"] is None:
+                    raise ValueError("h264: not an avc1 track")
+                cfg = h264.parse_avcc(st["avcc"])
+                sps = h264.parse_sps(cfg["sps"][0])
+                pps = h264.parse_pps(cfg["pps"][0])
+                params_ok = (
+                    len(cfg["sps"]) == 1
+                    and len(cfg["pps"]) == 1
+                    and pps["sps_id"] == sps["sps_id"]
+                )
+                idr_samples = []
+                for i, (off, size, _t) in enumerate(st["samples"]):
+                    nals = h264.split_length_prefixed(
+                        raw[off : off + size], cfg["length_size"]
+                    )
+                    idr = False
+                    for nal in nals:
+                        _idc, typ = h264.parse_nal_header(nal)
+                        if typ in (h264.NAL_SLICE, h264.NAL_SLICE_IDR):
+                            hd = h264.parse_slice_header(nal)
+                            params_ok = params_ok and (
+                                hd["pps_id"] == pps["pps_id"]
+                            )
+                            idr = idr or hd["idr"]
+                    if idr:
+                        idr_samples.append(i)
+                # no stss ⇒ every sample is a sync sample (§8.6.2)
+                expected = st["sync"] if st["sync"] is not None else list(
+                    range(len(st["samples"]))
+                )
+                rows["asset_id"].append(aid)
+                rows["width"].append(cfg["width"])
+                rows["height"].append(cfg["height"])
+                rows["profile_idc"].append(cfg["profile_idc"])
+                rows["level_idc"].append(cfg["level_idc"])
+                rows["n_samples"].append(len(st["samples"]))
+                rows["n_idr"].append(len(idr_samples))
+                rows["sync_match"].append(expected == idr_samples)
+                rows["params_ok"].append(params_ok)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(op, schema=H264_SUMMARY_SCHEMA)
+
+
 #: Output schema of video_sample_stats.
 SAMPLE_STATS_SCHEMA = (
     "asset_id long, n_samples int, n_chunks int, sum_sample_bytes long, "
@@ -1914,7 +2068,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 
 def sample_video_frames(
-    assets: DataFrame, every_n_bytes: int = 4096, every_n_frames: int = 2
+    assets: DataFrame,
+    every_n_bytes: int = 4096,
+    every_n_frames: int = 2,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """Frame sampling over video-like payloads — a table-generating op
     (rows out ≥ rows in, the explode-shaped mapInPandas contract).
@@ -1933,7 +2090,14 @@ def sample_video_frames(
     falls back to the r10 time-aligned approximation: a nominal 25 fps
     grid over the parsed duration, digests over even mdat byte-ranges.
     Anything else keeps the byte-chunk STUB fallback — one digest per
-    ``every_n_bytes`` chunk."""
+    ``every_n_bytes`` chunk.
+
+    ``keyframes_only`` (r12): an MP4 container that carries an ``stss``
+    sync-sample box is sampled at exactly its keyframe positions
+    instead of the every-N grid — the decode-budget move for coded
+    video (only IDR frames are independently decodable; at 100 TB you
+    sample those, not arbitrary grid points). Formats with no sync
+    table (GIF: every frame is independent; stubs) keep the grid."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .jpeg import decode_jpeg
@@ -1964,18 +2128,24 @@ def sample_video_frames(
                         meta = parse_mp4_meta(raw)
                     except ValueError:
                         meta = None
-                    table = []
+                    table, sync = [], None
                     if meta is not None:
                         try:
                             # raises for audio-only tracks / malformed
                             # tables → the nominal-grid fallback below
-                            table = parse_mp4_samples(raw)["samples"]
+                            st = parse_mp4_samples(raw)
+                            table, sync = st["samples"], st["sync"]
                         except ValueError:
                             table = []
                         if not table:
                             mdat = mp4_mdat_bytes(raw)
                     if meta is not None and table:
-                        for f in range(0, len(table), every_n_frames):
+                        idxs = (
+                            sync
+                            if keyframes_only and sync is not None
+                            else range(0, len(table), every_n_frames)
+                        )
+                        for f in idxs:
                             off, size, _dt = table[f]
                             sample = raw[off : off + size]
                             if sample[:2] == b"\xff\xd8":

@@ -1747,6 +1747,82 @@ def multimodal_video_pixels_check(
 
 
 # ---------------------------------------------------------------------------
+# H.264 metadata census (r12): the coded-video tier WITHOUT a decoder —
+# operators/h264.py bit-parses the avcC SPS (Exp-Golomb, emulation
+# prevention, frame-cropping arithmetic: the fixture's %16-residue
+# geometries only come out right if the crop units are applied per
+# §7.4.2.1.1), and every sample's length-prefixed slice NALs are
+# header-parsed for the IDR census. sync_match pins the container's
+# stss keyframe map against the NAL-derived IDR positions; every
+# column is closed-form in the id, so the oracle is a full per-row
+# differential. No reference-engine counterpart (the reference has no
+# video tier) — this is the beyond-reference multimodal requirement.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_h264_meta_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(160 + 8 * (doc_id % 5) AS INT) AS width,
+           CAST(96 + 2 * (doc_id % 7) AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 100 END AS INT)
+             AS profile_idc,
+           CAST(30 AS INT) AS level_idc,
+           CAST(4 + doc_id % 3 AS INT) AS n_samples,
+           CAST((4 + doc_id % 3 + 1 + doc_id % 2) // (2 + doc_id % 2)
+                AS INT) AS n_idr,
+           TRUE AS sync_match,
+           TRUE AS params_ok
+    FROM documents
+    """,
+)
+def multimodal_h264_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_synthetic_h264_mp4,
+        h264_video_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return h264_video_summary(attach_synthetic_h264_mp4(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Keyframe-aligned video sampling (r12): sample_video_frames in
+# keyframes_only mode reads the stss sync-sample box and emits exactly
+# the IDR positions — the decode-budget sampler for coded video (only
+# IDR frames are independently decodable; at 100 TB you sample those,
+# not grid points). The fixture's GOP structure is closed-form in the
+# id (IDR every 2 + id%2 frames of 4 + id%3), so the (asset, frame)
+# set is a full per-row differential; the digest column is projected
+# out because H.264 sample bytes have no SQL-recomputable form (they
+# digest the coded NAL bytes — decode is impossible without av).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_h264_keyframes_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(k * (2 + doc_id % 2) AS INT) AS frame_idx
+    FROM (SELECT doc_id,
+                 unnest(range((4 + doc_id % 3 + 1 + doc_id % 2)
+                              // (2 + doc_id % 2))) AS k
+          FROM documents)
+    """,
+)
+def multimodal_h264_keyframes_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_synthetic_h264_mp4,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_synthetic_h264_mp4(docs, "doc_id")
+    return sample_video_frames(assets, keyframes_only=True).select(
+        "asset_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL image resize (r9): the thumbnail/normalize step of a multimodal
 # pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
 # resampled to a fixed 32×16 via exact integer nearest-neighbor
