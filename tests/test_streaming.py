@@ -1029,6 +1029,53 @@ def test_weighted_sample_merge_conflicting_weights_deterministic(spark):
         assert (r.doc_id, r.n_chars, r.key_micro) in valid
 
 
+def test_stream_h264_census_parity(spark):
+    """The H.264 metadata census (r12) is stateless mapInPandas end to
+    end (attach avc1 fixture -> avcC/SPS bit-parse -> per-sample NAL
+    census), so it must run UNCHANGED on a streaming source: the
+    per-(geometry, profile, keyframe-count) census of
+    h264_video_summary over a streamed documents table equals the batch
+    read's — extends the stream==batch parity contract to the H.264
+    tier."""
+    from pyspark.sql import functions as F
+
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_h264_mp4,
+        h264_video_summary,
+    )
+    from analysis_of_flight_delay_data_by_mapreduce_spark.streaming.dedup import (
+        read_documents_stream,
+    )
+
+    def agg(docs):
+        summary = h264_video_summary(
+            attach_synthetic_h264_mp4(docs.select("doc_id"), "doc_id")
+        )
+        return summary.groupBy(
+            "width", "height", "profile_idc", "n_idr",
+            "sync_match", "params_ok",
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    batch = {
+        tuple(r)[:-1]: r.n
+        for r in agg(read_parquet_table(spark, SF_DIR, "documents")).collect()
+    }
+    assert all(k[4] and k[5] for k in batch)  # sync_match, params_ok
+
+    q = run_stream_to_memory(
+        agg(read_documents_stream(spark, SF_DIR)), "h264_parity",
+        mode="complete",
+    )
+    try:
+        got = {
+            tuple(r)[:-1]: r.n
+            for r in spark.sql("SELECT * FROM h264_parity").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+
+
 def test_stream_video_frame_decode_parity(spark):
     """The multimodal codec path is stateless mapInPandas end to end
     (attach fixture -> stbl walk -> MJPEG pixel decode -> digest), so it
