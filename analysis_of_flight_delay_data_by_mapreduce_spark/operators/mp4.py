@@ -136,6 +136,7 @@ def _sample_stbl(
     deltas: list[int] | None = None,
     sample_entry: bytes | None = None,
     sync_samples: list[int] | None = None,
+    ctts_offsets: list[int] | None = None,
 ) -> bytes:
     """A POPULATED sample table (ISO/IEC 14496-12 §8.6-8.7): ``stts``
     run-length encodes the decode deltas — uniform (remainder spread
@@ -146,7 +147,10 @@ def _sample_stbl(
     (short last chunk gets its own run), ``stco`` absolute file offsets
     of each chunk. ``sample_entry`` (r12) populates ``stsd`` with a real
     codec entry (e.g. ``avc1``); ``sync_samples`` (r12) emits an ``stss``
-    sync-sample box — 1-based, strictly increasing, the keyframe map."""
+    sync-sample box — 1-based, strictly increasing, the keyframe map;
+    ``ctts_offsets`` (r12) emits a version-0 ``ctts`` box RLE-encoding
+    per-sample composition offsets (§8.6.1.3 — pts = dts + offset, the
+    B-frame reordering map)."""
     n = len(sizes)
     stsd = _stsd(sample_entry)
     if deltas is not None:
@@ -199,6 +203,25 @@ def _sample_stbl(
         struct.pack(">I", len(chunk_offsets))
         + b"".join(struct.pack(">I", o) for o in chunk_offsets),
     )
+    ctts = b""
+    if ctts_offsets is not None:
+        if len(ctts_offsets) != n or any(
+            o < 0 or o >> 32 for o in ctts_offsets
+        ):
+            raise ValueError("mp4: bad ctts offsets")
+        cruns: list[list[int]] = []
+        for o in ctts_offsets:
+            if cruns and cruns[-1][1] == o:
+                cruns[-1][0] += 1
+            else:
+                cruns.append([1, o])
+        ctts = _full(
+            b"ctts",
+            0,
+            0,
+            struct.pack(">I", len(cruns))
+            + b"".join(struct.pack(">II", c, o) for c, o in cruns),
+        )
     stss = b""
     if sync_samples is not None:
         if not sync_samples or any(
@@ -214,7 +237,7 @@ def _sample_stbl(
             struct.pack(">I", len(sync_samples))
             + b"".join(struct.pack(">I", s) for s in sync_samples),
         )
-    return _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    return _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
 
 
 def _minf(media_header: bytes, stbl: bytes | None = None) -> bytes:
@@ -267,6 +290,7 @@ def encode_mp4(
     video_sample_deltas: list[int] | None = None,
     video_sample_entry: bytes | None = None,
     sync_samples: list[int] | None = None,
+    video_ctts: list[int] | None = None,
 ) -> bytes:
     """Serialize a minimal spec-shaped ISO-BMFF container: ``ftyp`` +
     ``moov`` (mvhd + one trak per stream, each with tkhd/mdia/mdhd/hdlr/
@@ -284,15 +308,18 @@ def encode_mp4(
     with a second pass since moov precedes mdat). Mutually exclusive
     with a raw ``mdat`` body.
 
-    ``video_sample_entry`` / ``sync_samples`` (r12): a real ``stsd``
-    codec entry (see ``make_avc1_entry``) and an ``stss`` sync-sample
-    (keyframe) box for the video track; both require ``video_samples``."""
+    ``video_sample_entry`` / ``sync_samples`` / ``video_ctts`` (r12): a
+    real ``stsd`` codec entry (see ``make_avc1_entry``), an ``stss``
+    sync-sample (keyframe) box, and per-sample ``ctts`` composition
+    offsets for the video track; all require ``video_samples``."""
     if duration_ms < 0 or movie_timescale <= 0:
         raise ValueError("mp4: bad duration/timescale")
     if video_samples is None and (
-        video_sample_entry is not None or sync_samples is not None
+        video_sample_entry is not None
+        or sync_samples is not None
+        or video_ctts is not None
     ):
-        raise ValueError("mp4: stsd entry/stss require video_samples")
+        raise ValueError("mp4: stsd entry/stss/ctts require video_samples")
     if (duration_ms * movie_timescale) % 1000:
         raise ValueError("mp4: duration not representable in movie timescale")
     movie_dur = duration_ms * movie_timescale // 1000
@@ -322,6 +349,7 @@ def encode_mp4(
                 stbl = _sample_stbl(
                     sizes, duration_ms * 90, samples_per_chunk, offsets,
                     video_sample_deltas, video_sample_entry, sync_samples,
+                    video_ctts,
                 )
             traks += _trak(
                 tid, b"vide", 90000, duration_ms * 90, movie_dur, w, h,
@@ -464,7 +492,9 @@ def parse_mp4_samples(payload: bytes) -> dict:
     ``"codec"``/``"avcc"`` from the ``stsd`` sample entry (both None for
     a skeleton stsd) and ``"sync"`` — the 0-based sync-sample (keyframe)
     indices from ``stss``, or None when the box is absent (per §8.6.2,
-    no stss means every sample is a sync sample).
+    no stss means every sample is a sync sample), and ``"ctts"`` — the
+    per-sample composition offsets (v0 unsigned / v1 signed), or None
+    when absent (pts == dts).
 
     This is what replaces the even-mdat-split approximation in frame
     sampling: every sample's TRUE byte range and decode time. An empty
@@ -505,6 +535,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
         co64 = _find(payload, sb, se, b"co64")
         stsd = _find(payload, sb, se, b"stsd")
         stss = _find(payload, sb, se, b"stss")
+        ctts = _find(payload, sb, se, b"ctts")
         if stts is None or stsz is None or stsc is None:
             raise ValueError("mp4: incomplete sample table")
         codec, avcc = (None, None) if stsd is None else _parse_stsd(
@@ -542,6 +573,21 @@ def parse_mp4_samples(payload: bytes) -> dict:
             offs = list(struct.unpack_from(">" + "Q" * m, payload, q + 4))
         sc = _read_entries(payload, *stsc, 3)
 
+        comp: list[int] | None = None
+        if ctts is not None:
+            # §8.6.1.3: v0 carries unsigned offsets; v1 signed (negative
+            # offsets shift pts before dts under an edit list)
+            ver, _q = _fullbox(payload, *ctts)
+            if ver not in (0, 1):
+                raise ValueError("mp4: unsupported ctts version")
+            comp = []
+            for c, o in _read_entries(payload, *ctts, 2):
+                if ver == 1 and o >= 1 << 31:
+                    o -= 1 << 32
+                comp.extend([o] * c)
+            if len(comp) != n:
+                raise ValueError("mp4: ctts count does not match stsz")
+
         sync: list[int] | None = None
         if stss is not None:
             nums = [s for (s,) in _read_entries(payload, *stss, 1)]
@@ -556,7 +602,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 raise ValueError("mp4: empty stsz with nonempty chunks")
             return {
                 "timescale": ts, "n_chunks": 0, "span": 0, "samples": [],
-                "codec": codec, "avcc": avcc, "sync": sync,
+                "codec": codec, "avcc": avcc, "sync": sync, "ctts": comp,
             }
         if not offs or not sc:
             raise ValueError("mp4: samples without chunk layout")
@@ -600,6 +646,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
             "codec": codec,
             "avcc": avcc,
             "sync": sync,
+            "ctts": comp,
         }
     raise ValueError("mp4: no video track")
 

@@ -1886,6 +1886,12 @@ def attach_synthetic_h264_mp4(df: DataFrame, id_col: str) -> DataFrame:
                         sync_samples=[
                             f + 1 for f in range(n) if f % gop == 0
                         ],
+                        # B-frame-style composition offsets: pts jumps
+                        # ahead on alternating samples, so presentation
+                        # order genuinely differs from decode order
+                        video_ctts=[
+                            4000 * ((aid + f) % 2) for f in range(n)
+                        ],
                     )
                 )
                 widths.append(w)
@@ -1987,6 +1993,48 @@ def h264_video_summary(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(op, schema=H264_SUMMARY_SCHEMA)
+
+
+#: Output schema of video_frame_times.
+FRAME_TIMES_SCHEMA = (
+    "asset_id long, frame_idx int, dts long, pts long, keyframe boolean"
+)
+
+
+def video_frame_times(assets: DataFrame) -> DataFrame:
+    """Per-sample decode/presentation timeline (r12): ``dts`` from the
+    stts decode deltas, ``pts = dts + ctts offset`` (§8.6.1.3; pts ==
+    dts when the container has no ctts), ``keyframe`` from stss (absent
+    stss ⇒ every sample is sync, §8.6.2). This is the seek/trim index a
+    curation pipeline builds per-asset — which byte ranges to fetch for
+    a time window, and which of them can start a decode — computed from
+    one walker pass, no codec. The explode-shaped ``mapInPandas``
+    contract (one row per sample); non-BMFF or video-less payloads
+    raise."""
+    from .mp4 import parse_mp4_samples
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "frame_idx", "dts", "pts", "keyframe",
+            )}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                st = parse_mp4_samples(bytes(p))
+                sync = (
+                    set(st["sync"])
+                    if st["sync"] is not None
+                    else set(range(len(st["samples"])))
+                )
+                comp = st["ctts"] or [0] * len(st["samples"])
+                for i, (_off, _size, dts) in enumerate(st["samples"]):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["dts"].append(dts)
+                    out["pts"].append(dts + comp[i])
+                    out["keyframe"].append(i in sync)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(op, schema=FRAME_TIMES_SCHEMA)
 
 
 #: Output schema of video_sample_stats.

@@ -1823,6 +1823,36 @@ def multimodal_h264_keyframes_check(
 
 
 # ---------------------------------------------------------------------------
+# Decode/presentation timeline (r12): video_frame_times expands the
+# stts/ctts/stss trio into the per-sample (dts, pts, keyframe) seek
+# index — the fixture's alternating ctts offsets make pts genuinely
+# non-monotonic in decode order (B-frame-style reordering), and every
+# value is closed-form in the id, so the oracle is a full per-row
+# differential over the complete timeline of every asset.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_h264_pts_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(3600 * f AS BIGINT) AS dts,
+           CAST(3600 * f + 4000 * ((doc_id + f) % 2) AS BIGINT) AS pts,
+           (f % (2 + doc_id % 2)) = 0 AS keyframe
+    FROM (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS f
+          FROM documents)
+    """,
+)
+def multimodal_h264_pts_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_synthetic_h264_mp4,
+        video_frame_times,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return video_frame_times(attach_synthetic_h264_mp4(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # REAL image resize (r9): the thumbnail/normalize step of a multimodal
 # pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
 # resampled to a fixed 32×16 via exact integer nearest-neighbor

@@ -305,6 +305,105 @@ def test_mp4_bad_stss_raises():
         encode_mp4(200, video_size=(32, 32), sync_samples=[1])  # no samples
 
 
+def test_mp4_ctts_round_trip():
+    offs = [0, 4000, 4000, 0, 7200]
+    mp = encode_mp4(
+        200,
+        video_size=(32, 32),
+        video_samples=[b"abcd"] * 5,
+        video_ctts=offs,
+    )
+    st = parse_mp4_samples(mp)
+    assert st["ctts"] == offs
+    # pts = dts + offset; dts is the uniform 3600-unit grid
+    assert [d + o for (_, _, d), o in zip(st["samples"], st["ctts"])] == [
+        3600 * f + o for f, o in enumerate(offs)
+    ]
+
+
+def test_mp4_ctts_version1_signed_offsets():
+    mp = bytearray(
+        encode_mp4(
+            200,
+            video_size=(32, 32),
+            video_samples=[b"abcd"] * 5,
+            video_ctts=[10] * 5,  # one RLE run: count 5, offset 10
+        )
+    )
+    i = mp.find(b"ctts")
+    assert i > 0
+    mp[i + 4] = 1  # version 0 -> 1
+    # offset 10 -> -16 (0xFFFFFFF0) in the single run entry
+    mp[i + 16 : i + 20] = (0xFFFFFFF0).to_bytes(4, "big")
+    st = parse_mp4_samples(bytes(mp))
+    assert st["ctts"] == [-16] * 5
+    mp[i + 4] = 2  # any other version is rejected
+    with pytest.raises(ValueError):
+        parse_mp4_samples(bytes(mp))
+
+
+def test_mp4_ctts_validation():
+    with pytest.raises(ValueError):
+        encode_mp4(
+            200,
+            video_size=(32, 32),
+            video_samples=[b"abcd"] * 5,
+            video_ctts=[0] * 4,  # wrong sample count
+        )
+    with pytest.raises(ValueError):
+        encode_mp4(
+            200,
+            video_size=(32, 32),
+            video_samples=[b"abcd"] * 5,
+            video_ctts=[0, 0, -1, 0, 0],  # v0 offsets are unsigned
+        )
+    mp = bytearray(
+        encode_mp4(
+            200,
+            video_size=(32, 32),
+            video_samples=[b"abcd"] * 5,
+            video_ctts=[0, 0, 7, 7, 7],
+        )
+    )
+    i = mp.find(b"ctts")
+    # shrink the declared run count: expanded offsets stop covering n
+    mp[i + 8 : i + 12] = (1).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        parse_mp4_samples(bytes(mp))
+
+
+def test_video_frame_times(spark):
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_h264_mp4,
+        video_frame_times,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = video_frame_times(
+        attach_synthetic_h264_mp4(docs, "doc_id")
+    ).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    reordered = 0
+    for aid in range(12):
+        n, gop = 4 + aid % 3, 2 + aid % 2
+        rs = sorted(by_asset[aid], key=lambda r: r["frame_idx"])
+        assert [r["dts"] for r in rs] == [3600 * f for f in range(n)]
+        assert [r["pts"] for r in rs] == [
+            3600 * f + 4000 * ((aid + f) % 2) for f in range(n)
+        ]
+        assert [r["keyframe"] for r in rs] == [
+            f % gop == 0 for f in range(n)
+        ]
+        pts = [r["pts"] for r in rs]
+        if pts != sorted(pts):
+            reordered += 1
+    # the alternating ctts offsets really reorder presentation for the
+    # ids whose offset pattern starts high (odd aid: 4000, 0, ...)
+    assert reordered >= 6
+
+
 def test_h264_fuzz_never_wrong_only_raise():
     """House fuzz contract: strict prefixes and byte flips of NAL units
     and containers raise ValueError only (the mapInPandas fallbacks
