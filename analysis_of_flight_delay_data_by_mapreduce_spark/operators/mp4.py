@@ -249,6 +249,23 @@ def _minf(media_header: bytes, stbl: bytes | None = None) -> bytes:
     )
 
 
+def _edts(media_time: int, movie_duration: int) -> bytes:
+    """A single-entry ``edts``/``elst`` (ISO 14496-12 §8.6.6): present
+    the media starting at ``media_time`` (in media-timescale units) for
+    the whole movie duration at rate 1.0 — the normalize-first-pts-to-
+    zero edit every B-frame encoder writes."""
+    if media_time < 0 or media_time >> 31:
+        raise ValueError("mp4: bad edit media_time")
+    elst = _full(
+        b"elst",
+        0,
+        0,
+        struct.pack(">I", 1)
+        + struct.pack(">IiHH", movie_duration, media_time, 1, 0),
+    )
+    return _box(b"edts", elst)
+
+
 def _trak(
     track_id: int,
     handler: bytes,
@@ -259,6 +276,7 @@ def _trak(
     height: int,
     mdhd_version: int,
     stbl: bytes | None = None,
+    edit_media_time: int | None = None,
 ) -> bytes:
     if handler == b"vide":
         mh = _full(b"vmhd", 0, 1, struct.pack(">Hhhh", 0, 0, 0, 0))
@@ -272,8 +290,12 @@ def _trak(
         + _hdlr(handler, name)
         + _minf(mh, stbl),
     )
+    edts = (
+        b"" if edit_media_time is None
+        else _edts(edit_media_time, movie_duration)
+    )
     return _box(
-        b"trak", _tkhd(track_id, movie_duration, width, height) + mdia
+        b"trak", _tkhd(track_id, movie_duration, width, height) + edts + mdia
     )
 
 
@@ -291,6 +313,7 @@ def encode_mp4(
     video_sample_entry: bytes | None = None,
     sync_samples: list[int] | None = None,
     video_ctts: list[int] | None = None,
+    video_edit_media_time: int | None = None,
 ) -> bytes:
     """Serialize a minimal spec-shaped ISO-BMFF container: ``ftyp`` +
     ``moov`` (mvhd + one trak per stream, each with tkhd/mdia/mdhd/hdlr/
@@ -311,7 +334,10 @@ def encode_mp4(
     ``video_sample_entry`` / ``sync_samples`` / ``video_ctts`` (r12): a
     real ``stsd`` codec entry (see ``make_avc1_entry``), an ``stss``
     sync-sample (keyframe) box, and per-sample ``ctts`` composition
-    offsets for the video track; all require ``video_samples``."""
+    offsets for the video track; all require ``video_samples``.
+    ``video_edit_media_time`` (r12) writes a single-entry ``edts``/
+    ``elst`` presenting the media from that offset (§8.6.6 — the
+    normalize-first-pts edit; media-timescale units)."""
     if duration_ms < 0 or movie_timescale <= 0:
         raise ValueError("mp4: bad duration/timescale")
     if video_samples is None and (
@@ -353,7 +379,7 @@ def encode_mp4(
                 )
             traks += _trak(
                 tid, b"vide", 90000, duration_ms * 90, movie_dur, w, h,
-                version, stbl,
+                version, stbl, video_edit_media_time,
             )
             tid += 1
         if with_audio:
@@ -460,6 +486,39 @@ def _read_entries(data: bytes, b: int, e: int, width: int) -> list[tuple]:
     ]
 
 
+def _parse_elst(payload: bytes, b: int, e: int) -> int:
+    """elst → the presentation edit's media_time offset (§8.6.6). The
+    supported shapes are the ones real encoders write: one normal edit,
+    optionally preceded by an empty edit (media_time == -1, the
+    delayed-start form). Anything else raises."""
+    ver, q = _fullbox(payload, b, e)
+    if ver not in (0, 1):
+        raise ValueError("mp4: unsupported elst version")
+    if q + 4 > e:
+        raise ValueError("mp4: truncated elst")
+    n = struct.unpack_from(">I", payload, q)[0]
+    q += 4
+    if n not in (1, 2):
+        raise ValueError("mp4: unsupported elst entry count")
+    width = 20 if ver else 12
+    if q + n * width > e:
+        raise ValueError("mp4: elst entries overflow box")
+    entries = []
+    for i in range(n):
+        if ver:
+            _dur, mt = struct.unpack_from(">Qq", payload, q + i * width)
+        else:
+            _dur, mt = struct.unpack_from(">Ii", payload, q + i * width)
+        entries.append(mt)
+    if n == 2:
+        if entries[0] != -1:
+            raise ValueError("mp4: unsupported multi-edit elst")
+        entries = entries[1:]
+    if entries[0] < 0:
+        raise ValueError("mp4: elst without a normal edit")
+    return entries[0]
+
+
 def _parse_stsd(payload: bytes, b: int, e: int) -> tuple[str | None, bytes | None]:
     """stsd → (codec fourcc, avcC record bytes) of the first sample
     entry; an empty (skeleton) stsd yields ``(None, None)``. For an
@@ -536,6 +595,13 @@ def parse_mp4_samples(payload: bytes) -> dict:
         stsd = _find(payload, sb, se, b"stsd")
         stss = _find(payload, sb, se, b"stss")
         ctts = _find(payload, sb, se, b"ctts")
+        edts = _find(payload, b, e, b"edts")
+        edit_offset = None
+        if edts is not None:
+            elst = _find(payload, edts[0], edts[1], b"elst")
+            if elst is None:
+                raise ValueError("mp4: edts without elst")
+            edit_offset = _parse_elst(payload, *elst)
         if stts is None or stsz is None or stsc is None:
             raise ValueError("mp4: incomplete sample table")
         codec, avcc = (None, None) if stsd is None else _parse_stsd(
@@ -603,6 +669,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
             return {
                 "timescale": ts, "n_chunks": 0, "span": 0, "samples": [],
                 "codec": codec, "avcc": avcc, "sync": sync, "ctts": comp,
+                "edit_offset": edit_offset,
             }
         if not offs or not sc:
             raise ValueError("mp4: samples without chunk layout")
@@ -647,6 +714,7 @@ def parse_mp4_samples(payload: bytes) -> dict:
             "avcc": avcc,
             "sync": sync,
             "ctts": comp,
+            "edit_offset": edit_offset,
         }
     raise ValueError("mp4: no video track")
 

@@ -1892,6 +1892,11 @@ def attach_synthetic_h264_mp4(df: DataFrame, id_col: str) -> DataFrame:
                         video_ctts=[
                             4000 * ((aid + f) % 2) for f in range(n)
                         ],
+                        # odd ids start with offset 4000, so their
+                        # minimum composition time is 3600 (at f=1) —
+                        # write the normalize-first-pts edit real
+                        # encoders emit for exactly this shape
+                        video_edit_media_time=3600 if aid % 2 else None,
                     )
                 )
                 widths.append(w)
@@ -2003,8 +2008,10 @@ FRAME_TIMES_SCHEMA = (
 
 def video_frame_times(assets: DataFrame) -> DataFrame:
     """Per-sample decode/presentation timeline (r12): ``dts`` from the
-    stts decode deltas, ``pts = dts + ctts offset`` (§8.6.1.3; pts ==
-    dts when the container has no ctts), ``keyframe`` from stss (absent
+    stts decode deltas, ``pts = dts + ctts offset − elst media_time``
+    (§8.6.1.3 composition offsets mapped through the §8.6.6 edit list —
+    the normalize-first-pts edit B-frame encoders write; pts == dts
+    when the container has neither box), ``keyframe`` from stss (absent
     stss ⇒ every sample is sync, §8.6.2). This is the seek/trim index a
     curation pipeline builds per-asset — which byte ranges to fetch for
     a time window, and which of them can start a decode — computed from
@@ -2026,11 +2033,12 @@ def video_frame_times(assets: DataFrame) -> DataFrame:
                     else set(range(len(st["samples"])))
                 )
                 comp = st["ctts"] or [0] * len(st["samples"])
+                edit = st["edit_offset"] or 0
                 for i, (_off, _size, dts) in enumerate(st["samples"]):
                     out["asset_id"].append(aid)
                     out["frame_idx"].append(i)
                     out["dts"].append(dts)
-                    out["pts"].append(dts + comp[i])
+                    out["pts"].append(dts + comp[i] - edit)
                     out["keyframe"].append(i in sync)
             yield pd.DataFrame(out)
 

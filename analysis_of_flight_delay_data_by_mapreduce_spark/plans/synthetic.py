@@ -1824,11 +1824,13 @@ def multimodal_h264_keyframes_check(
 
 # ---------------------------------------------------------------------------
 # Decode/presentation timeline (r12): video_frame_times expands the
-# stts/ctts/stss trio into the per-sample (dts, pts, keyframe) seek
-# index — the fixture's alternating ctts offsets make pts genuinely
-# non-monotonic in decode order (B-frame-style reordering), and every
-# value is closed-form in the id, so the oracle is a full per-row
-# differential over the complete timeline of every asset.
+# stts/ctts/stss/elst quartet into the per-sample (dts, pts, keyframe)
+# seek index — the fixture's alternating ctts offsets make pts
+# genuinely non-monotonic in decode order (B-frame-style reordering),
+# odd ids carry the normalize-first-pts edit list (pts = dts + ctts −
+# elst media_time), and every value is closed-form in the id, so the
+# oracle is a full per-row differential over the complete timeline of
+# every asset.
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_h264_pts_check",
@@ -1836,7 +1838,8 @@ def multimodal_h264_keyframes_check(
     SELECT doc_id AS asset_id,
            CAST(f AS INT) AS frame_idx,
            CAST(3600 * f AS BIGINT) AS dts,
-           CAST(3600 * f + 4000 * ((doc_id + f) % 2) AS BIGINT) AS pts,
+           CAST(3600 * f + 4000 * ((doc_id + f) % 2)
+                - 3600 * (doc_id % 2) AS BIGINT) AS pts,
            (f % (2 + doc_id % 2)) = 0 AS keyframe
     FROM (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS f
           FROM documents)

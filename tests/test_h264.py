@@ -9,6 +9,8 @@ contract (strict prefixes + byte flips raise ValueError only).
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -372,6 +374,46 @@ def test_mp4_ctts_validation():
         parse_mp4_samples(bytes(mp))
 
 
+def test_mp4_elst_round_trip_and_validation():
+    mp = encode_mp4(
+        200,
+        video_size=(32, 32),
+        video_samples=[b"abcd"] * 5,
+        video_ctts=[4000, 0, 4000, 0, 4000],
+        video_edit_media_time=3600,
+    )
+    st = parse_mp4_samples(mp)
+    assert st["edit_offset"] == 3600
+    # delayed-start form: an empty edit (media_time -1) precedes the
+    # normal one — patch entry_count to 2 and prepend the empty entry
+    i = mp.find(b"elst")
+    body = bytearray(mp)
+    empty = struct.pack(">IiHH", 100, -1, 1, 0)
+    normal = body[i + 12 : i + 24]
+    patched = (
+        body[: i + 8]
+        + struct.pack(">I", 2)
+        + empty
+        + normal
+        + body[i + 24 :]
+    )
+    # fix the two enclosing box sizes (elst grew by 12: elst, edts)
+    patched = bytearray(patched)
+    for tag in (b"elst", b"edts", b"trak", b"moov"):
+        j = patched.find(tag)
+        old = struct.unpack_from(">I", patched, j - 4)[0]
+        struct.pack_into(">I", patched, j - 4, old + 12)
+    st2 = parse_mp4_samples(bytes(patched))
+    assert st2["edit_offset"] == 3600
+    with pytest.raises(ValueError):
+        encode_mp4(
+            200,
+            video_size=(32, 32),
+            video_samples=[b"abcd"] * 5,
+            video_edit_media_time=-1,
+        )
+
+
 def test_video_frame_times(spark):
     from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
         attach_synthetic_h264_mp4,
@@ -390,9 +432,12 @@ def test_video_frame_times(spark):
         n, gop = 4 + aid % 3, 2 + aid % 2
         rs = sorted(by_asset[aid], key=lambda r: r["frame_idx"])
         assert [r["dts"] for r in rs] == [3600 * f for f in range(n)]
+        # odd ids carry the normalize-first-pts elst (media_time 3600)
         assert [r["pts"] for r in rs] == [
-            3600 * f + 4000 * ((aid + f) % 2) for f in range(n)
+            3600 * f + 4000 * ((aid + f) % 2) - 3600 * (aid % 2)
+            for f in range(n)
         ]
+        assert min(r["pts"] for r in rs) in (0, 400)
         assert [r["keyframe"] for r in rs] == [
             f % gop == 0 for f in range(n)
         ]
