@@ -26,15 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records CORRECTNESS rows for only the first 50 registered
 # entries; registry order is ours to choose. Round-12 rotation (VERDICT
 # r11 items 1, 2, 3, 7): lead with the rows NEW or CHANGED this round —
-# the three H.264 faces, the progressive-JPEG per-row digest face,
+# the four H.264 faces, the progressive-JPEG per-row digest face,
 # the JSONL/ORC reader round-trip faces, and the MP4 sample-table face
 # whose duration_consistent check was strengthened (exact stts-span
 # equality) — then ALL twenty-five r8-stamped overflow rows (the oldest
 # stamps; this block includes events_user_sketch_rollup / events_user_
 # overlap_sketch, converted this round from rows-only to FULL hash
 # checks via the own-register HLL / KMV-theta twins in operators/
-# hll.py), then the 18 alphabetically-first r9 rows (7 + 25 + 18 = 50).
-# After this round no stamp is older than r9; the remaining 31 r9 rows
+# hll.py), then the 17 alphabetically-first r9 rows (8 + 25 + 17 = 50).
+# After this round no stamp is older than r9; the remaining 32 r9 rows
 # are the designated overflow for the r13 window, listed after slot 50.
 # Every rotated-out query is still re-verified each round by the full
 # local check_oracle sweep and the pytest oracle replicas.
@@ -43,6 +43,7 @@ _CHECK_FIRST = [
     "multimodal_h264_meta_check",  # NEW: avcC/SPS census + stss-vs-NAL IDR
     "multimodal_h264_keyframes_check",  # NEW: stss keyframe-aligned sampling
     "multimodal_h264_pts_check",  # NEW: stts/ctts/stss dts-pts-keyframe index
+    "multimodal_h264_annexb_check",  # NEW: raw Annex-B start-code census
     "multimodal_jpeg_progressive_check",  # NEW: SOF2 per-row pixel digests
     "events_jsonl_ingest_check",  # NEW: PERMISSIVE JSONL + quarantine
     "orders_orc_roundtrip_check",  # NEW: ORC sink/scan round trip
@@ -73,7 +74,7 @@ _CHECK_FIRST = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
     "tpch_q9_profit_by_nation_year",
-    # --- last driver row r9 (18 of 49 alphabetically; rest overflow) ---
+    # --- last driver row r9 (17 of 49 alphabetically; rest overflow) ---
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_ivf_recall_check",
@@ -91,8 +92,8 @@ _CHECK_FIRST = [
     "docs_dup_spans",
     "docs_quantile_sketch_check",
     "docs_tfidf_cosine_pairs",
-    "events_interval_join_binned",
     # --- the designated r9 overflow rows (slots 51+; r13 window) ---
+    "events_interval_join_binned",
     "events_quantile_merge_check",
     "events_sliding",
     "events_value_quantile_check",

@@ -2000,6 +2000,97 @@ def h264_video_summary(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(op, schema=H264_SUMMARY_SCHEMA)
 
 
+def attach_synthetic_h264_annexb(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture attach step with raw H.264 Annex-B elementary streams
+    (r12): the transport shape of .h264/.264 capture dumps and MPEG-TS
+    payloads — no container, NAL units joined by start codes, parameter
+    sets in-band (SPS + PPS lead the stream, as an avc3/Annex-B muxer
+    emits them). Same closed-form structure as the MP4 fixture: geometry
+    ``160+8*(id%5) × 96+2*(id%7)``, profile 66/100 by parity,
+    ``4 + id%3`` pictures with an IDR every ``2 + id%2``."""
+    from . import h264
+
+    src = _spread_ids(df, id_col)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for aid_raw in pdf["asset_id"]:
+                aid = int(aid_raw)
+                w = 160 + 8 * (aid % 5)
+                h = 96 + 2 * (aid % 7)
+                profile = 66 if aid % 2 == 0 else 100
+                n = 4 + aid % 3
+                gop = 2 + aid % 2
+                nals = [
+                    h264.encode_sps(w, h, profile_idc=profile, level_idc=30),
+                    h264.encode_pps(),
+                ]
+                for f in range(n):
+                    body = bytes([65 + (aid + f) % 26]) * (8 + (aid + f) % 5)
+                    nals.append(h264.encode_slice(f % gop == 0, f, body))
+                payloads.append(h264.encode_annexb(nals))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": ["video"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return src.mapInPandas(
+        op, schema="asset_id long, modality string, payload binary"
+    )
+
+
+#: Output schema of h264_annexb_summary.
+ANNEXB_SUMMARY_SCHEMA = (
+    "asset_id long, width int, height int, profile_idc int, "
+    "n_nals int, n_pictures int, n_idr int, params_in_band boolean"
+)
+
+
+def h264_annexb_summary(assets: DataFrame) -> DataFrame:
+    """Census over RAW Annex-B elementary streams (r12): start-code
+    split (§B.1), per-NAL header parse, in-band SPS bit-parse for true
+    display geometry, picture/IDR census from the lite slice headers —
+    the containerless twin of ``h264_video_summary`` for .h264 dumps
+    and TS payloads, one pass per stream, no decode."""
+    from . import h264
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "profile_idc",
+                "n_nals", "n_pictures", "n_idr", "params_in_band",
+            )}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                nals = h264.split_annexb(bytes(p))
+                census = h264.nal_census(nals)
+                counts = census["counts"]
+                sps_nals = [
+                    nal for nal in nals
+                    if h264.parse_nal_header(nal)[1] == h264.NAL_SPS
+                ]
+                if not sps_nals:
+                    raise ValueError("h264: Annex-B stream without SPS")
+                sps = h264.parse_sps(sps_nals[0])
+                rows["asset_id"].append(aid)
+                rows["width"].append(sps["width"])
+                rows["height"].append(sps["height"])
+                rows["profile_idc"].append(sps["profile_idc"])
+                rows["n_nals"].append(len(nals))
+                rows["n_pictures"].append(census["n_pictures"])
+                rows["n_idr"].append(len(census["idr_positions"]))
+                rows["params_in_band"].append(
+                    counts.get(h264.NAL_SPS, 0) >= 1
+                    and counts.get(h264.NAL_PPS, 0) >= 1
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(op, schema=ANNEXB_SUMMARY_SCHEMA)
+
+
 #: Output schema of video_frame_times.
 FRAME_TIMES_SCHEMA = (
     "asset_id long, frame_idx int, dts long, pts long, keyframe boolean"

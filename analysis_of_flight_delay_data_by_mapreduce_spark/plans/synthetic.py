@@ -1856,6 +1856,41 @@ def multimodal_h264_pts_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Raw Annex-B census (r12): the containerless transport shape (.h264
+# dumps, MPEG-TS payloads) — start-code split per §B.1, in-band SPS
+# bit-parse, picture/IDR census from slice headers. Every column is
+# closed-form in the id; n_nals counts the in-band SPS+PPS too, so a
+# splitter that merged or dropped a unit goes red.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_h264_annexb_check",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(160 + 8 * (doc_id % 5) AS INT) AS width,
+           CAST(96 + 2 * (doc_id % 7) AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 100 END AS INT)
+             AS profile_idc,
+           CAST(2 + 4 + doc_id % 3 AS INT) AS n_nals,
+           CAST(4 + doc_id % 3 AS INT) AS n_pictures,
+           CAST((4 + doc_id % 3 + 1 + doc_id % 2) // (2 + doc_id % 2)
+                AS INT) AS n_idr,
+           TRUE AS params_in_band
+    FROM documents
+    """,
+)
+def multimodal_h264_annexb_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_synthetic_h264_annexb,
+        h264_annexb_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return h264_annexb_summary(attach_synthetic_h264_annexb(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # REAL image resize (r9): the thumbnail/normalize step of a multimodal
 # pipeline — every PNG payload is DECODED (zlib inflate + unfilter) and
 # resampled to a fixed 32×16 via exact integer nearest-neighbor

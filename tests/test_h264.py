@@ -527,6 +527,30 @@ def test_sample_video_frames_keyframes_only(spark):
         assert r["frame_idx"] % 2 == 0
 
 
+def test_h264_annexb_summary(spark):
+    from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
+        attach_synthetic_h264_annexb,
+        h264_annexb_summary,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = {
+        r["asset_id"]: r
+        for r in h264_annexb_summary(
+            attach_synthetic_h264_annexb(docs, "doc_id")
+        ).collect()
+    }
+    for aid in range(20):
+        r = out[aid]
+        n, gop = 4 + aid % 3, 2 + aid % 2
+        assert r["width"] == 160 + 8 * (aid % 5)
+        assert r["height"] == 96 + 2 * (aid % 7)
+        assert r["n_nals"] == 2 + n
+        assert r["n_pictures"] == n
+        assert r["n_idr"] == (n + gop - 1) // gop
+        assert r["params_in_band"]
+
+
 def test_h264_summary_rejects_non_avc1(spark):
     from analysis_of_flight_delay_data_by_mapreduce_spark.operators.multimodal import (
         attach_synthetic_mp4,
