@@ -112,29 +112,104 @@ def _ensure_parallelism(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(target, id_col)
 
 
-def _prune_hot_buckets(
-    entries: DataFrame, keys: list[str], max_bucket: int | None
-) -> DataFrame:
-    """Drop LSH buckets holding more than ``max_bucket`` members.
-
-    The skew guard for banded self-joins: a bucket containing a large slice
-    of the corpus generates ~|bucket|² candidate pairs while carrying no
-    discriminative signal (everything "collides" with everything). The cap
-    bounds the join at O(n · max_bucket) — the LSH analog of stop-words.
-    Costs one extra aggregation on the (already shuffled) bucket keys.
+def _posting_tail_pairs(posts: DataFrame, m_col: str = "__m") -> DataFrame:
+    """Expand a sorted postings array into its ordered element pairs:
+    every (m[i], m[j]) with i < j, generated as posexplode + tail slice
+    so per-row memory stays one postings array (the C(|m|,2) pairs are
+    STREAMED across |m| rows, never materialized as one array). Array
+    elements may be scalars or structs; output columns ``__ea, __eb``.
     """
-    if max_bucket is None:
-        return entries
-    # The entries subtree feeds several consumers downstream (bucket
-    # counting, the join-back, and both sides of the candidate self-join);
-    # persist the (small: one row per doc per band) frame so the upstream
-    # fingerprint/signature pipeline executes once.
-    entries = scoped_persist(entries)
-    counts = entries.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bucket_n"))
+    return posts.select(
+        posts["*"], F.posexplode(m_col).alias("__p", "__ea")
+    ).select(
+        "*",
+        F.explode(
+            F.slice(
+                F.col(m_col),
+                F.col("__p") + F.lit(2),
+                F.size(m_col) - F.col("__p") - F.lit(1),
+            )
+        ).alias("__eb"),
+    )
+
+
+def _bucket_pairs(
+    entries: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int | None,
+    persist_entries: bool = True,
+) -> DataFrame:
+    """Distinct candidate pairs ``(id_a < id_b)`` of ids sharing a bucket
+    key — the postings-list formulation of the banded LSH self-join.
+
+    ONE hash exchange groups each bucket's member ids into a sorted
+    array; pair generation is then bucket-local compute (posexplode +
+    tail slice), and the hot-bucket skew guard (``max_bucket`` — drop
+    buckets holding more members than the cap, the LSH analog of
+    stop-words, bounding candidates at O(n · max_bucket)) becomes a
+    plain ``size()`` filter on the grouped array. The former shape
+    (count-per-bucket aggregation + join-back filter + bucket-keyed
+    self-join) shuffled the entries three more times; output is the
+    same pair set by construction — every unordered pair sharing a
+    bucket of size in [2, cap] appears once per shared bucket before
+    the distinct. Pair volume per bucket is unchanged (the self-join
+    co-located a bucket in one task too); per-row memory is one
+    bucket's id array, bounded by the cap when it is on.
+
+    ``persist_entries`` keeps the signature/fingerprint pipeline feeding
+    ``entries`` materialized once per query scope (at 100 TB the band
+    entries are content hashes — computed once, stored).
+    """
+    if persist_entries:
+        entries = scoped_persist(entries)
+    posts = entries.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__m")
+    )
+    cond = F.size("__m") >= 2
+    if max_bucket is not None:
+        cond &= F.size("__m") <= max_bucket
     return (
-        entries.join(counts, keys)
-        .filter(F.col("__bucket_n") <= max_bucket)
-        .drop("__bucket_n")
+        _posting_tail_pairs(posts.filter(cond).select("__m"))
+        .select(F.col("__ea").alias("id_a"), F.col("__eb").alias("id_b"))
+        .distinct()
+    )
+
+
+def _bucket_cross_pairs(
+    e_new: DataFrame,
+    e_old: DataFrame,
+    keys: list[str],
+    new_id: str,
+    old_id: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Distinct cross-side candidate pairs ``(new_id, old_id)`` sharing a
+    bucket key — the two-sided analog of :func:`_bucket_pairs` for the
+    incremental-ingest joins. Both sides union into ONE grouped pass
+    (side-tagged conditional collect_lists); the occupancy cap is
+    measured over the union of both sides, exactly the symmetric
+    semantics of the former count + anti-join shape, at one exchange
+    instead of four (two persists, the totals aggregation, two
+    anti-joins and the equi-join all collapse into the groupBy).
+    """
+    u = e_new.select(
+        *keys, F.col(new_id).alias("__id"), F.lit(0).alias("__side")
+    ).unionAll(
+        e_old.select(*keys, F.col(old_id).alias("__id"), F.lit(1).alias("__side"))
+    )
+    posts = u.groupBy(*[F.col(k) for k in keys]).agg(
+        F.collect_list(F.when(F.col("__side") == 0, F.col("__id"))).alias("__ns"),
+        F.collect_list(F.when(F.col("__side") == 1, F.col("__id"))).alias("__os"),
+    )
+    cond = (F.size("__ns") > 0) & (F.size("__os") > 0)
+    if max_bucket is not None:
+        cond &= (F.size("__ns") + F.size("__os")) <= max_bucket
+    return (
+        posts.filter(cond)
+        .select(F.explode("__ns").alias(new_id), F.col("__os"))
+        .select(new_id, F.explode("__os").alias(old_id))
+        .distinct()
     )
 
 
@@ -224,7 +299,7 @@ def minhash_lsh_dedup(
     classic ``1-(1-j^r)^b`` S-curve. Pairs are generated by a self-join on
     the band bucket key — the shuffle is keyed on (band, bucket), so work
     scales with bucket occupancy, not n². ``max_bucket`` drops degenerate
-    hot buckets (see ``_prune_hot_buckets``), bounding worst-case skew.
+    hot buckets (see ``_bucket_pairs``), bounding worst-case skew.
 
     If ``verify_jaccard`` is set, candidates are verified with exact shingle
     Jaccard (inverted-index counting, see ``ngram_jaccard_pairs``) and only
@@ -235,22 +310,7 @@ def minhash_lsh_dedup(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, mode)
     band_entries = _band_entries(sig, id_col, bands, rows_per_band)
-    band_entries = _prune_hot_buckets(band_entries, ["band", "bucket"], max_bucket)
-
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    pairs = _bucket_pairs(band_entries, ["band", "bucket"], id_col, max_bucket)
     if verify_jaccard is not None:
         # Verify ONLY the LSH candidates, pairwise: join each candidate
         # pair to the two documents' distinct-shingle arrays and compute
@@ -328,7 +388,7 @@ def semantic_dedup(
     sits at cosine ≥ ``threshold`` (deterministic survivor, same
     min-id convention as ``exact_dedup``). ``max_cluster`` skips pair
     generation inside degenerate hot clusters (their members all
-    survive — the documented cap semantics of ``_prune_hot_buckets``).
+    survive — the documented cap semantics of ``_bucket_pairs``).
 
     Returns the SURVIVORS: ``id_col, cluster``.
 
@@ -475,21 +535,8 @@ def minhash_matches_between(
         )
         sides.append(_band_entries(sig, alias, bands, rows_per_band))
     e_new, e_old = sides
-    if max_bucket is not None:
-        e_new, e_old = scoped_persist(e_new), scoped_persist(e_old)
-        totals = (
-            e_new.select("band", "bucket")
-            .unionAll(e_old.select("band", "bucket"))
-            .groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-        )
-        hot = totals.filter(F.col("__n") > max_bucket).select("band", "bucket")
-        e_new = e_new.join(hot, ["band", "bucket"], "left_anti")
-        e_old = e_old.join(hot, ["band", "bucket"], "left_anti")
-    pairs = (
-        e_new.join(e_old, ["band", "bucket"])
-        .select("new_id", "old_id")
-        .distinct()
+    pairs = _bucket_cross_pairs(
+        e_new, e_old, ["band", "bucket"], "new_id", "old_id", max_bucket
     )
     if verify_jaccard is not None:
         # Same candidate-scoped exact verify as minhash_lsh_dedup: shingle
@@ -735,17 +782,10 @@ def simhash_near_dup(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    entries = _prune_hot_buckets(entries, ["band", "bucket"], max_bucket)
-    left, right = entries.alias("l"), entries.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+    # the band entries are a cheap projection of the (persisted or
+    # caller-supplied) fingerprint frame — no second persist needed
+    pairs = _bucket_pairs(
+        entries, ["band", "bucket"], id_col, max_bucket, persist_entries=False
     )
     if max_hamming is None:
         return pairs
@@ -797,77 +837,121 @@ def ngram_jaccard_pairs(
 
     Returns ``id_a, id_b, jaccard``.
     """
-    sh = _ensure_parallelism(df, id_col).select(
+    # Shingle-set sizes are computed ONCE at the document row (array size
+    # before the explode) and carried through the postings as a struct
+    # field — they ride the existing shuffles for free, eliminating the
+    # former separate per-doc size aggregation AND the two post-count
+    # size joins. |A∩B| comes from the postings-list formulation of the
+    # inverted-index pair count: group the (already shingle-keyed)
+    # entries into per-shingle postings arrays in ONE exchange, generate
+    # each list's ordered pairs bucket-locally (streamed — see
+    # _posting_tail_pairs), and count pair occurrences. The former
+    # self-join shape shuffled the exploded entries twice more and
+    # re-ran the shingling per join side; pair volume and placement are
+    # identical (the join co-located equal shingles in one task too).
+    entries = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_shingles(F.col(text_col), mode, shingle_k))).alias(
-            "__shingle"
-        ),
+        F.array_distinct(_shingles(F.col(text_col), mode, shingle_k)).alias("__sha"),
+    ).select(
+        F.col(id_col),
+        F.size("__sha").alias("__size"),
+        F.explode("__sha").alias("__shingle"),
     )
     if max_doc_freq is not None:
-        df_counts = sh.groupBy("__shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = (
-            sh.join(df_counts, "__shingle")
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        # stop-shingle mode: sizes are defined over the FILTERED shingle
+        # sets, so they must be re-counted after the cap — both the
+        # per-doc recount and the pair lists read the persisted postings.
+        posts0 = scoped_persist(
+            entries.groupBy("__shingle")
+            .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+            .filter(F.size("__ids") <= max_doc_freq)
         )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
-
-    def _pair_counts(entries: DataFrame) -> DataFrame:
-        left, right = entries.alias("l"), entries.alias("r")
-        return (
-            left.join(
-                right,
-                (F.col("l.__shingle") == F.col("r.__shingle"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-            )
+        sizes = (
+            posts0.select(F.explode("__ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__size"))
+        )
+        posts = posts0.filter(F.size("__ids") >= 2).select(
+            F.sort_array("__ids").alias("__m")
+        )
+        inter = (
+            _posting_tail_pairs(posts)
+            .groupBy(F.col("__ea").alias("id_a"), F.col("__eb").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("__inter"))
         )
-
-    if prefix_filter:
-        from pyspark.sql import Window as W
-
-        df_counts = sh.groupBy("__shingle").agg(F.count(F.lit(1)).alias("__df"))
-        ranked = sh.join(df_counts, "__shingle").withColumn(
-            "__rk",
-            F.row_number().over(
-                W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__shingle"))
-            ),
+        ja = (
+            inter.join(sizes.withColumnRenamed(id_col, "id_a").alias("sa"), "id_a")
+            .withColumnRenamed("__size", "__size_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b").alias("sb"), "id_b")
+            .withColumnRenamed("__size", "__size_b")
         )
-        with_size = ranked.join(sizes, id_col)
-        prefix_len = F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-        prefix = with_size.filter(F.col("__rk") <= prefix_len).select(
-            id_col, "__shingle"
-        )
-        cand = (
-            scoped_persist(_pair_counts(prefix).select("id_a", "id_b").distinct())
-        )
-        cand_ids = (
-            cand.select(F.col("id_a").alias(id_col))
-            .union(cand.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        sh_cand = sh.join(cand_ids, id_col, "left_semi")
-        inter = _pair_counts(sh_cand).join(cand, ["id_a", "id_b"], "inner")
     else:
-        inter = _pair_counts(sh)
-    ja = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").alias("sa"), "id_a")
-        .withColumnRenamed("__size", "__size_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").alias("sb"), "id_b")
-        .withColumnRenamed("__size", "__size_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("__inter").cast("double")
-                / (F.col("__size_a") + F.col("__size_b") - F.col("__inter")).cast(
-                    "double"
+        def _sized_pair_counts(e: DataFrame) -> DataFrame:
+            posts = (
+                e.groupBy("__shingle")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(id_col).alias("i"), F.col("__size").alias("sz")
+                            )
+                        )
+                    ).alias("__m")
                 )
-            ).alias("jaccard"),
-        )
+                .filter(F.size("__m") >= 2)
+            )
+            return (
+                _posting_tail_pairs(posts.select("__m"))
+                .groupBy(
+                    F.col("__ea.i").alias("id_a"),
+                    F.col("__eb.i").alias("id_b"),
+                    F.col("__ea.sz").alias("__size_a"),
+                    F.col("__eb.sz").alias("__size_b"),
+                )
+                .agg(F.count(F.lit(1)).alias("__inter"))
+            )
+
+        if prefix_filter:
+            from pyspark.sql import Window as W
+
+            df_counts = entries.groupBy("__shingle").agg(
+                F.count(F.lit(1)).alias("__df")
+            )
+            ranked = entries.join(df_counts, "__shingle").withColumn(
+                "__rk",
+                F.row_number().over(
+                    W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__shingle"))
+                ),
+            )
+            prefix_len = (
+                F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
+            )
+            prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
+                id_col, "__shingle"
+            )
+            cand = scoped_persist(
+                _bucket_pairs(
+                    prefix, ["__shingle"], id_col, None, persist_entries=False
+                )
+            )
+            cand_ids = (
+                cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            sh_cand = entries.join(cand_ids, id_col, "left_semi")
+            ja = _sized_pair_counts(sh_cand).join(cand, ["id_a", "id_b"], "inner")
+        else:
+            ja = _sized_pair_counts(entries)
+    ja = ja.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__inter").cast("double")
+            / (F.col("__size_a") + F.col("__size_b") - F.col("__inter")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
     )
     return ja.filter(F.col("jaccard") >= threshold)
 
@@ -905,19 +989,8 @@ def embedding_near_dup(
     )
     # same skew guard as the MinHash/SimHash banded joins: a degenerate
     # bucket (e.g. many near-zero vectors sharing a signature) would emit
-    # |bucket|² candidates; the cap bounds the join at O(n · max_bucket)
-    entries = _prune_hot_buckets(entries, ["__table", "__bucket"], max_bucket)
-    left, right = entries.alias("l"), entries.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.__table") == F.col("r.__table"))
-            & (F.col("l.__bucket") == F.col("r.__bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    # |bucket|² candidates; the cap bounds candidates at O(n · max_bucket)
+    cand = _bucket_pairs(entries, ["__table", "__bucket"], id_col, max_bucket)
     va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
@@ -959,47 +1032,88 @@ def jaccard_matches_between(
 
     Returns ``new_id, old_id, jaccard`` (``jaccard >= threshold``).
     """
+    # Same postings-list formulation as ngram_jaccard_pairs, two-sided:
+    # one union + one shingle-keyed exchange groups both sides' postings
+    # (side-tagged conditional collect_lists); cross pairs are generated
+    # postings-locally with shingle-set sizes carried as struct fields,
+    # so the former per-side size aggregations, the shingle equi-join and
+    # the two size joins all collapse into the groupBy.
     sides = []
     for frame, alias in ((new_df, "new_id"), (old_df, "old_id")):
         sides.append(
-            _ensure_parallelism(frame, id_col).select(
+            _ensure_parallelism(frame, id_col)
+            .select(
                 F.col(id_col).alias(alias),
-                F.explode(
-                    F.array_distinct(_shingles(F.col(text_col), mode, shingle_k))
-                ).alias("__shingle"),
+                F.array_distinct(
+                    _shingles(F.col(text_col), mode, shingle_k)
+                ).alias("__sha"),
+            )
+            .select(
+                F.col(alias).alias("__id"),
+                F.size("__sha").alias("__sz"),
+                F.explode("__sha").alias("__shingle"),
             )
         )
     sh_new, sh_old = sides
+    u = sh_new.select("__shingle", "__id", "__sz", F.lit(0).alias("__side")).unionAll(
+        sh_old.select("__shingle", "__id", "__sz", F.lit(1).alias("__side"))
+    )
+    member = F.struct(F.col("__id").alias("i"), F.col("__sz").alias("sz"))
+    posts = u.groupBy("__shingle").agg(
+        F.collect_list(F.when(F.col("__side") == 0, member)).alias("__ns"),
+        F.collect_list(F.when(F.col("__side") == 1, member)).alias("__os"),
+    )
     if max_doc_freq is not None:
-        all_sh = sh_new.select("__shingle").unionAll(sh_old.select("__shingle"))
-        df_counts = all_sh.groupBy("__shingle").agg(
-            F.count(F.lit(1)).alias("__df")
+        # stop-shingle cap measured over the UNION of both sides, and
+        # sizes re-counted over the filtered shingle sets (the symmetric
+        # filtered-Jaccard definition) — both consumers read the
+        # persisted postings.
+        posts = scoped_persist(
+            posts.filter(F.size("__ns") + F.size("__os") <= max_doc_freq)
         )
-        hot = df_counts.filter(F.col("__df") > max_doc_freq).select("__shingle")
-        sh_new = sh_new.join(hot, "__shingle", "left_anti")
-        sh_old = sh_old.join(hot, "__shingle", "left_anti")
-    sizes_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("__size_n"))
-    sizes_old = sh_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("__size_o"))
-    inter = (
-        sh_new.join(sh_old, "__shingle")
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    return (
-        inter.join(sizes_new, "new_id")
-        .join(sizes_old, "old_id")
-        .select(
-            "new_id",
-            "old_id",
-            (
-                F.col("__inter").cast("double")
-                / (
-                    F.col("__size_n") + F.col("__size_o") - F.col("__inter")
-                ).cast("double")
-            ).alias("jaccard"),
+        live = posts.filter((F.size("__ns") > 0) & (F.size("__os") > 0))
+        pairs = (
+            live.select(F.explode("__ns").alias("__ea"), F.col("__os"))
+            .select("__ea", F.explode("__os").alias("__eb"))
+            .groupBy(
+                F.col("__ea.i").alias("new_id"), F.col("__eb.i").alias("old_id")
+            )
+            .agg(F.count(F.lit(1)).alias("__inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        sizes_new = (
+            posts.select(F.explode("__ns").alias("__e"))
+            .groupBy(F.col("__e.i").alias("new_id"))
+            .agg(F.count(F.lit(1)).alias("__size_n"))
+        )
+        sizes_old = (
+            posts.select(F.explode("__os").alias("__e"))
+            .groupBy(F.col("__e.i").alias("old_id"))
+            .agg(F.count(F.lit(1)).alias("__size_o"))
+        )
+        ja = pairs.join(sizes_new, "new_id").join(sizes_old, "old_id")
+    else:
+        live = posts.filter((F.size("__ns") > 0) & (F.size("__os") > 0))
+        ja = (
+            live.select(F.explode("__ns").alias("__ea"), F.col("__os"))
+            .select("__ea", F.explode("__os").alias("__eb"))
+            .groupBy(
+                F.col("__ea.i").alias("new_id"),
+                F.col("__eb.i").alias("old_id"),
+                F.col("__ea.sz").alias("__size_n"),
+                F.col("__eb.sz").alias("__size_o"),
+            )
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+    return ja.select(
+        "new_id",
+        "old_id",
+        (
+            F.col("__inter").cast("double")
+            / (
+                F.col("__size_n") + F.col("__size_o") - F.col("__inter")
+            ).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _gram_sites(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -1276,16 +1390,27 @@ def tfidf_cosine_pairs(
             .alias("__wi"),
         )
     )
-    w = scoped_persist(w)  # consumed by norms AND both join sides
+    w = scoped_persist(w)  # consumed by norms AND the postings pass
     norms = w.groupBy(id_col).agg(F.sum(F.col("__wi") * F.col("__wi")).alias("__n2"))
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(b, "__term")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    # postings-list pair dot products (same move as ngram_jaccard_pairs):
+    # one term-keyed exchange groups each posting list, weighted pairs are
+    # generated postings-locally, replacing the term-keyed self-join that
+    # shuffled w twice more. max_df bounds every postings array.
+    posts = (
+        w.groupBy("__term")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("__wi").alias("w"))
+                )
+            ).alias("__m")
         )
-        .agg(F.sum(F.col("a.__wi") * F.col("b.__wi")).alias("__dot"))
+        .filter(F.size("__m") >= 2)
+    )
+    dots = (
+        _posting_tail_pairs(posts.select("__m"))
+        .groupBy(F.col("__ea.i").alias("id_a"), F.col("__eb.i").alias("id_b"))
+        .agg(F.sum(F.col("__ea.w") * F.col("__eb.w")).alias("__dot"))
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("__n2").alias("__na2"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("__n2").alias("__nb2"))

@@ -171,30 +171,37 @@ def connected_components(
     ).distinct()
     und = und.localCheckpoint(eager=True)
 
+    # Round 0 needs no join: initial labels are the ids themselves, so
+    # the neighbor-minimum IS min(id, min(neighbors)) straight off the
+    # (bidirectional) edge set — one aggregation replaces the former
+    # distinct-ids checkpoint + first join round.
     labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        und.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("label"))
+        .select(F.col("a").alias("id"), "label")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # Propagate + fixpoint-test in ONE materialization: the self row
+        # is tagged so the pre-round label rides the aggregation
+        # (min over tag=1 rows — exactly one per id), and the changed
+        # count is then a cheap scan of the checkpointed result instead
+        # of a second join+shuffle job per round (2 jobs/round → 1 job +
+        # 1 local-scan count).
         nbr = und.join(
             labels.select(F.col("id").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("id"), "label")
+        ).select(F.col("a").alias("id"), "label", F.lit(0).alias("__t"))
         new_labels = (
-            nbr.union(labels)
+            nbr.union(labels.select("id", "label", F.lit(1).alias("__t")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__t") == 1, F.col("label"))).alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("__old")), "id"
-            )
-            .filter(F.col("label") != F.col("__old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             return labels.select(F.col("id"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")

@@ -3183,24 +3183,29 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import scoped_persist
     from ..operators.text import rolling_fingerprint
 
+    from ..operators.dedup import _posting_tail_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    # materialize the fingerprint ONCE: the raw self-join re-evaluates the
+    # materialize the fingerprint ONCE: the raw self-join re-evaluated the
     # O(n)-per-doc fold in each side's Filter AND Project (no cross-
-    # operator CSE) — 4 evaluations, measured 6.6s vs 0.5s at sf0.1
+    # operator CSE) — 4 evaluations, measured 6.6s vs 0.5s at sf0.1.
+    # r12: pair generation is the postings-list expansion (one exchange
+    # on the fingerprint, pairs generated group-locally) instead of the
+    # fingerprint-keyed self-join — same pair set, two fewer exchanges.
     fp = scoped_persist(
         rolling_fingerprint(docs, "doc_id", "text", window=32)
         .select("doc_id", "winnow_min")
         .filter(F.col("winnow_min").isNotNull())
     )
-    a, b = fp.alias("a"), fp.alias("b")
-    return a.join(
-        b,
-        (F.col("a.winnow_min") == F.col("b.winnow_min"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.col("a.winnow_min").alias("winnow_min"),
+    posts = (
+        fp.groupBy("winnow_min")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__m"))
+        .filter(F.size("__m") >= 2)
+    )
+    return _posting_tail_pairs(posts).select(
+        F.col("__ea").alias("id_a"),
+        F.col("__eb").alias("id_b"),
+        "winnow_min",
     )
 
 
