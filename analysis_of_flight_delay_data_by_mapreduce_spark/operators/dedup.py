@@ -838,17 +838,18 @@ def ngram_jaccard_pairs(
     Returns ``id_a, id_b, jaccard``.
     """
     # Shingle-set sizes are computed ONCE at the document row (array size
-    # before the explode) and carried through the postings as a struct
-    # field — they ride the existing shuffles for free, eliminating the
+    # before the explode) and carried on the exploded entries, so the
+    # Jaccard denominator rides the pair-count aggregation's key — the
     # former separate per-doc size aggregation AND the two post-count
-    # size joins. |A∩B| comes from the postings-list formulation of the
-    # inverted-index pair count: group the (already shingle-keyed)
-    # entries into per-shingle postings arrays in ONE exchange, generate
-    # each list's ordered pairs bucket-locally (streamed — see
-    # _posting_tail_pairs), and count pair occurrences. The former
-    # self-join shape shuffled the exploded entries twice more and
-    # re-ran the shingling per join side; pair volume and placement are
-    # identical (the join co-located equal shingles in one task too).
+    # size joins are gone (3 fewer exchanges). Pair counting itself
+    # stays the inverted-index equi-join: measured against the
+    # postings-list (collect_list + pair explode) formulation at sf0.1,
+    # the streamed whole-stage-codegen join wins for shingle-keyed
+    # postings (warm 1.3-1.5 s vs 1.7-2.1 s — high-cardinality keys with
+    # small groups, where per-group array materialization costs more
+    # than the join's sort; the postings form stays in _bucket_pairs for
+    # the LSH band paths, where it measured 0.3-0.8× — see
+    # OPTIMIZATION_r12.md).
     entries = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.array_distinct(_shingles(F.col(text_col), mode, shingle_k)).alias("__sha"),
@@ -857,92 +858,69 @@ def ngram_jaccard_pairs(
         F.size("__sha").alias("__size"),
         F.explode("__sha").alias("__shingle"),
     )
+
+    def _sized_pair_counts(e: DataFrame) -> DataFrame:
+        left = e.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__size").alias("__size_a"),
+            "__shingle",
+        )
+        right = e.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__size").alias("__size_b"),
+            "__shingle",
+        )
+        return (
+            left.join(right, "__shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "__size_a", "__size_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+
     if max_doc_freq is not None:
-        # stop-shingle mode: sizes are defined over the FILTERED shingle
-        # sets, so they must be re-counted after the cap — both the
-        # per-doc recount and the pair lists read the persisted postings.
+        # stop-shingle mode: one grouped pass applies the document-
+        # frequency cap (no count + join-back), and sizes are re-counted
+        # over the FILTERED shingle sets (the filtered-Jaccard
+        # definition) — both consumers read the persisted postings.
         posts0 = scoped_persist(
             entries.groupBy("__shingle")
             .agg(F.collect_list(F.col(id_col)).alias("__ids"))
             .filter(F.size("__ids") <= max_doc_freq)
         )
-        sizes = (
-            posts0.select(F.explode("__ids").alias(id_col))
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__size"))
+        sh_f = posts0.select("__shingle", F.explode("__ids").alias(id_col))
+        sizes = sh_f.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
+        sized = sh_f.join(sizes, id_col)
+        ja = _sized_pair_counts(sized)
+    elif prefix_filter:
+        from pyspark.sql import Window as W
+
+        df_counts = entries.groupBy("__shingle").agg(
+            F.count(F.lit(1)).alias("__df")
         )
-        posts = posts0.filter(F.size("__ids") >= 2).select(
-            F.sort_array("__ids").alias("__m")
+        ranked = entries.join(df_counts, "__shingle").withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__shingle"))
+            ),
         )
-        inter = (
-            _posting_tail_pairs(posts)
-            .groupBy(F.col("__ea").alias("id_a"), F.col("__eb").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("__inter"))
+        prefix_len = (
+            F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
         )
-        ja = (
-            inter.join(sizes.withColumnRenamed(id_col, "id_a").alias("sa"), "id_a")
-            .withColumnRenamed("__size", "__size_a")
-            .join(sizes.withColumnRenamed(id_col, "id_b").alias("sb"), "id_b")
-            .withColumnRenamed("__size", "__size_b")
+        prefix = ranked.select(id_col, "__size", "__shingle", "__rk").filter(
+            F.col("__rk") <= prefix_len
         )
+        cand = scoped_persist(
+            _sized_pair_counts(prefix).select("id_a", "id_b").distinct()
+        )
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh_cand = entries.join(cand_ids, id_col, "left_semi")
+        ja = _sized_pair_counts(sh_cand).join(cand, ["id_a", "id_b"], "inner")
     else:
-        def _sized_pair_counts(e: DataFrame) -> DataFrame:
-            posts = (
-                e.groupBy("__shingle")
-                .agg(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col(id_col).alias("i"), F.col("__size").alias("sz")
-                            )
-                        )
-                    ).alias("__m")
-                )
-                .filter(F.size("__m") >= 2)
-            )
-            return (
-                _posting_tail_pairs(posts.select("__m"))
-                .groupBy(
-                    F.col("__ea.i").alias("id_a"),
-                    F.col("__eb.i").alias("id_b"),
-                    F.col("__ea.sz").alias("__size_a"),
-                    F.col("__eb.sz").alias("__size_b"),
-                )
-                .agg(F.count(F.lit(1)).alias("__inter"))
-            )
-
-        if prefix_filter:
-            from pyspark.sql import Window as W
-
-            df_counts = entries.groupBy("__shingle").agg(
-                F.count(F.lit(1)).alias("__df")
-            )
-            ranked = entries.join(df_counts, "__shingle").withColumn(
-                "__rk",
-                F.row_number().over(
-                    W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__shingle"))
-                ),
-            )
-            prefix_len = (
-                F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-            )
-            prefix = ranked.filter(F.col("__rk") <= prefix_len).select(
-                id_col, "__shingle"
-            )
-            cand = scoped_persist(
-                _bucket_pairs(
-                    prefix, ["__shingle"], id_col, None, persist_entries=False
-                )
-            )
-            cand_ids = (
-                cand.select(F.col("id_a").alias(id_col))
-                .union(cand.select(F.col("id_b").alias(id_col)))
-                .distinct()
-            )
-            sh_cand = entries.join(cand_ids, id_col, "left_semi")
-            ja = _sized_pair_counts(sh_cand).join(cand, ["id_a", "id_b"], "inner")
-        else:
-            ja = _sized_pair_counts(entries)
+        ja = _sized_pair_counts(entries)
     ja = ja.select(
         "id_a",
         "id_b",
@@ -1032,12 +1010,13 @@ def jaccard_matches_between(
 
     Returns ``new_id, old_id, jaccard`` (``jaccard >= threshold``).
     """
-    # Same postings-list formulation as ngram_jaccard_pairs, two-sided:
-    # one union + one shingle-keyed exchange groups both sides' postings
-    # (side-tagged conditional collect_lists); cross pairs are generated
-    # postings-locally with shingle-set sizes carried as struct fields,
-    # so the former per-side size aggregations, the shingle equi-join and
-    # the two size joins all collapse into the groupBy.
+    # Same carried-sizes move as ngram_jaccard_pairs, two-sided: shingle-
+    # set sizes are computed at the document row and ride the exploded
+    # entries into the pair-count aggregation's key, so the former
+    # per-side size aggregations and both post-count size joins are gone.
+    # The postings join stays the new×old equi-join on the shingle (the
+    # streamed-join-vs-collect_list measurement in ngram_jaccard_pairs
+    # applies unchanged here).
     sides = []
     for frame, alias in ((new_df, "new_id"), (old_df, "old_id")):
         sides.append(
@@ -1049,61 +1028,55 @@ def jaccard_matches_between(
                 ).alias("__sha"),
             )
             .select(
-                F.col(alias).alias("__id"),
+                F.col(alias),
                 F.size("__sha").alias("__sz"),
                 F.explode("__sha").alias("__shingle"),
             )
         )
     sh_new, sh_old = sides
-    u = sh_new.select("__shingle", "__id", "__sz", F.lit(0).alias("__side")).unionAll(
-        sh_old.select("__shingle", "__id", "__sz", F.lit(1).alias("__side"))
-    )
-    member = F.struct(F.col("__id").alias("i"), F.col("__sz").alias("sz"))
-    posts = u.groupBy("__shingle").agg(
-        F.collect_list(F.when(F.col("__side") == 0, member)).alias("__ns"),
-        F.collect_list(F.when(F.col("__side") == 1, member)).alias("__os"),
-    )
     if max_doc_freq is not None:
-        # stop-shingle cap measured over the UNION of both sides, and
-        # sizes re-counted over the filtered shingle sets (the symmetric
-        # filtered-Jaccard definition) — both consumers read the
-        # persisted postings.
+        # stop-shingle cap measured over the UNION of both sides (the
+        # symmetric filtered-Jaccard definition), applied in one grouped
+        # pass; per-side sizes re-counted over the filtered sets.
+        u = sh_new.select(
+            "__shingle", F.col("new_id").alias("__id"), F.lit(0).alias("__side")
+        ).unionAll(
+            sh_old.select(
+                "__shingle", F.col("old_id").alias("__id"), F.lit(1).alias("__side")
+            )
+        )
         posts = scoped_persist(
-            posts.filter(F.size("__ns") + F.size("__os") <= max_doc_freq)
-        )
-        live = posts.filter((F.size("__ns") > 0) & (F.size("__os") > 0))
-        pairs = (
-            live.select(F.explode("__ns").alias("__ea"), F.col("__os"))
-            .select("__ea", F.explode("__os").alias("__eb"))
-            .groupBy(
-                F.col("__ea.i").alias("new_id"), F.col("__eb.i").alias("old_id")
+            u.groupBy("__shingle")
+            .agg(
+                F.collect_list(
+                    F.when(F.col("__side") == 0, F.col("__id"))
+                ).alias("__ns"),
+                F.collect_list(
+                    F.when(F.col("__side") == 1, F.col("__id"))
+                ).alias("__os"),
             )
-            .agg(F.count(F.lit(1)).alias("__inter"))
+            .filter(F.size("__ns") + F.size("__os") <= max_doc_freq)
         )
-        sizes_new = (
-            posts.select(F.explode("__ns").alias("__e"))
-            .groupBy(F.col("__e.i").alias("new_id"))
-            .agg(F.count(F.lit(1)).alias("__size_n"))
+        sh_new = posts.select("__shingle", F.explode("__ns").alias("new_id"))
+        sh_old = posts.select("__shingle", F.explode("__os").alias("old_id"))
+        sizes_new = sh_new.groupBy("new_id").agg(
+            F.count(F.lit(1)).alias("__sz_n")
         )
-        sizes_old = (
-            posts.select(F.explode("__os").alias("__e"))
-            .groupBy(F.col("__e.i").alias("old_id"))
-            .agg(F.count(F.lit(1)).alias("__size_o"))
+        sizes_old = sh_old.groupBy("old_id").agg(
+            F.count(F.lit(1)).alias("__sz_o")
         )
-        ja = pairs.join(sizes_new, "new_id").join(sizes_old, "old_id")
-    else:
-        live = posts.filter((F.size("__ns") > 0) & (F.size("__os") > 0))
-        ja = (
-            live.select(F.explode("__ns").alias("__ea"), F.col("__os"))
-            .select("__ea", F.explode("__os").alias("__eb"))
-            .groupBy(
-                F.col("__ea.i").alias("new_id"),
-                F.col("__eb.i").alias("old_id"),
-                F.col("__ea.sz").alias("__size_n"),
-                F.col("__eb.sz").alias("__size_o"),
-            )
-            .agg(F.count(F.lit(1)).alias("__inter"))
+        sh_new = sh_new.join(sizes_new, "new_id").withColumnRenamed(
+            "__sz_n", "__sz"
         )
+        sh_old = sh_old.join(sizes_old, "old_id").withColumnRenamed(
+            "__sz_o", "__sz"
+        )
+    ja = (
+        sh_new.withColumnRenamed("__sz", "__size_n")
+        .join(sh_old.withColumnRenamed("__sz", "__size_o"), "__shingle")
+        .groupBy("new_id", "old_id", "__size_n", "__size_o")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
     return ja.select(
         "new_id",
         "old_id",
@@ -1158,6 +1131,15 @@ def _dup_gram_hits(
     forms are asserted span-identical on the test corpus
     (tests/test_dedup.py::test_duplicate_spans_fingerprint_parity).
     """
+    # r12: postings formulation — ONE gram-keyed exchange groups each
+    # gram's (doc, pos) sites; the >= min_sites predicate is a size()
+    # filter on the grouped array and the surviving sites explode back
+    # out. The former shape (count aggregation + left-semi join) shuffled
+    # the sites twice more AND recomputed the gram explode for the probe
+    # side (no persist); measured 1.9-2.2 s → 1.5-1.6 s warm at sf0.1 on
+    # the duplicate_spans face, identical (id, pos) set. Per-row memory
+    # is one gram's site array — bounded by that gram's corpus frequency,
+    # the same group the join co-located in one task.
     sites = _gram_sites(df, id_col, text_col, k)
     if fingerprint:
         sites = sites.select(
@@ -1166,20 +1148,17 @@ def _dup_gram_hits(
             F.xxhash64(F.lit(0), F.col("__g")).alias("__g1"),
             F.xxhash64(F.lit(1), F.col("__g")).alias("__g2"),
         )
-        dup = (
-            sites.groupBy("__g1", "__g2")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") >= min_sites)
-            .select("__g1", "__g2")
-        )
-        return sites.join(dup, ["__g1", "__g2"], "left_semi")
-    dup = (
-        sites.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_sites)
-        .select("__g")
+        key = ["__g1", "__g2"]
+    else:
+        key = ["__g"]
+    posts = sites.groupBy(*key).agg(
+        F.collect_list(F.struct(F.col(id_col), F.col("pos"))).alias("__s")
     )
-    return sites.join(dup, "__g", "left_semi")
+    return (
+        posts.filter(F.size("__s") >= min_sites)
+        .select(F.explode("__s").alias("__e"))
+        .select(F.col(f"__e.{id_col}").alias(id_col), F.col("__e.pos").alias("pos"))
+    )
 
 
 def duplicate_spans(

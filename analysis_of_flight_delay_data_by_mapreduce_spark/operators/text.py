@@ -796,16 +796,30 @@ def bpe_pair_counts(
 
     Output: ``pair`` (space-joined symbol pair), ``cnt``.
     """
-    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("__tok"))
-    sym = toks.select(
+    # Aggregate token OCCURRENCE counts first (one vocabulary-bounded
+    # partial-agg shuffle), so the merge-application replace chain and
+    # the pair expansion run once per DISTINCT token instead of once per
+    # occurrence — the corpus-to-vocabulary compute reduction (guide
+    # §1.2 step 2; the corpus repeats a bounded vocabulary, so this is
+    # ~occurrences/|vocab| less string work for one extra tiny
+    # exchange). Pair counts are then occurrence-weighted sums —
+    # identical integers by construction.
+    tok_counts = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    sym = tok_counts.select(
+        F.col("__n"),
         F.filter(
             F.split(F.trim(bpe_apply_merges(F.col("__tok"), merges)), " "),
             lambda x: x != "",
-        ).alias("__sym")
+        ).alias("__sym"),
     )
     # sequence(1, 0) counts DOWN in Spark, so single-symbol tokens need an
     # explicit empty-array branch rather than a greatest() clamp
     pairs = sym.select(
+        F.col("__n"),
         F.explode(
             F.when(
                 F.size("__sym") >= 2,
@@ -818,9 +832,9 @@ def bpe_pair_counts(
                     ),
                 ),
             ).otherwise(F.expr("CAST(array() AS array<string>)"))
-        ).alias("pair")
+        ).alias("pair"),
     )
-    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = pairs.groupBy("pair").agg(F.sum("__n").alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(k)
 
 
