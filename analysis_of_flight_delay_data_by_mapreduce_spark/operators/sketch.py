@@ -479,12 +479,18 @@ def median_mad_two_pass(
     """
     from pyspark.sql import Window as W
 
-    from .cache import scoped_persist
-
     x = vals.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("bigint").alias("__x")
     )
-    cum = scoped_persist(_qsketch_cum(qsketch_build(x, "__x")))
+    # r12: the grid (and the 1-row med/band frames below) are
+    # localCheckpoint'ed, not persisted — the grid subtree used to be
+    # re-INLINED at every downstream reference (the final face's
+    # formatted plan ran to ~3000 lines / 360 Exchange text nodes), and
+    # the driver re-analyzed that tree on every run. Severing lineage at
+    # the grid-sized frames (≤ ~1k rows) collapses the downstream plan
+    # to small leaf scans; the checkpointed frames rebuild from the
+    # caller-persisted ``vals`` in milliseconds.
+    cum = _qsketch_cum(qsketch_build(x, "__x")).localCheckpoint(eager=True)
 
     # -- pass 1+2: exact median from the grid (inlined two-pass selector,
     # reusing the persisted cum grid for both the rank and the bracket)
@@ -509,11 +515,12 @@ def median_mad_two_pass(
     )
     m_per_val = _bracket_guard(m_per_val, ["__rank"], bracket_limit)
     mw = W.orderBy("__x").rowsBetween(W.unboundedPreceding, W.currentRow)
-    med = scoped_persist(
+    med = (
         m_per_val.withColumn("__vcum", F.sum("__k").over(mw))
         .filter(F.col("__c_below") + F.col("__vcum") >= F.col("__rank"))
         .groupBy("__rank", "__n")
         .agg(F.min("__x").alias("__m"))
+        .localCheckpoint(eager=True)
     )  # 1 row: (__rank, __n, __m) — same rank applies to the MAD (same n)
 
     # -- grid-only bracket derivation for the MAD (NO data scan): every
@@ -552,7 +559,7 @@ def median_mad_two_pass(
             F.first("__rank").alias("__rank"),
         )
     )
-    band = scoped_persist(
+    band = (
         lu.agg(
             F.min(F.when(F.col("__L") >= F.col("__rank"), F.col("__t"))).alias(
                 "__dhi"
@@ -561,7 +568,9 @@ def median_mad_two_pass(
                 F.max(F.when(F.col("__U") < F.col("__rank"), F.col("__t"))),
                 F.lit(-1).cast("bigint"),
             ).alias("__dlo"),
-        ).join(F.broadcast(med))
+        )
+        .join(F.broadcast(med))
+        .localCheckpoint(eager=True)
     )  # 1 row: (__dhi, __dlo, __rank, __n, __m)
 
     # -- pass 3: one conditional-aggregation scan resolves the MAD
@@ -619,13 +628,14 @@ def median_mad_by_group(
             F.col(value_col).cast("bigint").alias("__x0"),
         )
     )
-    med = scoped_persist(
+    med = (
         exact_quantiles_by_group(vals, "__g0", "__x0", [500], bracket_limit)
         .select(
             F.col("__g0"),
             F.col("n_rows"),
             F.col("exact_value").alias("__med"),
         )
+        .localCheckpoint(eager=True)  # group-sized; cuts the selector subtree
     )
     dev = vals.join(med.select("__g0", "__med"), "__g0").select(
         "__g0", F.abs(F.col("__x0") - F.col("__med")).alias("__d0")
@@ -704,7 +714,11 @@ def exact_quantiles_by_group(
             "__n",
         )
     )
-    brackets = scoped_persist(
+    # group-grid-sized (groups × |permille| rows); checkpointed so the
+    # pass-2 join and resolution window don't re-inline (and the driver
+    # doesn't re-analyze) the grid + cumulative-window subtree — see
+    # median_mad_two_pass
+    brackets = (
         cum.join(ranks, "__g").filter(
             (F.col("__cum") >= F.col("__rank"))
             & (F.col("__cum") - F.col("cnt") < F.col("__rank"))
@@ -712,6 +726,7 @@ def exact_quantiles_by_group(
             "__g", "p", "__rank", "__n", "__lo", "__hi",
             (F.col("__cum") - F.col("cnt")).alias("__c_below"),
         )
+        .localCheckpoint(eager=True)
     )
     inside = vals.join(brackets, "__g").filter(
         (F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi"))
