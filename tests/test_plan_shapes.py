@@ -365,3 +365,66 @@ def test_multimodal_attach_pipelines_single_spread_exchange(spark):
         assert "RoundRobinPartitioning" in txt, name
         m = [l for l in txt.splitlines() if "ReadSchema" in l]
         assert m and "doc_id" in m[0] and "text" not in m[0], name
+
+
+def test_lsh_candidate_stage_is_postings_grouped_not_self_join(spark):
+    """r12: banded-LSH candidate pairs come from ONE grouped pass over the
+    band entries (collect_list postings + bucket-local pair expansion),
+    not a bucket-keyed self-join — the plan must show the postings
+    aggregate and no join at all in the candidate subtree (dedup_minhash
+    returns raw candidates: the whole plan is join-free)."""
+    df = synthetic.QUERIES["dedup_minhash"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert "collect_list" in txt
+    assert "SortMergeJoin" not in txt
+    assert "slice(" in txt  # the bucket-local tail-slice pair expansion
+
+
+def test_ngram_pair_count_carries_sizes_no_size_joins(spark):
+    """r12: exact-ngram Jaccard carries shingle-set sizes on the exploded
+    entries into the pair-count aggregation key — the plan keeps the
+    shingle equi-join (measured faster than postings for this shape) but
+    must show NO post-count joins back to a per-doc size aggregation:
+    exactly one join (the shingle self-join) in the whole plan."""
+    df = synthetic.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    simple = plan_text(df, "simple")
+    joins = sum(
+        simple.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert joins == 1, f"expected only the shingle self-join:\n{simple}"
+    # the sizes ride the aggregation key, not a separate aggregate+join
+    assert "__size_a" in plan_text(df)
+
+
+def test_dup_gram_hits_single_grouped_pass(spark):
+    """r12: duplicate-span gram sites are filtered by a size() predicate
+    on grouped postings (one gram-keyed exchange), not a count aggregate
+    + left-semi join that re-computes the gram explode."""
+    df = synthetic.QUERIES["docs_dup_spans"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert "LeftSemi" not in txt
+    assert "collect_list" in txt
+
+
+def test_mad_selector_plan_is_lineage_cut(spark):
+    """r12: the exact-selector grid/median/band frames are checkpointed,
+    so the MAD face's plan must stay leaf-scan small instead of
+    re-inlining the grid subtree at every reference (was ~3000 formatted
+    lines / 360 Exchange text nodes before the cut)."""
+    df = synthetic.QUERIES["events_value_mad_outliers"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert len(txt.splitlines()) < 800, len(txt.splitlines())
+    assert txt.count("Exchange") < 60, txt.count("Exchange")
+
+
+def test_bpe_pair_counts_aggregates_tokens_before_merges(spark):
+    """r12: the BPE merge replace-chain runs once per DISTINCT token —
+    the plan must show the token-count aggregation BELOW the
+    replace/split projection (two hash aggregations total: token counts,
+    then occurrence-weighted pair sums) and a partial_sum for the
+    weighted pair count."""
+    df = synthetic.QUERIES["vocab_bpe_pair_counts"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert "partial_sum" in txt  # pair counts are occurrence-weighted sums
+    assert "partial_count" in txt  # per-distinct-token occurrence counts
