@@ -178,14 +178,52 @@ def main() -> None:
     # stdout line compact (no spaces) to fit tail buffers.
     # a BENCH_ONLY subset run must not clobber the full-sweep artifact
     # the driver (and the ledger tooling) reads
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_SUBSET.json" if only else "BENCH_FULL.json",
+        repo_dir, "BENCH_SUBSET.json" if only else "BENCH_FULL.json"
     )
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
+    if not only:
+        # VERDICT r12 item 1: BENCH_FULL.json is overwritten by every
+        # sweep, so no per-query map survives a round boundary and the
+        # driver's PERF diff came up empty (per_query: {}, null geomean).
+        # Persist a ROUND- and CORE-COUNT-stamped copy as well
+        # (BENCH_FULL_r{N}_c{cpus}.json, N = 1 + the newest driver-written
+        # BENCH_r{N}.json) — committed each round, it lets the next
+        # round's PERF compute real per-query medians, geomeans and
+        # c8/c32 scaling ratios from the repo alone.
+        with open(
+            os.path.join(repo_dir, f"BENCH_FULL_{round_tag(repo_dir)}.json"), "w"
+        ) as f:
+            json.dump(payload, f, indent=1)
     print(json.dumps(slim_stdout_payload(payload), separators=(",", ":")))
     spark.stop()
+
+
+def round_tag(repo_dir: str) -> str:
+    """``r{N}_c{cpus}`` stamp for the persisted full-sweep artifact.
+
+    ``N`` is one past the newest driver-written ``BENCH_r{N}.json`` (the
+    driver commits that file at the END of round N, so a sweep running
+    DURING round N+1 — ours or the driver's post-round one — sees max=N
+    and stamps N+1). ``BENCH_ROUND`` overrides for tooling. The core
+    count comes from the same env var the session master uses, so the
+    driver's low-core scaling run lands in its own file instead of
+    clobbering the 32-core map.
+    """
+    env = os.environ.get("BENCH_ROUND")
+    if env:
+        n = int(env)
+    else:
+        rounds = [0]
+        for fn in os.listdir(repo_dir):
+            m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+            if m:
+                rounds.append(int(m.group(1)))
+        n = max(rounds) + 1
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"r{n:02d}_c{cpus}"
 
 
 def wait_for_idle(

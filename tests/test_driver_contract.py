@@ -241,3 +241,30 @@ def test_bench_load_ledger_reads_sf1_block_too():
     led01 = bench.load_ledger(0.1)
     assert set(led1) <= set(led01)  # headline subset
     assert led1 != {k: led01[k] for k in led1}
+
+
+def test_bench_round_tag_stamps_next_round_and_core_count(tmp_path, monkeypatch):
+    """VERDICT r12 item 1: BENCH_FULL.json is overwritten every sweep, so
+    no per-query map survived a round boundary and PERF_r12 diffed nothing
+    (per_query: {}, null geomean). Full sweeps now ALSO persist a
+    round+core-count-stamped copy; the stamp must be one past the newest
+    driver-written BENCH_r{N}.json and must separate the driver's low-core
+    scaling run from the 32-core map."""
+    import bench
+
+    monkeypatch.delenv("BENCH_ROUND", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    # fresh checkout with driver artifacts through round 12
+    for n in (1, 11, 12):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text("{}")
+    assert bench.round_tag(str(tmp_path)) == "r13_c32"
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench.round_tag(str(tmp_path)) == "r13_c8"
+    # no driver artifacts at all (fresh repo): stamps round 1
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    assert bench.round_tag(str(empty)) == "r01_c32"
+    # explicit override wins (ledger tooling)
+    monkeypatch.setenv("BENCH_ROUND", "7")
+    assert bench.round_tag(str(tmp_path)) == "r07_c32"
