@@ -145,32 +145,46 @@ def _bucket_pairs(
 
     ONE hash exchange groups each bucket's member ids into a sorted
     array; pair generation is then bucket-local compute (posexplode +
-    tail slice), and the hot-bucket skew guard (``max_bucket`` — drop
+    tail slice). The hot-bucket skew guard (``max_bucket`` — drop
     buckets holding more members than the cap, the LSH analog of
-    stop-words, bounding candidates at O(n · max_bucket)) becomes a
-    plain ``size()`` filter on the grouped array. The former shape
-    (count-per-bucket aggregation + join-back filter + bucket-keyed
-    self-join) shuffled the entries three more times; output is the
-    same pair set by construction — every unordered pair sharing a
-    bucket of size in [2, cap] appears once per shared bucket before
-    the distinct. Pair volume per bucket is unchanged (the self-join
-    co-located a bucket in one task too); per-row memory is one
-    bucket's id array, bounded by the cap when it is on.
+    stop-words, bounding candidates at O(n · max_bucket)) is applied
+    BEFORE the arrays are built (r13, ADVICE r12): a count-over-window
+    keyed identically to the groupBy — the window reuses the same
+    exchange, its per-bucket buffer spills to disk past the spill
+    threshold instead of holding the bucket in memory, and every
+    surviving ``collect_list`` buffer is then ≤ ``max_bucket`` elements,
+    so a degenerate bucket can no longer materialize an unbounded
+    member array in one aggregation row. Output is the same pair set by
+    construction — every unordered pair sharing a bucket of size in
+    [2, cap] appears once per shared bucket before the distinct; pair
+    volume and task placement are unchanged. With ``max_bucket=None``
+    the member arrays are unbounded BY SEMANTICS (the caller asked for
+    every co-bucketed pair, an O(|bucket|²) output either way).
 
     ``persist_entries`` keeps the signature/fingerprint pipeline feeding
     ``entries`` materialized once per query scope (at 100 TB the band
     entries are content hashes — computed once, stored).
     """
+    from pyspark.sql import Window as W
+
     if persist_entries:
         entries = scoped_persist(entries)
-    posts = entries.groupBy(*[F.col(k) for k in keys]).agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("__m")
-    )
-    cond = F.size("__m") >= 2
     if max_bucket is not None:
-        cond &= F.size("__m") <= max_bucket
+        wc = F.count(F.lit(1)).over(W.partitionBy(*[F.col(k) for k in keys]))
+        entries = (
+            entries.withColumn("__bc", wc)
+            .filter((F.col("__bc") >= 2) & (F.col("__bc") <= max_bucket))
+            .drop("__bc")
+        )
+        posts = entries.groupBy(*[F.col(k) for k in keys]).agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__m")
+        )
+    else:
+        posts = entries.groupBy(*[F.col(k) for k in keys]).agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__m")
+        ).filter(F.size("__m") >= 2)
     return (
-        _posting_tail_pairs(posts.filter(cond).select("__m"))
+        _posting_tail_pairs(posts.select("__m"))
         .select(F.col("__ea").alias("id_a"), F.col("__eb").alias("id_b"))
         .distinct()
     )
@@ -191,23 +205,43 @@ def _bucket_cross_pairs(
     measured over the union of both sides, exactly the symmetric
     semantics of the former count + anti-join shape, at one exchange
     instead of four (two persists, the totals aggregation, two
-    anti-joins and the equi-join all collapse into the groupBy).
+    anti-joins and the equi-join all collapse into the groupBy). As in
+    :func:`_bucket_pairs`, the cap and the both-sides-present test are
+    applied by counts-over-window BEFORE the arrays are built (r13),
+    so a degenerate bucket spills in the window buffer instead of
+    materializing an unbounded member array in one aggregation row;
+    surviving ``collect_list`` buffers are ≤ ``max_bucket`` elements.
     """
+    from pyspark.sql import Window as W
+
     u = e_new.select(
         *keys, F.col(new_id).alias("__id"), F.lit(0).alias("__side")
     ).unionAll(
         e_old.select(*keys, F.col(old_id).alias("__id"), F.lit(1).alias("__side"))
     )
-    posts = u.groupBy(*[F.col(k) for k in keys]).agg(
-        F.collect_list(F.when(F.col("__side") == 0, F.col("__id"))).alias("__ns"),
-        F.collect_list(F.when(F.col("__side") == 1, F.col("__id"))).alias("__os"),
+    w = W.partitionBy(*[F.col(k) for k in keys])
+    u = u.withColumn(
+        "__nn", F.count(F.when(F.col("__side") == 0, F.lit(1))).over(w)
+    ).withColumn(
+        "__no", F.count(F.when(F.col("__side") == 1, F.lit(1))).over(w)
     )
-    cond = (F.size("__ns") > 0) & (F.size("__os") > 0)
+    cond = (F.col("__nn") > 0) & (F.col("__no") > 0)
     if max_bucket is not None:
-        cond &= (F.size("__ns") + F.size("__os")) <= max_bucket
+        cond &= (F.col("__nn") + F.col("__no")) <= max_bucket
+    posts = (
+        u.filter(cond)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.collect_list(
+                F.when(F.col("__side") == 0, F.col("__id"))
+            ).alias("__ns"),
+            F.collect_list(
+                F.when(F.col("__side") == 1, F.col("__id"))
+            ).alias("__os"),
+        )
+    )
     return (
-        posts.filter(cond)
-        .select(F.explode("__ns").alias(new_id), F.col("__os"))
+        posts.select(F.explode("__ns").alias(new_id), F.col("__os"))
         .select(new_id, F.explode("__os").alias(old_id))
         .distinct()
     )
@@ -877,17 +911,33 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("__inter"))
         )
 
-    if max_doc_freq is not None:
-        # stop-shingle mode: one grouped pass applies the document-
-        # frequency cap (no count + join-back), and sizes are re-counted
-        # over the FILTERED shingle sets (the filtered-Jaccard
-        # definition) — both consumers read the persisted postings.
-        posts0 = scoped_persist(
-            entries.groupBy("__shingle")
-            .agg(F.collect_list(F.col(id_col)).alias("__ids"))
-            .filter(F.size("__ids") <= max_doc_freq)
+    if max_doc_freq is not None and prefix_filter:
+        # the two prune paths are structured differently (postings-window
+        # cap vs prefix candidate join) and no caller composes them;
+        # fail loudly instead of silently taking one (ADVICE r12)
+        raise ValueError(
+            "ngram_jaccard_pairs: max_doc_freq and prefix_filter are "
+            "mutually exclusive — apply the stop-shingle cap or PPJoin "
+            "prefix pruning, not both"
         )
-        sh_f = posts0.select("__shingle", F.explode("__ids").alias(id_col))
+    if max_doc_freq is not None:
+        # stop-shingle mode: the document-frequency cap is a count-over-
+        # window keyed on the shingle (r13 — the former grouped
+        # collect_list materialized a stop-shingle's full unbounded
+        # posting array in one aggregation row before the size filter
+        # dropped it; the window buffer spills instead), and sizes are
+        # re-counted over the FILTERED shingle sets (the filtered-
+        # Jaccard definition) — both consumers read the persisted
+        # filtered entries.
+        from pyspark.sql import Window as W
+
+        wdf = F.count(F.lit(1)).over(W.partitionBy("__shingle"))
+        sh_f = scoped_persist(
+            entries.select(F.col(id_col), "__shingle")
+            .withColumn("__df", wdf)
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
         sizes = sh_f.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
         sized = sh_f.join(sizes, id_col)
         ja = _sized_pair_counts(sized)
@@ -1036,8 +1086,14 @@ def jaccard_matches_between(
     sh_new, sh_old = sides
     if max_doc_freq is not None:
         # stop-shingle cap measured over the UNION of both sides (the
-        # symmetric filtered-Jaccard definition), applied in one grouped
-        # pass; per-side sizes re-counted over the filtered sets.
+        # symmetric filtered-Jaccard definition), applied as a count-
+        # over-window on the shingle key (r13 — the former grouped
+        # collect_lists materialized a stop-shingle's full unbounded
+        # posting arrays before the size filter; the window buffer
+        # spills instead); per-side sizes re-counted over the filtered
+        # sets. Both consumers read the persisted filtered union.
+        from pyspark.sql import Window as W
+
         u = sh_new.select(
             "__shingle", F.col("new_id").alias("__id"), F.lit(0).alias("__side")
         ).unionAll(
@@ -1045,20 +1101,18 @@ def jaccard_matches_between(
                 "__shingle", F.col("old_id").alias("__id"), F.lit(1).alias("__side")
             )
         )
-        posts = scoped_persist(
-            u.groupBy("__shingle")
-            .agg(
-                F.collect_list(
-                    F.when(F.col("__side") == 0, F.col("__id"))
-                ).alias("__ns"),
-                F.collect_list(
-                    F.when(F.col("__side") == 1, F.col("__id"))
-                ).alias("__os"),
-            )
-            .filter(F.size("__ns") + F.size("__os") <= max_doc_freq)
+        wdf = F.count(F.lit(1)).over(W.partitionBy("__shingle"))
+        filt = scoped_persist(
+            u.withColumn("__df", wdf)
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
-        sh_new = posts.select("__shingle", F.explode("__ns").alias("new_id"))
-        sh_old = posts.select("__shingle", F.explode("__os").alias("old_id"))
+        sh_new = filt.filter(F.col("__side") == 0).select(
+            "__shingle", F.col("__id").alias("new_id")
+        )
+        sh_old = filt.filter(F.col("__side") == 1).select(
+            "__shingle", F.col("__id").alias("old_id")
+        )
         sizes_new = sh_new.groupBy("new_id").agg(
             F.count(F.lit(1)).alias("__sz_n")
         )
@@ -1131,15 +1185,19 @@ def _dup_gram_hits(
     forms are asserted span-identical on the test corpus
     (tests/test_dedup.py::test_duplicate_spans_fingerprint_parity).
     """
-    # r12: postings formulation — ONE gram-keyed exchange groups each
-    # gram's (doc, pos) sites; the >= min_sites predicate is a size()
-    # filter on the grouped array and the surviving sites explode back
-    # out. The former shape (count aggregation + left-semi join) shuffled
-    # the sites twice more AND recomputed the gram explode for the probe
-    # side (no persist); measured 1.9-2.2 s → 1.5-1.6 s warm at sf0.1 on
-    # the duplicate_spans face, identical (id, pos) set. Per-row memory
-    # is one gram's site array — bounded by that gram's corpus frequency,
-    # the same group the join co-located in one task.
+    # r13: count-over-window formulation — ONE gram-keyed exchange; the
+    # >= min_sites predicate is a window count partitioned by the gram,
+    # so no site ARRAY is ever materialized (the r12 grouped-postings
+    # shape collected every (doc, pos) site of a gram into one
+    # aggregation row with no upper bound — a corpus-wide stop-gram
+    # would build a multi-GB array; ADVICE r12). The window's per-gram
+    # buffer spills to disk past the spill threshold, the surviving
+    # sites are already rows (no explode back out), and the (id, pos)
+    # output set is identical by construction. The r12 shape itself
+    # replaced a count aggregation + left-semi join that shuffled the
+    # sites twice more and recomputed the gram explode.
+    from pyspark.sql import Window as W
+
     sites = _gram_sites(df, id_col, text_col, k)
     if fingerprint:
         sites = sites.select(
@@ -1151,13 +1209,11 @@ def _dup_gram_hits(
         key = ["__g1", "__g2"]
     else:
         key = ["__g"]
-    posts = sites.groupBy(*key).agg(
-        F.collect_list(F.struct(F.col(id_col), F.col("pos"))).alias("__s")
-    )
+    wc = F.count(F.lit(1)).over(W.partitionBy(*[F.col(c) for c in key]))
     return (
-        posts.filter(F.size("__s") >= min_sites)
-        .select(F.explode("__s").alias("__e"))
-        .select(F.col(f"__e.{id_col}").alias(id_col), F.col("__e.pos").alias("pos"))
+        sites.withColumn("__ns", wc)
+        .filter(F.col("__ns") >= min_sites)
+        .select(F.col(id_col), "pos")
     )
 
 

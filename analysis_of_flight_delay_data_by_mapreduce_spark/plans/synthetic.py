@@ -3197,10 +3197,34 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "winnow_min")
         .filter(F.col("winnow_min").isNotNull())
     )
-    posts = (
-        fp.groupBy("winnow_min")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("__m"))
-        .filter(F.size("__m") >= 2)
+    # r13 (VERDICT r12 item 7): the >= 2 occupancy test is a count-over-
+    # window BEFORE the postings arrays are built, and a fail-loud guard
+    # bounds the per-row array the groupBy can materialize — the pair
+    # output is O(m²) per fingerprint bucket BY SEMANTICS, so a bucket
+    # past the limit (2^20 members ≈ 5e11 pairs) is a degenerate corpus
+    # this query must refuse, not OOM on. Pair set unchanged below it.
+    from pyspark.sql import Window as W
+
+    wc = F.count(F.lit(1)).over(W.partitionBy("winnow_min"))
+    fpc = (
+        fp.withColumn("__c", wc)
+        .filter(F.col("__c") >= 2)
+        .filter(
+            F.assert_true(
+                F.col("__c") <= F.lit(1 << 20),
+                F.concat(
+                    F.lit(
+                        "dedup_winnow_pairs: fingerprint bucket exceeds the "
+                        "postings limit (2^20) — pair output would be "
+                        "O(m^2); fingerprint value: "
+                    ),
+                    F.col("winnow_min").cast("string"),
+                ),
+            ).isNull()
+        )
+    )
+    posts = fpc.groupBy("winnow_min").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__m")
     )
     return _posting_tail_pairs(posts).select(
         F.col("__ea").alias("id_a"),

@@ -398,13 +398,29 @@ def test_ngram_pair_count_carries_sizes_no_size_joins(spark):
 
 
 def test_dup_gram_hits_single_grouped_pass(spark):
-    """r12: duplicate-span gram sites are filtered by a size() predicate
-    on grouped postings (one gram-keyed exchange), not a count aggregate
-    + left-semi join that re-computes the gram explode."""
+    """r13: duplicate-span gram sites are filtered by a count-over-window
+    partitioned by the gram — still ONE gram-keyed exchange (no count
+    aggregate + left-semi join re-computing the gram explode), but no
+    site ARRAY is ever materialized (the r12 grouped-postings shape
+    collected each gram's full site list into one unbounded aggregation
+    row; ADVICE r12). The window buffer spills; collect_list is gone."""
     df = synthetic.QUERIES["docs_dup_spans"](spark, SF_DIR)
     txt = plan_text(df)
     assert "LeftSemi" not in txt
-    assert "collect_list" in txt
+    assert "collect_list" not in txt
+    assert "windowspecdefinition" in txt
+
+
+def test_lsh_bucket_cap_precedes_postings_arrays(spark):
+    """r13 (ADVICE r12): the hot-bucket cap runs as a count-over-window
+    BEFORE collect_list builds the postings arrays, so a degenerate
+    bucket spills in the window buffer instead of materializing an
+    unbounded member array in one aggregation row. The plan must show
+    the window count feeding the filter below the aggregation."""
+    df = synthetic.QUERIES["dedup_minhash"](spark, SF_DIR)
+    txt = plan_text(df)
+    assert "collect_list" in txt  # postings arrays still generate pairs
+    assert "windowspecdefinition" in txt  # ...but capped before they build
 
 
 def test_mad_selector_plan_is_lineage_cut(spark):
