@@ -490,6 +490,21 @@ def median_mad_two_pass(
     # the grid-sized frames (≤ ~1k rows) collapses the downstream plan
     # to small leaf scans; the checkpointed frames rebuild from the
     # caller-persisted ``vals`` in milliseconds.
+    #
+    # DURABILITY (r13, VERDICT r12 item 6): localCheckpoint blocks are
+    # executor-local and NON-replicated — on a real cluster an executor
+    # loss after the cut fails the query with no recompute path (the
+    # lineage is gone by design), and the blocks bypass the scoped-cache
+    # release lifecycle (freed by the ContextCleaner after GC). That is
+    # the right trade HERE: the frames are grid-sized (≤ ~1k rows, KBs),
+    # rebuild from the caller-persisted vals in milliseconds on a
+    # retried QUERY, and the alternative — reliable checkpoint() — costs
+    # a distributed-FS round trip per selector stage, or persist() costs
+    # the giant-plan re-analysis this cut exists to remove. A cluster
+    # deployment that cannot tolerate retry-the-query should swap these
+    # for checkpoint() against HDFS/S3 (one-line change; the frames are
+    # tiny, so the write is cheap — it is the sync latency per stage
+    # that local mode has no reason to pay).
     cum = _qsketch_cum(qsketch_build(x, "__x")).localCheckpoint(eager=True)
 
     # -- pass 1+2: exact median from the grid (inlined two-pass selector,
@@ -604,49 +619,235 @@ def median_mad_two_pass(
     )
 
 
+def _grouped_cum(vals: DataFrame) -> DataFrame:
+    """Per-group cumulative grid ``(__g, __lo, __hi, cnt, __cum)`` of a
+    ``(__g, __x)`` frame — the grouped analog of :func:`_qsketch_cum`.
+    One partial-aggregated shuffle on (group, bucket); the cumulative
+    window partitions by the group, so each partition is ONE group's
+    grid (≤ ~1k rows regardless of data)."""
+    from pyspark.sql import Window as W
+
+    grid = (
+        with_qsketch_bucket(vals, "__x")
+        .groupBy("__g", "shift", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lo = F.expr("sub * shiftleft(cast(1 as bigint), shift)").cast("bigint")
+    hi = F.expr(
+        "(sub + 1) * shiftleft(cast(1 as bigint), shift) - 1"
+    ).cast("bigint")
+    w = (
+        W.partitionBy("__g")
+        .orderBy("__lo")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
+        "__g", lo.alias("__lo"), hi.alias("__hi"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).withColumn("__cum", F.sum("cnt").over(w))
+
+
+def _grouped_brackets(cum: DataFrame, permille: list[int]) -> DataFrame:
+    """Per-(group, p) bracket rows ``(__g, p, __rank, __n, __lo, __hi,
+    __c_below)`` from a grouped cumulative grid. Group-grid-sized
+    (groups × |permille| rows); checkpointed so the pass-2 join and the
+    resolution window don't re-inline (and the driver doesn't
+    re-analyze) the grid + cumulative-window subtree — see
+    :func:`median_mad_two_pass` on the lineage-cut convention and its
+    durability caveat."""
+    ps = F.explode(
+        F.array(*[F.lit(int(p)).cast("bigint") for p in permille])
+    ).alias("p")
+    ranks = (
+        cum.groupBy("__g")
+        .agg(F.sum("cnt").alias("__n"))
+        .select("__g", ps, "__n")
+        .select(
+            "__g",
+            "p",
+            F.expr("(__n * p + 999) div 1000").cast("bigint").alias("__rank"),
+            "__n",
+        )
+    )
+    return (
+        cum.join(ranks, "__g").filter(
+            (F.col("__cum") >= F.col("__rank"))
+            & (F.col("__cum") - F.col("cnt") < F.col("__rank"))
+        ).select(
+            "__g", "p", "__rank", "__n", "__lo", "__hi",
+            (F.col("__cum") - F.col("cnt")).alias("__c_below"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _grouped_resolve(
+    vals: DataFrame, brackets: DataFrame, bracket_limit: int
+) -> DataFrame:
+    """Pass-2 exact resolution of a grouped selector: equi-join the
+    ``(__g, __x)`` rows to their group's brackets (bracket range as the
+    residual), aggregate per distinct in-bracket value, and pick the
+    smallest value whose cumulative count crosses the rank. Returns
+    ``(__g, p, __n, exact_value)``."""
+    from pyspark.sql import Window as W
+
+    inside = vals.join(brackets, "__g").filter(
+        (F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi"))
+    )
+    per_val = inside.groupBy(
+        "__g", "p", "__rank", "__n", "__c_below", "__x"
+    ).agg(F.count(F.lit(1)).alias("__k"))
+    per_val = _bracket_guard(per_val, ["__g", "p"], bracket_limit)
+    w2 = (
+        W.partitionBy("__g", "p")
+        .orderBy("__x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    resolved = per_val.withColumn("__vcum", F.sum("__k").over(w2)).filter(
+        F.col("__c_below") + F.col("__vcum") >= F.col("__rank")
+    )
+    return resolved.groupBy("__g", "p", "__n").agg(
+        F.min("__x").alias("exact_value")
+    )
+
+
 def median_mad_by_group(
     df: DataFrame, group_col: str, value_col: str,
     bracket_limit: int = QSKETCH_BRACKET_LIMIT,
 ) -> DataFrame:
-    """Per-GROUP exact ``(n_rows, median, mad)`` — the grouped
-    composition of the two-pass selector (median per group, deviations
-    via a hash equi-join on the group, MAD per group over them). Every
-    stage is keyed by the group; zero global sorts; state bounded by
-    groups × grid. The single-group variant
-    (:func:`median_mad_two_pass`) additionally derives the MAD bracket
-    from the median pass's grid — worth it there because the saved scan
-    is data-wide; here the per-group grids are already the dominant
-    bounded state and the composition keeps the code one re-read deep.
+    """Per-GROUP exact ``(n_rows, median, mad)`` — the grouped port of
+    :func:`median_mad_two_pass`, including its grid-only MAD-bracket
+    derivation (r13, VERDICT r12 item 3): the deviation distribution of
+    each group is bracketed from that group's EXISTING x-grid walked
+    outward from its median (L/U cover bounds over bucket edges — pure
+    grid arithmetic, no data scan), and the MAD resolves in ONE
+    conditional-aggregation band scan keyed by the group. The former
+    composition re-sketched ``|x − median|`` per group — a second full
+    scan AND a second (group, bucket) partial-agg shuffle of the
+    deviation column, both now gone. Every stage is keyed by the group;
+    zero global sorts; state bounded by groups × grid (the L/U join is
+    per-group grid × candidate-edges, ≤ grid² rows per group).
 
-    Output: ``(group_col, n_rows, median, mad)``.
+    Output: ``(group_col, n_rows, median, mad)`` — bit-identical to the
+    full-sort oracle (same integer rank convention per group).
     """
     from .cache import scoped_persist
 
     vals = scoped_persist(
         df.filter(F.col(value_col).isNotNull()).select(
-            F.col(group_col).alias("__g0"),
-            F.col(value_col).cast("bigint").alias("__x0"),
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("bigint").alias("__x"),
         )
     )
+    # checkpointed once: referenced by the median brackets AND the MAD
+    # band derivation (groups × grid rows)
+    cum = _grouped_cum(vals).localCheckpoint(eager=True)
     med = (
-        exact_quantiles_by_group(vals, "__g0", "__x0", [500], bracket_limit)
+        _grouped_resolve(vals, _grouped_brackets(cum, [500]), bracket_limit)
         .select(
-            F.col("__g0"),
-            F.col("n_rows"),
-            F.col("exact_value").alias("__med"),
+            "__g",
+            "__n",
+            F.col("exact_value").alias("__m"),
+            F.expr("(__n * 500 + 999) div 1000").cast("bigint").alias("__rank"),
         )
         .localCheckpoint(eager=True)  # group-sized; cuts the selector subtree
     )
-    dev = vals.join(med.select("__g0", "__med"), "__g0").select(
-        "__g0", F.abs(F.col("__x0") - F.col("__med")).alias("__d0")
+
+    # -- grid-only bracket derivation for the per-group MAD (NO data
+    # scan): every bucket edge's deviation from the group's median is a
+    # candidate t; L/U are full-cover / any-overlap count sums over that
+    # group's (tiny) grid. Same construction as median_mad_two_pass,
+    # keyed by the group.
+    gm = cum.join(F.broadcast(med), "__g")
+    cand = (
+        gm.select(
+            "__g",
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("__hi") >= F.col("__m"),
+                        F.col("__hi") - F.col("__m"),
+                    ),
+                    F.when(
+                        F.col("__lo") <= F.col("__m"),
+                        F.col("__m") - F.col("__lo"),
+                    ),
+                )
+            ).alias("__t"),
+        )
+        .filter(F.col("__t").isNotNull())
+        .distinct()
     )
-    mad = exact_quantiles_by_group(dev, "__g0", "__d0", [500], bracket_limit).select(
-        F.col("__g0"), F.col("exact_value").alias("__mad")
+    lu = (
+        cand.join(gm, "__g")
+        .filter(
+            (F.col("__hi") >= F.col("__m") - F.col("__t"))
+            & (F.col("__lo") <= F.col("__m") + F.col("__t"))
+        )
+        .groupBy("__g", "__t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__lo") >= F.col("__m") - F.col("__t"))
+                    & (F.col("__hi") <= F.col("__m") + F.col("__t")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("__L"),
+            F.sum("cnt").alias("__U"),
+            F.first("__rank").alias("__rank"),
+        )
     )
-    return med.join(mad, "__g0").select(
-        F.col("__g0").alias(group_col),
-        "n_rows",
-        F.col("__med").alias("median"),
+    band = (
+        lu.groupBy("__g")
+        .agg(
+            F.min(
+                F.when(F.col("__L") >= F.col("__rank"), F.col("__t"))
+            ).alias("__dhi"),
+            F.coalesce(
+                F.max(F.when(F.col("__U") < F.col("__rank"), F.col("__t"))),
+                F.lit(-1).cast("bigint"),
+            ).alias("__dlo"),
+        )
+        .join(med, "__g")
+        .localCheckpoint(eager=True)
+    )  # one row per group: (__g, __dhi, __dlo, __n, __m, __rank)
+
+    # -- pass 3: one conditional-aggregation band scan resolves every
+    # group's MAD (rows with d ≤ d_lo collapse into the group's -1
+    # sentinel — the in-scan c_below; the -1 group cannot cross the
+    # rank since #{d ≤ d_lo} ≤ U(d_lo) < rank)
+    from pyspark.sql import Window as W
+
+    scan = vals.join(F.broadcast(band), "__g").filter(
+        (F.col("__x") >= F.col("__m") - F.col("__dhi"))
+        & (F.col("__x") <= F.col("__m") + F.col("__dhi"))
+    )
+    per_d = scan.select(
+        "__g",
+        "__rank",
+        F.when(
+            F.abs(F.col("__x") - F.col("__m")) <= F.col("__dlo"), F.lit(-1)
+        )
+        .otherwise(F.abs(F.col("__x") - F.col("__m")))
+        .cast("bigint")
+        .alias("__d"),
+    ).groupBy("__g", "__rank", "__d").agg(F.count(F.lit(1)).alias("__k"))
+    per_d = _bracket_guard(per_d, ["__g"], bracket_limit)
+    dw = (
+        W.partitionBy("__g")
+        .orderBy("__d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    mad = (
+        per_d.withColumn("__dc", F.sum("__k").over(dw))
+        .filter(F.col("__dc") >= F.col("__rank"))
+        .groupBy("__g")
+        .agg(F.min("__d").alias("__mad"))
+    )
+    return med.join(mad, "__g").select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n_rows"),
+        F.col("__m").alias("median"),
         F.col("__mad").alias("mad"),
     )
 
@@ -672,8 +873,6 @@ def exact_quantiles_by_group(
     Groups are whatever values appear; NULL values are dropped (no
     rank), NULL group keys group together as in any groupBy.
     """
-    from pyspark.sql import Window as W
-
     from .cache import scoped_persist
 
     vals = scoped_persist(
@@ -682,76 +881,12 @@ def exact_quantiles_by_group(
             F.col(value_col).cast("bigint").alias("__x"),
         )
     )
-    grid = (
-        with_qsketch_bucket(vals, "__x")
-        .groupBy("__g", "shift", "sub")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    lo = F.expr("sub * shiftleft(cast(1 as bigint), shift)").cast("bigint")
-    hi = F.expr(
-        "(sub + 1) * shiftleft(cast(1 as bigint), shift) - 1"
-    ).cast("bigint")
-    w = (
-        W.partitionBy("__g")
-        .orderBy("__lo")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = grid.select(
-        "__g", lo.alias("__lo"), hi.alias("__hi"),
-        F.col("cnt").cast("bigint").alias("cnt"),
-    ).withColumn("__cum", F.sum("cnt").over(w))
-    ps = F.explode(
-        F.array(*[F.lit(int(p)).cast("bigint") for p in permille])
-    ).alias("p")
-    ranks = (
-        cum.groupBy("__g")
-        .agg(F.sum("cnt").alias("__n"))
-        .select("__g", ps, "__n")
-        .select(
-            "__g",
-            "p",
-            F.expr("(__n * p + 999) div 1000").cast("bigint").alias("__rank"),
-            "__n",
-        )
-    )
-    # group-grid-sized (groups × |permille| rows); checkpointed so the
-    # pass-2 join and resolution window don't re-inline (and the driver
-    # doesn't re-analyze) the grid + cumulative-window subtree — see
-    # median_mad_two_pass
-    brackets = (
-        cum.join(ranks, "__g").filter(
-            (F.col("__cum") >= F.col("__rank"))
-            & (F.col("__cum") - F.col("cnt") < F.col("__rank"))
-        ).select(
-            "__g", "p", "__rank", "__n", "__lo", "__hi",
-            (F.col("__cum") - F.col("cnt")).alias("__c_below"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    inside = vals.join(brackets, "__g").filter(
-        (F.col("__x") >= F.col("__lo")) & (F.col("__x") <= F.col("__hi"))
-    )
-    per_val = inside.groupBy(
-        "__g", "p", "__rank", "__n", "__c_below", "__x"
-    ).agg(F.count(F.lit(1)).alias("__k"))
-    per_val = _bracket_guard(per_val, ["__g", "p"], bracket_limit)
-    w2 = (
-        W.partitionBy("__g", "p")
-        .orderBy("__x")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    resolved = per_val.withColumn("__vcum", F.sum("__k").over(w2)).filter(
-        F.col("__c_below") + F.col("__vcum") >= F.col("__rank")
-    )
-    return (
-        resolved.groupBy("__g", "p", "__n")
-        .agg(F.min("__x").alias("exact_value"))
-        .select(
-            F.col("__g").alias(group_col),
-            "p",
-            F.col("__n").alias("n_rows"),
-            "exact_value",
-        )
+    brackets = _grouped_brackets(_grouped_cum(vals), permille)
+    return _grouped_resolve(vals, brackets, bracket_limit).select(
+        F.col("__g").alias(group_col),
+        "p",
+        F.col("__n").alias("n_rows"),
+        "exact_value",
     )
 
 
