@@ -420,7 +420,9 @@ def _walk(data: bytes, start: int, end: int):
         if p + 8 > end:
             raise ValueError("mp4: truncated atom header")
         size = struct.unpack_from(">I", data, p)[0]
-        tag = data[p + 4 : p + 8]
+        # bytes() so memoryview inputs (the zero-copy Arrow sampler path)
+        # yield hashable/comparable/decodable tags — a 4-byte copy
+        tag = bytes(data[p + 4 : p + 8])
         body = p + 8
         if size == 1:
             if p + 16 > end:
@@ -539,7 +541,7 @@ def _parse_stsd(payload: bytes, b: int, e: int) -> tuple[str | None, bytes | Non
         avcc = _find(payload, eb + 78, ee, b"avcC")
         if avcc is None:
             raise ValueError("mp4: avc1 entry missing avcC")
-        return codec, payload[avcc[0] : avcc[1]]
+        return codec, bytes(payload[avcc[0] : avcc[1]])
     raise ValueError("mp4: stsd entry count disagrees with body")
 
 
@@ -744,7 +746,7 @@ def parse_mp4_meta(payload: bytes) -> dict:
     fb, fe = top[0][1], top[0][2]
     if fe - fb < 8:
         raise ValueError("mp4: truncated ftyp")
-    brand = payload[fb : fb + 4].decode("latin-1")
+    brand = bytes(payload[fb : fb + 4]).decode("latin-1")
 
     moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
     if moov is None:

@@ -2244,19 +2244,53 @@ def sample_video_frames(
     instead of the every-N grid — the decode-budget move for coded
     video (only IDR frames are independently decodable; at 100 TB you
     sample those, not arbitrary grid points). Formats with no sync
-    table (GIF: every frame is independent; stubs) keep the grid."""
+    table (GIF: every frame is independent; stubs) keep the grid.
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    r13 (guide §4.2): the op is ``mapInArrow`` over a 2-column
+    projection, and every payload is read through a ZERO-COPY
+    ``memoryview`` over the Arrow binary column's single data buffer
+    (offsets array + buffer slice per row) — the former ``mapInPandas``
+    path copied each payload into a Python ``bytes`` during the
+    Arrow→pandas conversion, and every sampled frame/chunk slice copied
+    again before hashing. Container walks (``struct.unpack_from``,
+    slice compares) and ``sha256`` consume the views directly; only the
+    true decode paths (GIF LZW, MJPEG) still take a bytes copy of what
+    they decode. The explicit ``select`` keeps ``modality``/``meta``
+    from crossing the Python boundary at all."""
+
+    def op(batches):
+        import numpy as np
+        import pyarrow as pa
+
         from .jpeg import decode_jpeg
         from .mp4 import mp4_mdat_bytes, parse_mp4_meta, parse_mp4_samples
 
-        for pdf in batches:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            pay = batch.column(1)
+            bufs = pay.buffers()
+            odt = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offs = np.frombuffer(
+                bufs[1],
+                dtype=odt,
+                count=len(pay) + 1,
+                offset=pay.offset * np.dtype(odt).itemsize,
+            )
+            # cast("B"): pyarrow buffers expose a SIGNED ('b') memoryview,
+            # under which `view == b"\xff\xd8"` compares -1 against 255
+            # and silently fails — every content test needs unsigned bytes
+            data = (
+                memoryview(bufs[2]).cast("B")
+                if bufs[2] is not None
+                else memoryview(b"")
+            )
             out_id, out_idx, out_sha = [], [], []
-            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                raw = bytes(p)
-                if raw[:6] in _GIF_SIGS:
+            for i in range(len(pay)):
+                aid = ids[i]
+                raw = data[offs[i] : offs[i + 1]]
+                if bytes(raw[:6]) in _GIF_SIGS:
                     try:
-                        _w, _h, frames = decode_gif_frames(raw)
+                        _w, _h, frames = decode_gif_frames(bytes(raw))
                     except ValueError:
                         frames = None
                     if frames is not None:
@@ -2300,7 +2334,9 @@ def sample_video_frames(
                                 # pixels; a sample that merely looks like
                                 # a JPEG falls back to its coded bytes
                                 try:
-                                    _w, _h, _c, sample = decode_jpeg(sample)
+                                    _w, _h, _c, sample = decode_jpeg(
+                                        bytes(sample)
+                                    )
                                 except ValueError:
                                     pass
                             out_id.append(aid)
@@ -2321,14 +2357,21 @@ def sample_video_frames(
                             )
                         continue
                 chunks = range(0, max(len(raw), 1), every_n_bytes)
-                for i, off in enumerate(chunks):
+                for i2, off in enumerate(chunks):
                     out_id.append(aid)
-                    out_idx.append(i)
+                    out_idx.append(i2)
                     out_sha.append(
                         hashlib.sha256(raw[off : off + every_n_bytes]).hexdigest()
                     )
-            yield pd.DataFrame(
-                {"asset_id": out_id, "frame_idx": out_idx, "frame_sha256": out_sha}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_idx, pa.int32()),
+                    pa.array(out_sha, pa.string()),
+                ],
+                ["asset_id", "frame_idx", "frame_sha256"],
             )
 
-    return assets.mapInPandas(op, schema=FRAMES_SCHEMA)
+    return assets.select("asset_id", "payload").mapInArrow(
+        op, schema=FRAMES_SCHEMA
+    )
