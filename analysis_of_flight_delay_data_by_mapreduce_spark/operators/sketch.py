@@ -538,54 +538,51 @@ def median_mad_two_pass(
         .localCheckpoint(eager=True)
     )  # 1 row: (__rank, __n, __m) — same rank applies to the MAD (same n)
 
-    # -- grid-only bracket derivation for the MAD (NO data scan): every
-    # bucket edge's deviation from the median is a candidate t; L/U are
-    # full-cover / any-overlap count sums over the (tiny) grid.
+    # -- grid-only bracket derivation for the MAD (NO data scan): a
+    # bucket [lo, hi] is FULLY inside [m−t, m+t] iff t ≥ r :=
+    # max(hi−m, m−lo) (full-cover radius) and OVERLAPS it iff t ≥ s :=
+    # max(m−hi, lo−m, 0) (overlap radius), so L(t) = Σ cnt[r ≤ t] and
+    # U(t) = Σ cnt[s ≤ t] are cumulative sums over the radius-sorted
+    # grid. d_hi = the smallest full-cover radius whose L crosses the
+    # rank; d_lo = the largest overlap radius with U still below it
+    # (U(d_lo) < rank ⇒ #{d ≤ d_lo} < rank — any such d_lo yields the
+    # identical MAD; it only sets how many band rows collapse into the
+    # −1 sentinel). r13: this replaces the candidate-explode +
+    # grid-self-join L/U evaluation — two bounded window walks and one
+    # aggregation instead of a distinct, a theta-join and two
+    # aggregations (the block measured ~0.5 s of pure stage latency per
+    # warm run on the grouped face; same shape here). The single-row
+    # band is not checkpointed: its one consumer is the band scan's
+    # broadcast join and its lineage bottoms out at the cum/med leaves.
     gm = cum.join(F.broadcast(med))
-    cand = (
-        gm.select(
-            F.explode(
-                F.array(
-                    F.when(F.col("__hi") >= F.col("__m"), F.col("__hi") - F.col("__m")),
-                    F.when(F.col("__lo") <= F.col("__m"), F.col("__m") - F.col("__lo")),
-                )
-            ).alias("__t")
-        )
-        .filter(F.col("__t").isNotNull())
-        .distinct()
+    radii = gm.select(
+        "__rank",
+        F.col("cnt"),
+        F.greatest(
+            F.col("__hi") - F.col("__m"), F.col("__m") - F.col("__lo")
+        ).alias("__r"),
+        F.greatest(
+            F.col("__m") - F.col("__hi"),
+            F.col("__lo") - F.col("__m"),
+            F.lit(0).cast("bigint"),
+        ).alias("__s"),
     )
-    lu = (
-        F.broadcast(cand)
-        .join(
-            gm,
-            (F.col("__hi") >= F.col("__m") - F.col("__t"))
-            & (F.col("__lo") <= F.col("__m") + F.col("__t")),
-        )
-        .groupBy("__t")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("__lo") >= F.col("__m") - F.col("__t"))
-                    & (F.col("__hi") <= F.col("__m") + F.col("__t")),
-                    F.col("cnt"),
-                ).otherwise(F.lit(0))
-            ).alias("__L"),
-            F.sum("cnt").alias("__U"),
-            F.first("__rank").alias("__rank"),
-        )
+    wl = W.orderBy("__r").rangeBetween(W.unboundedPreceding, W.currentRow)
+    wu = W.orderBy("__s").rangeBetween(W.unboundedPreceding, W.currentRow)
+    both = radii.withColumn("__L", F.sum("cnt").over(wl)).withColumn(
+        "__U", F.sum("cnt").over(wu)
     )
     band = (
-        lu.agg(
-            F.min(F.when(F.col("__L") >= F.col("__rank"), F.col("__t"))).alias(
+        both.agg(
+            F.min(F.when(F.col("__L") >= F.col("__rank"), F.col("__r"))).alias(
                 "__dhi"
             ),
             F.coalesce(
-                F.max(F.when(F.col("__U") < F.col("__rank"), F.col("__t"))),
+                F.max(F.when(F.col("__U") < F.col("__rank"), F.col("__s"))),
                 F.lit(-1).cast("bigint"),
             ).alias("__dlo"),
         )
         .join(F.broadcast(med))
-        .localCheckpoint(eager=True)
     )  # 1 row: (__dhi, __dlo, __rank, __n, __m)
 
     # -- pass 3: one conditional-aggregation scan resolves the MAD
@@ -754,70 +751,67 @@ def median_mad_by_group(
     )
 
     # -- grid-only bracket derivation for the per-group MAD (NO data
-    # scan): every bucket edge's deviation from the group's median is a
-    # candidate t; L/U are full-cover / any-overlap count sums over that
-    # group's (tiny) grid. Same construction as median_mad_two_pass,
-    # keyed by the group.
-    gm = cum.join(F.broadcast(med), "__g")
-    cand = (
-        gm.select(
-            "__g",
-            F.explode(
-                F.array(
-                    F.when(
-                        F.col("__hi") >= F.col("__m"),
-                        F.col("__hi") - F.col("__m"),
-                    ),
-                    F.when(
-                        F.col("__lo") <= F.col("__m"),
-                        F.col("__m") - F.col("__lo"),
-                    ),
-                )
-            ).alias("__t"),
-        )
-        .filter(F.col("__t").isNotNull())
-        .distinct()
+    # scan): a bucket [lo, hi] is FULLY inside [m−t, m+t] iff
+    # t ≥ r := max(hi−m, m−lo) (its full-cover radius) and OVERLAPS it
+    # iff t ≥ s := max(m−hi, lo−m, 0) (its overlap radius), so
+    # L(t) = Σ cnt[r ≤ t] and U(t) = Σ cnt[s ≤ t] are per-group
+    # cumulative sums over the radius-sorted grid. d_hi = the smallest
+    # full-cover radius whose L crosses the rank (every candidate edge
+    # deviation where L can first cross IS some bucket's r); d_lo = the
+    # largest overlap radius with U still below the rank (U(d_lo) < rank
+    # ⇒ #{d ≤ d_lo} < rank — any such d_lo yields the identical MAD,
+    # it only sets how many band rows collapse into the −1 sentinel).
+    # One exchange + two bounded window walks + one reused-partitioning
+    # aggregation — no self-join of the grid, no candidate explode.
+    from pyspark.sql import Window as W
+
+    gm = cum.join(med, "__g")
+    radii = gm.select(
+        "__g",
+        "__rank",
+        F.col("cnt"),
+        F.greatest(
+            F.col("__hi") - F.col("__m"), F.col("__m") - F.col("__lo")
+        ).alias("__r"),
+        F.greatest(
+            F.col("__m") - F.col("__hi"),
+            F.col("__lo") - F.col("__m"),
+            F.lit(0).cast("bigint"),
+        ).alias("__s"),
     )
-    lu = (
-        cand.join(gm, "__g")
-        .filter(
-            (F.col("__hi") >= F.col("__m") - F.col("__t"))
-            & (F.col("__lo") <= F.col("__m") + F.col("__t"))
-        )
-        .groupBy("__g", "__t")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("__lo") >= F.col("__m") - F.col("__t"))
-                    & (F.col("__hi") <= F.col("__m") + F.col("__t")),
-                    F.col("cnt"),
-                ).otherwise(F.lit(0))
-            ).alias("__L"),
-            F.sum("cnt").alias("__U"),
-            F.first("__rank").alias("__rank"),
-        )
+    wl = W.partitionBy("__g").orderBy("__r").rangeBetween(
+        W.unboundedPreceding, W.currentRow
     )
+    wu = W.partitionBy("__g").orderBy("__s").rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    both = radii.withColumn("__L", F.sum("cnt").over(wl)).withColumn(
+        "__U", F.sum("cnt").over(wu)
+    )
+    # one row per group: (__g, __dhi, __dlo, __n, __m, __rank). NOT
+    # checkpointed: its only consumer is the band scan's broadcast join,
+    # and its lineage already bottoms out at the cum/med checkpoint
+    # leaves — an eager cut here would cost one more driver-synchronous
+    # job per run for no plan-size benefit.
     band = (
-        lu.groupBy("__g")
+        both.groupBy("__g", "__rank")
         .agg(
             F.min(
-                F.when(F.col("__L") >= F.col("__rank"), F.col("__t"))
+                F.when(F.col("__L") >= F.col("__rank"), F.col("__r"))
             ).alias("__dhi"),
             F.coalesce(
-                F.max(F.when(F.col("__U") < F.col("__rank"), F.col("__t"))),
+                F.max(F.when(F.col("__U") < F.col("__rank"), F.col("__s"))),
                 F.lit(-1).cast("bigint"),
             ).alias("__dlo"),
         )
+        .drop("__rank")
         .join(med, "__g")
-        .localCheckpoint(eager=True)
-    )  # one row per group: (__g, __dhi, __dlo, __n, __m, __rank)
+    )
 
     # -- pass 3: one conditional-aggregation band scan resolves every
     # group's MAD (rows with d ≤ d_lo collapse into the group's -1
     # sentinel — the in-scan c_below; the -1 group cannot cross the
     # rank since #{d ≤ d_lo} ≤ U(d_lo) < rank)
-    from pyspark.sql import Window as W
-
     scan = vals.join(F.broadcast(band), "__g").filter(
         (F.col("__x") >= F.col("__m") - F.col("__dhi"))
         & (F.col("__x") <= F.col("__m") + F.col("__dhi"))
