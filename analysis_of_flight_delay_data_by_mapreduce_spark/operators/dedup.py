@@ -138,7 +138,7 @@ def _bucket_pairs(
     keys: list[str],
     id_col: str,
     max_bucket: int | None,
-    persist_entries: bool = True,
+    persist_entries: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs ``(id_a < id_b)`` of ids sharing a bucket
     key — the postings-list formulation of the banded LSH self-join.
@@ -162,8 +162,14 @@ def _bucket_pairs(
     every co-bucketed pair, an O(|bucket|²) output either way).
 
     ``persist_entries`` keeps the signature/fingerprint pipeline feeding
-    ``entries`` materialized once per query scope (at 100 TB the band
-    entries are content hashes — computed once, stored).
+    ``entries`` materialized once per query scope. Default OFF (r13,
+    ADVICE r12): the guarded groupBy is the entries frame's single
+    consumer here, so persisting it is pure materialization overhead in
+    a one-shot execution — opt in only when the caller's entries
+    subtree genuinely feeds multiple consumers. (Measured at sf0.1:
+    warm/cold medians within noise either way; at 100 TB band entries
+    are content hashes a real pipeline materializes once in STORAGE,
+    not executor memory.)
     """
     from pyspark.sql import Window as W
 
