@@ -24,84 +24,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records CORRECTNESS rows for only the first 50 registered
-# entries; registry order is ours to choose. Round-12 rotation (VERDICT
-# r11 items 1, 2, 3, 7): lead with the rows NEW or CHANGED this round —
-# the four H.264 faces, the progressive-JPEG per-row digest face,
-# the JSONL/ORC reader round-trip faces, and the MP4 sample-table face
-# whose duration_consistent check was strengthened (exact stts-span
-# equality) — then ALL twenty-five r8-stamped overflow rows (the oldest
-# stamps; this block includes events_user_sketch_rollup / events_user_
-# overlap_sketch, converted this round from rows-only to FULL hash
-# checks via the own-register HLL / KMV-theta twins in operators/
-# hll.py), then the 17 alphabetically-first r9 rows (8 + 25 + 17 = 50).
-# After this round no stamp is older than r9; the remaining 32 r9 rows
-# are the designated overflow for the r13 window, listed after slot 50.
+# entries; registry order is ours to choose. Round-13 rotation (VERDICT
+# r12 item 5): lead with the four faces whose code changed in r12 but
+# sat OUTSIDE that round's driver window, then EVERY query path touched
+# by the r13 optimization round — the postings-guard dedup tier
+# (count-over-window caps in _bucket_pairs/_bucket_cross_pairs/
+# _dup_gram_hits, the winnow guard, persist default), the exact-selector
+# tier (grouped MAD band derivation, radius-window brackets), and the
+# codec faces whose payload path moved to the zero-copy Arrow sampler
+# or whose mp4 parse helpers changed (bytes() tags/brand/avcC) — then
+# fill the remaining slots from the designated r9 overflow block.
 # Every rotated-out query is still re-verified each round by the full
 # local check_oracle sweep and the pytest oracle replicas.
 _CHECK_FIRST = [
-    # --- new or changed in r12 ---
-    "multimodal_h264_meta_check",  # NEW: avcC/SPS census + stss-vs-NAL IDR
-    "multimodal_h264_keyframes_check",  # NEW: stss keyframe-aligned sampling
-    "multimodal_h264_pts_check",  # NEW: stts/ctts/stss dts-pts-keyframe index
-    "multimodal_h264_annexb_check",  # NEW: raw Annex-B start-code census
-    "multimodal_jpeg_progressive_check",  # NEW: SOF2 per-row pixel digests
-    "events_jsonl_ingest_check",  # NEW: PERMISSIVE JSONL + quarantine
-    "orders_orc_roundtrip_check",  # NEW: ORC sink/scan round trip
-    "multimodal_mp4_sample_table_check",  # CHANGED: exact stts-span check
-    # --- last driver row r8 (all 25; VERDICT r11 item 1) ---
-    "events_json_props",
-    "events_latest_state",
+    # --- r12-touched, previously unwitnessed (VERDICT r12 item 5) ---
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "vocab_bpe_pair_counts",
+    "events_value_mad_outliers",
+    # --- r13: exact-selector tier (sketch.py) ---
     "events_mad_outliers_by_type",
-    "events_segment_spend",
-    "events_sessionize",
-    "events_user_overlap_check",
-    "events_user_overlap_sketch",  # rows-only -> ORACLE: KMV-theta twin
-    "events_user_sketch_check",
-    "events_user_sketch_rollup",  # rows-only -> ORACLE: own-register HLL twin
-    "multimodal_bmp_decode_check",
-    "orders_above_customer_avg",
-    "text_bm25",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmodes",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_inactive_rich",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit_by_nation_year",
-    # --- last driver row r9 (17 of 49 alphabetically; rest overflow) ---
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_ivf_recall_check",
-    "ann_ivfpq_upsert_check",
-    "corpus_prepare",
-    "corpus_prepare_cc",
-    "corpus_prepare_cc_best",
+    "events_quantiles_by_type",
+    "user_spend_quartiles",
+    "docs_quantile_sketch_check",
+    "events_value_quantile_check",
+    # --- r13: dedup postings guards (dedup.py, synthetic winnow) ---
+    "dedup_simhash",
     "dedup_embedding",
     "dedup_minhash_recall_check",
     "dedup_simhash_check",
-    "docs_bpe_token_counts",
-    "docs_dsir_selected_mixture",
-    "docs_dsir_weights",
-    "docs_dup_span_strip",
+    "dedup_incremental_minhash_check",
+    "dedup_incremental",
+    "dedup_winnow_pairs",
+    "dedup_ngram_jaccard_ppjoin",
     "docs_dup_spans",
-    "docs_quantile_sketch_check",
-    "docs_tfidf_cosine_pairs",
-    # --- the designated r9 overflow rows (slots 51+; r13 window) ---
+    "docs_dup_span_profile",
+    "docs_dup_span_strip",
+    "corpus_prepare",
+    "corpus_prepare_cc",
+    "corpus_prepare_cc_best",
+    "corpus_prepare_audit",
+    "dedup_components",
+    # --- r13: Arrow sampler + mp4 parse-helper faces ---
+    "multimodal_frame_sample",
+    "multimodal_mp4_frame_sample_check",
+    "multimodal_video_pixels_check",
+    "multimodal_h264_keyframes_check",
+    "multimodal_video_frame_check",
+    "multimodal_mp4_meta_check",
+    "multimodal_mp4_sample_table_check",
+    "multimodal_keyframes_check",
+    "multimodal_h264_meta_check",
+    "multimodal_h264_pts_check",
+    "multimodal_audio_segments_check",
+    # --- fill from the designated r9 overflow block (alphabetical) ---
     "events_interval_join_binned",
     "events_quantile_merge_check",
     "events_sliding",
-    "events_value_quantile_check",
     "multimodal_audio_features",
     "multimodal_gif_decode_check",
     "multimodal_png_decode_check",
     "multimodal_resize_check",
-    "multimodal_video_frame_check",
     "nation_customer_counts",
     "orders_bloom_semijoin",
     "orders_join_size_cms_check",
@@ -109,6 +92,7 @@ _CHECK_FIRST = [
     "purchase_age_salted_join",
     "q1_delay",
     "q2_late",
+    # --- overflow (slots 51+; designated for the next window) ---
     "q3_wordcount",
     "q4_repeat_visits",
     "q5_dup_dates",
@@ -120,7 +104,6 @@ _CHECK_FIRST = [
     "text_tfidf",
     "text_token_counts",
     "text_winnow_fingerprint",
-    "user_spend_quartiles",
     "user_state_intervals",
     "users_purchase_and_error",
     "users_purchase_no_refund_day",
