@@ -196,6 +196,60 @@ def test_jaccard_matches_between_stop_shingle_cap(spark):
     assert capped.count() == 0  # the only shingle occurs in 3 docs > cap
 
 
+def test_ngram_jaccard_stop_shingle_cap_filtered_semantics(spark):
+    """r13 (the count-over-window rewrite of the max_doc_freq path): the
+    cap excludes over-frequent shingles from BOTH the join and the set
+    sizes — the well-defined filtered Jaccard. A shingle shared by all
+    three docs is dropped at max_doc_freq=2, so the pair score is
+    computed over the remaining shingles only; brute-force replica."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common one two alpha beta gamma"),
+            (2, "common one two alpha beta delta"),
+            (3, "common one two zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def sh(text):
+        w = text.split()
+        return set(zip(w, w[1:], w[2:]))
+
+    sets = {1: sh("common one two alpha beta gamma"),
+            2: sh("common one two alpha beta delta"),
+            3: sh("common one two zeta eta theta")}
+    # document frequency over distinct shingles
+    from collections import Counter
+    df_count = Counter(s for v in sets.values() for s in v)
+    kept = {k: {s for s in v if df_count[s] <= 2} for k, v in sets.items()}
+
+    def jac(x, y):
+        i = len(kept[x] & kept[y])
+        return i / (len(kept[x]) + len(kept[y]) - i) if i else 0.0
+
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=3, mode="word",
+            threshold=0.01, max_doc_freq=2,
+        ).collect()
+    }
+    want = {
+        (x, y): round(jac(x, y), 12)
+        for x in sets for y in sets if x < y and jac(x, y) >= 0.01
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_cap_and_prefix_mutually_exclusive(spark, docs):
+    """max_doc_freq + prefix_filter compose neither path; r13 raises
+    instead of silently skipping prefix pruning (ADVICE r12)."""
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", max_doc_freq=5, prefix_filter=True
+        )
+
+
 def test_topk_per_group_salted_equals_naive(spark):
     """The two-phase salted rank returns exactly the naive window's rows
     (phase 1 can't drop a true winner), including on planted ties where
